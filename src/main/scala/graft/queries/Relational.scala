@@ -1,0 +1,635 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Relational operator surface (SURVEY.md §2.4): scans, filter/project,
+  * every join flavor, aggregation (hash / distinct / rollup / cube /
+  * grouping sets), windows, sort/limit/top-k, set ops, scalar functions,
+  * theta and as-of joins.
+  *
+  * Every query here has a DuckDB oracle twin in [[oracle]]; output column
+  * names and types match exactly (the driver sorts columns by name and
+  * hashes values). Determinism rules used throughout:
+  *
+  *  - Money/ratio arithmetic goes through DECIMAL casts so both engines
+  *    compute the exact same value (double sums are order-dependent,
+  *    decimal sums are not), then the final value is cast to DOUBLE for
+  *    a stable output schema.
+  *  - Averages are computed as exact-decimal-sum / count in double: one
+  *    correctly-rounded IEEE division of two exact values.
+  *  - Integer-typed computed outputs are cast to BIGINT on both sides
+  *    (DuckDB count/row_number/year return BIGINT).
+  *  - Every output has a total ORDER BY (unique tie-break) on both sides.
+  *
+  * Scale posture (the 100 TB design intent, tested at sf0.1): joins to
+  * dimension tables are broadcast; fact-fact joins shuffle on their keys;
+  * aggregations rely on Spark partial aggregation (map-side combine);
+  * windows partition by high-cardinality keys; nothing collects to the
+  * driver.
+  */
+object Relational {
+
+  private val D182 = "decimal(18,2)"
+  private val D42  = "decimal(4,2)"
+
+  private def price = col("l_extendedprice").cast(D182)
+  private def disc  = col("l_discount").cast(D42)
+  private def tax   = col("l_tax").cast(D42)
+  private def one   = lit(1).cast(D42)
+  private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: full-scan partial+final hash agg.
+    * Reference analogue: wordcount's map-side combine + reduce sum
+    * (word_count_map.cpp:13-38, word_count_reduce.cpp:19-27) generalized
+    * to multi-measure aggregation. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D182)).as("sq"),
+        sum(price).as("sbp"),
+        sum(price * (one - disc)).as("sdp"),
+        sum(price * (one - disc) * (one + tax)).as("sch"),
+        sum(disc).as("sd"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sbp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sch").cast("double").as("sum_charge"),
+        (col("sq").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sbp").cast("double") / col("count_order")).as("avg_price"),
+        (col("sd").cast("double") / col("count_order")).as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** TPC-H Q6-style selective filter + scalar agg; filters must push to
+    * the parquet scan (PushedFilters), scan prunes to 4 columns. */
+  def q02FilterRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") <  ts("1997-01-01") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(price * disc).cast("double").as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  private val q02Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: 3-way join (dim filter → fact ⋈ fact), agg, top-10.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q03TopUnshipped(s: SparkSession, dir: String): DataFrame = {
+    val cut = ts("1998-01-01")
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(price * (one - disc)).as("rev"))
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Broadcast hash join fact → small dim (part), per-brand rollforward. */
+  def q04BrandAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity").cast(D182)).as("sq"),
+        sum(price).as("sp"),
+        sum(col("p_retailprice").cast(D182)).as("srp"),
+        count(lit(1)).as("n_items"))
+      .select(col("p_brand"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_price"),
+        (col("srp").cast("double") / col("n_items")).as("avg_retail"),
+        col("n_items"))
+      .orderBy("p_brand")
+  }
+
+  private val q04Sql =
+    """SELECT p_brand,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_retail,
+      |COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style 6-table join: region/nation/supplier broadcast,
+    * orders⋈lineitem⋈customer shuffle; revenue per nation. */
+  def q05NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") <  ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+                           col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(price * (one - disc)).as("rev"))
+      .select(col("n_name"), col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q05Sql =
+    """SELECT n_name,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Left-semi join (EXISTS): customers holding at least one big order. */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q07AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  def q08WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |SELECT o_custkey, o_orderkey, o_totalprice,
+      |CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Running-frame window: cumulative revenue per supplier over time.
+    * Exact decimal running sums → deterministic doubles. */
+  def q09WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), price.as("p"))
+      .withColumn("running_rev", sum(col("p")).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val q09Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+      |PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+      |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** lag/lead window: days since the customer's previous order. */
+  def q10WindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .select("o_custkey", "o_orderkey", "days_since_prev")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q10Sql =
+    """SELECT o_custkey, o_orderkey,
+      |CAST(DATEDIFF('day', LAG(o_orderdate, 1) OVER (
+      |PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS days_since_prev
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Top-k: plans as TakeOrderedAndProject (no global sort of the fact). */
+  def q11TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  private val q11Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** ROLLUP aggregation (hierarchical subtotals). */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  private val q12Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** CUBE aggregation (all grouping combinations). */
+  def q13Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D182)).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  private val q13Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** GROUPING SETS via the SQL surface. */
+  def q14GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q14Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Distinct aggregation (expand-based distinct + plain count mixed). */
+  def q15DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val q15Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Set operations: INTERSECT / EXCEPT / UNION ALL over customer cohorts
+    * (customers ordering in 1996 vs 1997). */
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def keys(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val both   = keys(1996).intersect(keys(1997)).withColumn("grp", lit("both"))
+    val only96 = keys(1996).except(keys(1997)).withColumn("grp", lit("only_1996"))
+    val only97 = keys(1997).except(keys(1996)).withColumn("grp", lit("only_1997"))
+    both.unionByName(only96).unionByName(only97)
+      .select(col("grp"), col("o_custkey"))
+      .orderBy("grp", "o_custkey")
+  }
+
+  private val q16Sql =
+    """SELECT 'both' AS grp, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate)=1996
+      |  INTERSECT SELECT o_custkey FROM orders WHERE YEAR(o_orderdate)=1997)
+      |UNION ALL
+      |SELECT 'only_1996' AS grp, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate)=1996
+      |  EXCEPT SELECT o_custkey FROM orders WHERE YEAR(o_orderdate)=1997)
+      |UNION ALL
+      |SELECT 'only_1997' AS grp, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate)=1997
+      |  EXCEPT SELECT o_custkey FROM orders WHERE YEAR(o_orderdate)=1996)
+      |ORDER BY grp, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Scalar string-function coverage over part. */
+  def q17StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 4).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        split(col("p_name"), " ").getItem(0).as("first_word"))
+      .orderBy("p_partkey")
+
+  private val q17Sql =
+    """SELECT p_partkey, UPPER(p_name) AS name_upper,
+      |SUBSTRING(p_type, 1, 4) AS type_prefix,
+      |CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |CONCAT_WS('-', p_brand, p_type) AS brand_type,
+      |REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+      |STRING_SPLIT(p_name, ' ')[1] AS first_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Date functions: truncation + extraction + per-month aggregation. */
+  def q18DateAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D182)).cast("double").as("sum_price"))
+      .orderBy("o_year", "o_month")
+
+  private val q18Sql =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Conditional aggregation (CASE inside agg). */
+  def q19CaseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val q19Sql =
+    """SELECT o_orderstatus,
+      |CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** JSON extraction from the events.props payload. */
+  def q20Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"),
+        max(col("k_val")).as("max_k"))
+      .orderBy("event_type")
+
+  private val q20Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Theta (non-equi) join: nation pairs within a region. Small-side
+    * cartesian within region — broadcastable by construction. */
+  def q21ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("k1"), col("n_name").as("nation_a"),
+        col("n_regionkey").as("r1"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("k2"), col("n_name").as("nation_b"),
+        col("n_regionkey").as("r2"))
+    val r = t(s, dir, "region")
+    n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+      .join(broadcast(r), col("r1") === col("r_regionkey"))
+      .select(col("r_name"), col("nation_a"), col("nation_b"))
+      .orderBy("r_name", "nation_a", "nation_b")
+  }
+
+  private val q21Sql =
+    """SELECT r_name, a.n_name AS nation_a, b.n_name AS nation_b
+      |FROM nation a JOIN nation b
+      |ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |JOIN region ON a.n_regionkey = r_regionkey
+      |ORDER BY r_name, nation_a, nation_b""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** As-of join: for each event, the customer's most recent order date at
+    * or before the event time. Spark-first formulation: union both sides,
+    * one window pass per user (scales as one shuffle+sort — never a
+    * nested-loop inequality join). */
+  def q22AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is read as raw nanos (nanosAsLong); compare in exact
+    // integer micros on both sides (DuckDB truncates ns→µs the same way).
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      expr("ts div 1000").as("at"),
+      lit(null).cast("timestamp_ntz").as("od"), lit(1).as("tag"))
+    val or0 = t(s, dir, "orders").select(
+      lit(null).cast("long").as("event_id"), col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("at"),
+      col("o_orderdate").as("od"), lit(0).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("at"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(or0)
+      .withColumn("last_order_date", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select("event_id", "user_id", "last_order_date")
+      .orderBy("event_id")
+  }
+
+  private val q22Sql =
+    """SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date
+      |FROM events e LEFT JOIN orders o
+      |ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Epoch-bucketed (15 min) event aggregation — the batch twin of the
+    * streaming tumbling window (graft.streaming). Bucket is pure integer
+    * arithmetic so both engines agree exactly. */
+  def q23TimeBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      // ts is raw nanos (nanosAsLong); bucket in exact integer arithmetic
+      .withColumn("bucket_epoch", expr("(ts div 900000000000) * 900"))
+      .groupBy(col("bucket_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D182)).cast("double").as("sum_value"))
+      .orderBy("bucket_epoch", "event_type")
+
+  private val q23Sql =
+    """SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_epoch,
+      |event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_epoch, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Sessionization in batch: 30-minute-gap sessions per user via
+    * windowed gap flags + running session ids (one shuffle, no state). */
+  def q24Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      // ts is raw nanos (nanosAsLong); all session math in exact µs
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ep_us"))
+      .withColumn("prev_us", lag(col("ep_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ep_us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ep_us) div 1000000").as("start_ep"),
+        expr("max(ep_us) div 1000000").as("end_ep"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q24Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ep_us,
+      |    LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ep_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |g AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |MIN(ep_us) // 1000000 AS start_ep, MAX(ep_us) // 1000000 AS end_ep
+      |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_revenue"  -> q02FilterRevenue _,
+    "q03_top_unshipped"   -> q03TopUnshipped _,
+    "q04_brand_agg"       -> q04BrandAgg _,
+    "q05_nation_revenue"  -> q05NationRevenue _,
+    "q06_semi_join"       -> q06SemiJoin _,
+    "q07_anti_join"       -> q07AntiJoin _,
+    "q08_window_rank"     -> q08WindowRank _,
+    "q09_window_running"  -> q09WindowRunning _,
+    "q10_window_lag"      -> q10WindowLag _,
+    "q11_topk"            -> q11TopK _,
+    "q12_rollup"          -> q12Rollup _,
+    "q13_cube"            -> q13Cube _,
+    "q14_grouping_sets"   -> q14GroupingSets _,
+    "q15_distinct_agg"    -> q15DistinctAgg _,
+    "q16_set_ops"         -> q16SetOps _,
+    "q17_string_funcs"    -> q17StringFuncs _,
+    "q18_date_agg"        -> q18DateAgg _,
+    "q19_case_agg"        -> q19CaseAgg _,
+    "q20_json"            -> q20Json _,
+    "q21_theta_join"      -> q21ThetaJoin _,
+    "q22_asof_join"       -> q22AsOfJoin _,
+    "q23_time_bucket"     -> q23TimeBucket _,
+    "q24_sessionize"      -> q24Sessionize _)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_revenue"  -> q02Sql,
+    "q03_top_unshipped"   -> q03Sql,
+    "q04_brand_agg"       -> q04Sql,
+    "q05_nation_revenue"  -> q05Sql,
+    "q06_semi_join"       -> q06Sql,
+    "q07_anti_join"       -> q07Sql,
+    "q08_window_rank"     -> q08Sql,
+    "q09_window_running"  -> q09Sql,
+    "q10_window_lag"      -> q10Sql,
+    "q11_topk"            -> q11Sql,
+    "q12_rollup"          -> q12Sql,
+    "q13_cube"            -> q13Sql,
+    "q14_grouping_sets"   -> q14Sql,
+    "q15_distinct_agg"    -> q15Sql,
+    "q16_set_ops"         -> q16Sql,
+    "q17_string_funcs"    -> q17Sql,
+    "q18_date_agg"        -> q18Sql,
+    "q19_case_agg"        -> q19Sql,
+    "q20_json"            -> q20Sql,
+    "q21_theta_join"      -> q21Sql,
+    "q22_asof_join"       -> q22Sql,
+    "q23_time_bucket"     -> q23Sql,
+    "q24_sessionize"      -> q24Sql)
+}
