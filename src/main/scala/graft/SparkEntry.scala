@@ -20,10 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
+      graft.multimodal.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ graft.queries.TextOps.oracle ++
+      graft.queries.Dedup.oracle ++ graft.queries.Similarity.oracle ++
+      graft.multimodal.MultimodalQueries.oracle
 }

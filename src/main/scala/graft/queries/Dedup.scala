@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Deduplication suite (LLM-pipeline extension ops): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Portability design: every pseudo-random ingredient (MinHash
+  * permutations, SimHash bit hashes) is derived from md5 hex strings,
+  * which Spark and DuckDB compute identically — so even the sketch-based
+  * dedups have exact DuckDB oracles. Similarity estimates are exact
+  * integer ratios (k/16, c/(na+nb-c)), never order-dependent float sums.
+  *
+  * Scale posture: everything is shuffle-on-key (token/shingle/band/
+  * bucket); candidate generation is always banded/bucketed so the
+  * quadratic pair space is never materialized globally — only within a
+  * band bucket. No driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** MinHash permutation count and LSH banding (4 bands × 4 rows). */
+  val numHashes = 16
+  val numBands  = 4
+  val rowsPerBand: Int = numHashes / numBands
+
+  // ------------------------------------------------------- exact dedup
+  /** Exact dedup: group by content hash; keeper = min doc_id. Grouping
+    * on md5(text) (not text) keeps 100 TB shuffles narrow. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("text_md5")
+
+  private val exactSql =
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
+
+  // ------------------------------------------------------ MinHash + LSH
+  /** MinHash over 3-token shingles (one shuffle: groupBy doc_id with 16
+    * min-aggs) → 4 banded keys → self-join per band bucket → distinct
+    * candidate pairs with estimated Jaccard = matching-signature
+    * fraction. Shingles (not tokens) keep baseline Jaccard between
+    * unrelated docs near zero, so bands only collide for real near-dups
+    * and the candidate pair space stays tiny at scale. */
+  def minHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("tok"))
+    val sigs = toks.groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat_ws(":", lit(0), col("tok")))).as("s0"),
+        (1 until numHashes).map(k =>
+          min(md5(concat_ws(":", lit(k), col("tok")))).as(s"s$k")): _*)
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$b")
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"xa.s$k") === col(s"yb.s$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigs.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sigs.as("yb"), col("doc_b") === col("yb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches / lit(numHashes.toDouble)).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minHashLshSql: String = {
+    val sigCols = (0 until numHashes)
+      .map(k => s"min(md5('$k:' || tok)) AS s$k").mkString(", ")
+    val bandRows = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"s${b * rowsPerBand + r}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until numHashes)
+      .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 2, 1)),
+       |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tok
+       |  FROM d),
+       |sigs AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
+       |bands AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ($est) / 16.0 AS est_jaccard
+       |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------- exact 3-gram Jaccard
+  /** Exact token-3-gram Jaccard via shingle inverted index: distinct
+    * (doc, shingle) → self-join on shingle → pair intersection counts →
+    * |A∩B| / (|A|+|B|−|A∩B|). Threshold keeps the candidate space the
+    * shingle index bounds anyway. */
+  val jaccardThreshold = 0.1
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("sa.n_sh") + col("sb.n_sh") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM d),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |common / (sa.n_sh + sb.n_sh - common) AS jaccard
+       |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE common / (sa.n_sh + sb.n_sh - common) >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ SimHash
+  /** 32-bit SimHash over token occurrences. Bit j of md5(token) is
+    * extracted from hex char j/4 (strpos-based — portable to DuckDB);
+    * fingerprint bit = sign of Σ(2·bit−1). Emitted as a 32-char
+    * bitstring (no portable hex→int in DuckDB 1.0). */
+  val simhashBits = 32
+
+  private def bitExprSpark(j: Int): Column = {
+    val c = s"substring(h, ${j / 4 + 1}, 1)"
+    val v = s"(instr('0123456789abcdef', $c) - 1)"
+    expr(s"CASE WHEN ($v div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")
+  }
+
+  def simHash(s: SparkSession, dir: String): DataFrame = {
+    val toksH = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = toksH.groupBy(col("doc_id"))
+      .agg(sum(bitExprSpark(0)).as("w0"),
+        (1 until simhashBits).map(j => sum(bitExprSpark(j)).as(s"w$j")): _*)
+    val fp = concat((0 until simhashBits)
+      .map(j => when(col(s"w$j") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  private val simHashSql: String = {
+    def bit(j: Int) = {
+      val c = s"substring(h, ${j / 4 + 1}, 1)"
+      val v = s"(strpos('0123456789abcdef', $c) - 1)"
+      s"CASE WHEN ($v // ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+    }
+    val sums = (0 until simhashBits).map(j => s"SUM(${bit(j)}) AS w$j").mkString(", ")
+    val chars = (0 until simhashBits)
+      .map(j => s"CASE WHEN w$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH th AS (
+       |  SELECT doc_id, md5(tok) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
+       |SELECT doc_id, $chars AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: hamming ≤ 3 with a 4-band prefilter
+    * (pigeonhole: ≤3 differing bits over 4 bands ⇒ ≥1 identical band,
+    * so banding is lossless here, and it keeps the pair space local to
+    * buckets at scale). */
+  val simhashMaxHamming = 3
+
+  def simHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = simHash(s, dir)
+    val bandW = simhashBits / 4
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * bandW + 1, bandW).as("sig")).as(s"b$b"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    val ham = (1 to simhashBits)
+      .map(j => when(substring(col("x.simhash"), j, 1) =!=
+                     substring(col("y.simhash"), j, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= simhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simHashPairsSql: String = {
+    val bandW = simhashBits / 4
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${b * bandW + 1}, $bandW) AS sig FROM fp")
+      .mkString("\nUNION ALL\n")
+    val ham = (1 to simhashBits)
+      .map(j => s"CASE WHEN substring(x.simhash, $j, 1) <> substring(y.simhash, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val inner = simHashSql.replace("ORDER BY doc_id", "")
+    s"""WITH fp AS ($inner),
+       |bands AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST($ham AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $simhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------- embedding-cosine near-dup
+  /** Embedding near-dup: pairs with rounded cosine ≥ threshold. Bucketed
+    * by `label` (the coarse partitioner for this table) so the pair
+    * space stays within buckets — the brute-force all-pairs variant
+    * lives in Similarity.bruteForceTopK. */
+  val cosineThreshold = 0.3
+
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    val cos = round(
+      expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+        (col("a.nrm") * col("b.nrm")), 4)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cos_sim"))
+      .filter(col("cos_sim") >= cosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embeddingCosineSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |d AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+       |  FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+       |FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+       |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= $cosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact"     -> exact _,
+    "d02_minhash_lsh"     -> minHashLsh _,
+    "d03_ngram_jaccard"   -> ngramJaccard _,
+    "d04_simhash"         -> simHash _,
+    "d05_simhash_pairs"   -> simHashPairs _,
+    "d06_embedding_cosine" -> embeddingCosine _)
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact"     -> exactSql,
+    "d02_minhash_lsh"     -> minHashLshSql,
+    "d03_ngram_jaccard"   -> ngramJaccardSql,
+    "d04_simhash"         -> simHashSql,
+    "d05_simhash_pairs"   -> simHashPairsSql,
+    "d06_embedding_cosine" -> embeddingCosineSql)
+}

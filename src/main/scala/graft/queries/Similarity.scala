@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * LLM-pipeline extension op).
+  *
+  * Two paths, as a real 100 TB pipeline would ship them:
+  *  - [[bruteForceTopK]]: exact cosine top-k — query set broadcast
+  *    against a full scan of the corpus; the per-pair work is a
+  *    sequential fold over the array (deterministic order), so with a
+  *    final ROUND both engines agree bit-exactly and the query has a
+  *    DuckDB oracle.
+  *  - [[lshTopK]]: hyperplane-LSH bucketed ANN — the scale path. Bucket
+  *    signatures come from md5-derived pseudo-random hyperplanes
+  *    (deterministic, seedless), so candidates only pair within a
+  *    bucket; recall is unit-tested against the exact path.
+  *
+  * Arithmetic is done in double (cast from float) everywhere.
+  */
+object Similarity {
+
+  /** Query set: every 50th vector (deterministic, scales with corpus). */
+  val queryStride = 50
+  val topK = 10
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private def cosCol: Column = round(
+    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+      (col("q.nrm") * col("c.nrm")), 4)
+
+  // ------------------------------------------------- brute-force top-k
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") % queryStride === 0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(queries).as("q")
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosCol.as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val bruteForceSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |d AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+       |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nc.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON query_id = nq.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------ LSH ANN path
+  /** Hyperplane count: 2^planes buckets. Hyperplane p, dim d weight is
+    * derived from md5("p:d") hex → a value in [-7.5, 7.5] (centered hex
+    * digit). Deterministic and engine-portable. */
+  val numPlanes = 6
+
+  /** Bucket signature for an embedding column as a bitstring. */
+  private def bucketSig: Column = {
+    val bits = (0 until numPlanes).map { p =>
+      // dot(plane_p, v) where plane weight = hexdigit(md5(p||':'||d)) - 7.5
+      val dot = expr(
+        s"""aggregate(
+            zip_with(v, sequence(0, size(v) - 1),
+              (x, d) -> x * (instr('0123456789abcdef',
+                 substring(md5(concat('$p', ':', d)), 1, 1)) - 8.5)),
+            0D, (acc, x) -> acc + x)""")
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("bucket", bucketSig)
+    val queries = e.filter(col("vec_id") % queryStride === 0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    queries.as("q")
+      .join(e.as("c"), col("q.bucket") === col("c.bucket") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosCol.as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val lshSql: String = {
+    val planeDot = (p: Int) =>
+      s"""SUM(v * (strpos('0123456789abcdef',
+         |  substring(md5('$p' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 8.5))""".stripMargin
+    val bitCols = (0 until numPlanes)
+      .map(p => s"CASE WHEN ${planeDot(p)} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |bk AS (SELECT vec_id, $bitCols AS bucket FROM x GROUP BY vec_id),
+       |d AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+       |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |  JOIN bk bq ON q.vec_id = bq.vec_id
+       |  JOIN bk bc ON c.vec_id = bc.vec_id AND bq.bucket = bc.bucket
+       |  WHERE q.vec_id % $queryStride = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nc.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON query_id = nq.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_topk_bruteforce" -> bruteForceTopK _,
+    "s02_topk_lsh"        -> lshTopK _)
+
+  val oracle: Map[String, String] = Map(
+    "s01_topk_bruteforce" -> bruteForceSql,
+    "s02_topk_lsh"        -> lshSql)
+}

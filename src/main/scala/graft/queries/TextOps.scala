@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text workloads: the reference's three concrete queries re-expressed
+  * over the `documents` table (SURVEY.md §2.3 Q1–Q3), plus the
+  * LLM-pipeline text-analysis extensions (language-ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * Q1 word count: tokenizer = maximal runs of `[A-Za-z0-9-]`; everything
+  * else (incl. `\r`) delimits — `word_count_map.cpp:20`,
+  * `WordCount.java:52`. Output sorted by word (`MapleJuice.cpp:351`).
+  * Q2 reverse graph: edges reversed, sources grouped per destination —
+  * `linked_graph_map.cpp:15-17`, `LinkedGraph.java:82-105`.
+  * Q3 distributed grep: pattern filter + per-node and total counts —
+  * `logger.cpp:62-75,223`; `source` plays the node role.
+  *
+  * All scalar work uses codegen'd built-ins (split/regexp/HOFs) — no
+  * Scala UDFs in any hot path.
+  */
+object TextOps {
+
+  /** Reference word tokenizer as a delimiter regex (Q1 semantics). */
+  val tokenizerDelim = "[^A-Za-z0-9-]+"
+
+  // ---------------------------------------------------------- wordcount
+  def wordCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), tokenizerDelim)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  private val wordCountSql =
+    """SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(text, '[^A-Za-z0-9-]+')) AS word
+      |  FROM documents)
+      |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+
+  // --------------------------------------------------------------- grep
+  /** Distributed grep: per-"node" (source) match counts + TOTAL row.
+    * Mirrors logger.cpp's per-node counts and client-side sum. */
+  val grepPattern = "merge.*join|stream"
+
+  def grep(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents").filter(col("text").rlike(grepPattern))
+    val per = m.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = m.agg(count(lit(1)).as("n")).select(lit("TOTAL").as("source"), col("n"))
+    per.unionByName(tot).orderBy("source")
+  }
+
+  private val grepSql =
+    """SELECT source, COUNT(*) AS n FROM documents
+      |WHERE regexp_matches(text, 'merge.*join|stream') GROUP BY source
+      |UNION ALL
+      |SELECT 'TOTAL' AS source, COUNT(*) AS n FROM documents
+      |WHERE regexp_matches(text, 'merge.*join|stream')
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ reverse graph
+  /** Q2 over relational data: edges (l_partkey → l_suppkey), reversed
+    * adjacency list per destination, values sorted for determinism
+    * (reference order is hash/arrival order — documented strengthening,
+    * SURVEY.md §7.4). Scale note: collect_list per key is bounded by
+    * per-destination fan-in; hot keys would need the per-key fan-out
+    * sink (S4) instead. */
+  def reverseGraph(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("dst"),
+        col("l_partkey").cast("string").as("src"))
+      .groupBy(col("dst"))
+      .agg(concat_ws(" ", array_sort(collect_list(col("src")))).as("adj"))
+      .orderBy("dst")
+
+  private val reverseGraphSql =
+    """SELECT l_suppkey AS dst,
+      |string_agg(CAST(l_partkey AS VARCHAR), ' ' ORDER BY CAST(l_partkey AS VARCHAR)) AS adj
+      |FROM lineitem GROUP BY l_suppkey ORDER BY dst""".stripMargin
+
+  // --------------------------------------------------------- text stats
+  /** Quality/token statistics per document. All ratios are exact
+    * integer-over-integer double divisions — deterministic across
+    * engines. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_bpe",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct") / col("n_tokens")).as("ttr"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        (col("n_alpha") / col("n_tokens")).as("avg_tok_len"),
+        col("n_bpe"))
+      .orderBy("doc_id")
+
+  private val textStatsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    LENGTH(REPLACE(text, ' ', '')) AS n_alpha,
+       |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+       |  FROM documents)
+       |SELECT doc_id,
+       |CAST(len(toks) AS BIGINT) AS n_tokens,
+       |CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |len(list_distinct(toks)) / len(toks) AS ttr,
+       |len(list_filter(toks, t -> t IN ($stopList))) / len(toks) AS stop_ratio,
+       |n_alpha / len(toks) AS avg_tok_len,
+       |CAST(n_bpe AS BIGINT) AS n_bpe
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ lang id
+  /** Marker-token language ID (n-gram/stopword heuristic). The
+    * classifier itself is the deliverable: a deterministic function both
+    * engines compute identically (the synthetic corpus's `lang` column
+    * is uncorrelated with its text). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "du"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    var df = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+    for ((l, ws) <- markers) {
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      df = df.withColumn(s"score_$l",
+        expr(s"size(filter(toks, t -> t IN ($list)))").cast("long"))
+    }
+    val langs = markers.map(_._1)
+    // chained argmax with fixed priority order (en > de > es > fr > zh)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    df.select(col("doc_id") +: col("lang").as("lang_actual") +:
+        langs.map(l => col(s"score_$l")) :+ pred.as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql: String = {
+    val scoreCols = markers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($list))) AS BIGINT) AS score_$l"
+    }.mkString(",\n")
+    val langs = markers.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
+      val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"CASE WHEN $geAll THEN '$l' ELSE $rest END"
+    }
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang AS lang_actual,
+       |$scoreCols
+       |FROM d)
+       |SELECT doc_id, lang_actual, ${langs.map(l => s"score_$l").mkString(", ")},
+       |$pred AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- fingerprints
+  /** Document fingerprinting: MinHash-1 over tokens and over 3-token
+    * shingles (md5 keeps both engines bit-identical; a rolling hash
+    * needs modular arithmetic DuckDB can't express portably). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("array_min(transform(toks, t -> md5(t)))").as("fp_token"),
+        expr("""array_min(transform(
+            sequence(1, greatest(size(toks) - 2, 1)),
+            i -> md5(concat_ws(' ', slice(toks, i, 3)))))""").as("fp_shingle"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |list_aggregate(list_transform(toks, t -> md5(t)), 'min') AS fp_token,
+      |list_aggregate(list_transform(
+      |  generate_series(1, greatest(len(toks) - 2, 1)),
+      |  i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))), 'min') AS fp_shingle
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_wordcount"     -> wordCount _,
+    "t02_grep"          -> grep _,
+    "t03_reverse_graph" -> reverseGraph _,
+    "t04_text_stats"    -> textStats _,
+    "t05_lang_id"       -> langId _,
+    "t06_fingerprint"   -> fingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "t01_wordcount"     -> wordCountSql,
+    "t02_grep"          -> grepSql,
+    "t03_reverse_graph" -> reverseGraphSql,
+    "t04_text_stats"    -> textStatsSql,
+    "t05_lang_id"       -> langIdSql,
+    "t06_fingerprint"   -> fingerprintSql)
+}
