@@ -29,7 +29,10 @@ object Dedup {
   /** Exact dedup: group by content hash; keeper = min doc_id. Grouping
     * on md5(text) (not text) keeps 100 TB shuffles narrow. */
   def exact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    exactDf(t(s, dir, "documents"))
+
+  def exactDf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("text_md5")
@@ -45,8 +48,11 @@ object Dedup {
     * fraction. Shingles (not tokens) keep baseline Jaccard between
     * unrelated docs near zero, so bands only collide for real near-dups
     * and the candidate pair space stays tiny at scale. */
-  def minHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+  def minHashLsh(s: SparkSession, dir: String): DataFrame =
+    minHashLshDf(t(s, dir, "documents"))
+
+  def minHashLshDf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
@@ -114,8 +120,11 @@ object Dedup {
     * shingle index bounds anyway. */
   val jaccardThreshold = 0.1
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardDf(t(s, dir, "documents"))
+
+  def ngramJaccardDf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
@@ -167,8 +176,11 @@ object Dedup {
     expr(s"CASE WHEN ($v div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")
   }
 
-  def simHash(s: SparkSession, dir: String): DataFrame = {
-    val toksH = t(s, dir, "documents")
+  def simHash(s: SparkSession, dir: String): DataFrame =
+    simHashDf(t(s, dir, "documents"))
+
+  def simHashDf(docs: DataFrame): DataFrame = {
+    val toksH = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = toksH.groupBy(col("doc_id"))
@@ -201,8 +213,11 @@ object Dedup {
     * buckets at scale). */
   val simhashMaxHamming = 3
 
-  def simHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = simHash(s, dir)
+  def simHashPairs(s: SparkSession, dir: String): DataFrame =
+    simHashPairsDf(t(s, dir, "documents"))
+
+  def simHashPairsDf(docs: DataFrame): DataFrame = {
+    val fp = simHashDf(docs)
     val bandW = simhashBits / 4
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -253,8 +268,11 @@ object Dedup {
     * lives in Similarity.bruteForceTopK. */
   val cosineThreshold = 0.3
 
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame =
+    embeddingCosineDf(t(s, dir, "embeddings"))
+
+  def embeddingCosineDf(embs: DataFrame): DataFrame = {
+    val e = embs
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))

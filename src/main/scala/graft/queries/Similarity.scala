@@ -27,8 +27,8 @@ object Similarity {
   val queryStride = 50
   val topK = 10
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
+  private def emb(embs: DataFrame): DataFrame =
+    embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
 
@@ -37,8 +37,11 @@ object Similarity {
       (col("q.nrm") * col("c.nrm")), 4)
 
   // ------------------------------------------------- brute-force top-k
-  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopKDf(t(s, dir, "embeddings"))
+
+  def bruteForceTopKDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
     val queries = e.filter(col("vec_id") % queryStride === 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -95,8 +98,11 @@ object Similarity {
     concat(bits: _*)
   }
 
-  def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("bucket", bucketSig)
+  def lshTopK(s: SparkSession, dir: String): DataFrame =
+    lshTopKDf(t(s, dir, "embeddings"))
+
+  def lshTopKDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs).withColumn("bucket", bucketSig)
     val queries = e.filter(col("vec_id") % queryStride === 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

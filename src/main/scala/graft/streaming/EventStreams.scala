@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §7.5, isolated from batch):
+  * event-time windowed aggregation with watermarks, session windows,
+  * and custom sessionization state via flatMapGroupsWithState.
+  *
+  * The reference has no streaming (SURVEY.md §1.1 item 5); this is the
+  * driver-mandated extension, expressed purely with Structured Streaming
+  * so the same code runs over readStream sources at scale.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  case class SessionState(start: Long, last: Long, cnt: Long)
+
+  /** Tumbling event-time window aggregation with a watermark. Works on
+    * both batch and streaming DataFrames with (ts, event_type, value). */
+  def tumbling(events: DataFrame, width: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window (width, slide). */
+  def sliding(events: DataFrame, width: String = "30 minutes",
+      slide: String = "10 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Built-in session window (gap-based). */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  /** Custom stateful sessionization: per-user state machine with a
+    * processing-timeout, the mapGroupsWithState escape hatch for
+    * semantics the built-in windows can't express. Gap in millis. */
+  def sessionizeStateful(events: Dataset[Event], gapMs: Long)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          // Sort this micro-batch's events; emit sessions closed by gaps;
+          // the still-open session stays in state.
+          val sorted = evs.map(_.ts.getTime).toSeq.sorted
+          var open = state.getOption.orNull
+          var out = List.empty[SessionOut]
+          for (t <- sorted) {
+            open match {
+              case SessionState(st, last, n) if t - last <= gapMs =>
+                open = SessionState(st, t, n + 1)
+              case SessionState(st, last, n) =>
+                out ::= SessionOut(userId, st, last, n)
+                open = SessionState(t, t, 1)
+              case null =>
+                open = SessionState(t, t, 1)
+            }
+          }
+          if (open != null) state.update(open)
+          out.reverseIterator
+      }
+  }
+}

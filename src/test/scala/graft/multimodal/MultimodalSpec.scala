@@ -1,0 +1,36 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val blobs = Seq(
+    MediaBlob(1L, "image", Array[Byte](10, 20, 30, 40, 50)),
+    MediaBlob(2L, "audio", Array.tabulate(100)(i => (i % 127).toByte)),
+    MediaBlob(3L, "video", Array.emptyByteArray)).toDS()
+
+  test("decodeAll is deterministic and preserves ids/schema") {
+    val out = decodeAll(blobs).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).byte_len === 5 && out(0).width === 11 && out(0).height === 21)
+    assert(out(2).byte_len === 0 && out(2).width === 1)
+    // stable content hash (same as re-running)
+    val again = decodeAll(blobs).collect().sortBy(_.media_id)
+    assert(out.map(_.sha).toSeq === again.map(_.sha).toSeq)
+  }
+
+  test("sampleFrames emits strided frames with correct offsets") {
+    val got = sampleFrames(blobs, frameSize = 16, stride = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    // 100 bytes / 16 = 7 frames → sampled 0,2,4,6
+    assert(got(2L).map(_._2).sorted.toSeq === Seq(0L, 2L, 4L, 6L))
+    assert(got(2L).map(_._3).sorted.toSeq === Seq(0L, 32L, 64L, 96L))
+    // last frame is short: 100 - 96 = 4 bytes
+    assert(got(2L).find(_._2 == 6L).get._4 === 4L)
+    // empty blob still yields one (empty) frame row
+    assert(got(3L).map(_._2).toSeq === Seq(0L))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Crafted corpus: 0/1 near-dups (one token differs), 2 an exact copy
+    * of 0, 3/4 unrelated. */
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "red green blue cyan magenta yellow black white grey pink"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min doc_id") {
+    val got = Dedup.exactDf(docs)
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact pair") {
+    val got = Dedup.minHashLshDf(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    // exact copy: all 16 signatures match
+    assert(got((0L, 2L)) === 1.0)
+    // near-dup (8 of 10 shingles shared, J≈0.67): banding should catch it
+    assert(got.contains((0L, 1L)) && got.contains((1L, 2L)))
+    assert(got((0L, 1L)) > 0.2)
+    // unrelated docs never become candidates
+    assert(!got.keys.exists { case (a, b) => b >= 3L || a >= 3L })
+  }
+
+  test("ngram jaccard computes the exact shingle overlap") {
+    val got = Dedup.ngramJaccardDf(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((0L, 2L)) === 1.0)
+    // docs 0/1: 10 tokens → 8 shingles each, 7 shared → 7/9
+    assert(math.abs(got((0L, 1L)) - 7.0 / 9.0) < 1e-12)
+    assert(!got.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs equal fingerprints; near-dups close") {
+    val fp = Dedup.simHashDf(docs).as[(Long, String)].collect().toMap
+    assert(fp(0L) === fp(2L))
+    assert(fp(0L).length === Dedup.simhashBits)
+    assert(fp(0L).forall(c => c == '0' || c == '1'))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(3L)))
+  }
+
+  test("simhash pairs: banding finds hamming<=3 pairs (incl. exact copies)") {
+    val got = Dedup.simHashPairsDf(docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(got((0L, 2L)) === 0L)
+    assert(got.values.forall(_ <= Dedup.simhashMaxHamming))
+  }
+
+  test("embedding cosine near-dup finds same-direction vectors") {
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(-1f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingCosineDf(embs)
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) > 0.99)
+    assert(!got.contains((0L, 2L))) // orthogonal
+    assert(!got.contains((0L, 3L))) // different label bucket
+  }
+}

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+class RelationalSpec extends SparkSpec {
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and most return rows") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        if (n == 0) Some(name) else None
+    }
+    // near-dup/anti-join queries may legitimately be empty on tiny data;
+    // everything else must produce rows
+    val allowedEmpty = Set("q07_anti_join", "d02_minhash_lsh",
+      "d03_ngram_jaccard", "d05_simhash_pairs", "d06_embedding_cosine")
+    assert(empties.toSet.subsetOf(allowedEmpty), s"unexpected empties: $empties")
+  }
+
+  test("oracleSql covers every query (full t2 surface)") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("q01 aggregates to the 6 flag/status groups") {
+    assert(Relational.q01PricingSummary(spark, sf).count() === 6)
+  }
+
+  test("top-k queries respect their limits") {
+    assert(Relational.q03TopUnshipped(spark, sf).count() <= 10)
+    assert(Relational.q11TopK(spark, sf).count() === 20)
+  }
+
+  test("as-of join emits exactly one row per event") {
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(Relational.q22AsOfJoin(spark, sf).count() === events)
+  }
+
+  test("set ops partition customers disjointly") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.q16SetOps(spark, sf)
+    val total = df.count()
+    val distinctKeys = df.select("o_custkey", "grp").distinct().count()
+    assert(total === distinctKeys)
+  }
+}

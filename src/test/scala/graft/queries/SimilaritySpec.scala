@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered corpus: 4 well-separated random directions, 50 vectors
+    * each with small noise; vec_ids 0,50,100,150 are cluster seeds and
+    * also the query set (queryStride = 50). */
+  private lazy val clustered = {
+    val rnd = new Random(7)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val centers = Array.fill(4)(unit(dim))
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val base = centers(c)
+      val noise = unit(dim).map(_ * 0.15)
+      val v = base.zip(noise).map { case (a, b) => (a + b).toFloat }
+      ((c * 50 + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k: neighbors of a cluster seed are its own cluster") {
+    val got = Similarity.bruteForceTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ.keySet === Set(0L, 50L, 100L, 150L))
+    for ((q, ns) <- byQ) {
+      assert(ns.size === Similarity.topK)
+      val cluster = (q until q + 50).toSet - q
+      assert(ns.subsetOf(cluster), s"query $q strayed outside its cluster")
+    }
+  }
+
+  test("LSH top-k recall vs brute force is high on clustered data") {
+    val exact = Similarity.bruteForceTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // scale sanity: LSH candidate work is a fraction of brute force
+    assert(approx.nonEmpty)
+  }
+
+  test("cosine scores are rounded, in [-1, 1], ranked descending") {
+    val rows = Similarity.bruteForceTopKDf(clustered)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.forall { case (_, _, c, _) => c >= -1.0001 && c <= 1.0001 })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, typ: String, user: Long = 1L,
+      value: Double = 1.0) =
+    Event(id, new Timestamp(minute * 60000L), user, typ, value)
+
+  private lazy val sample = Seq(
+    ev(1, 0, "click"), ev(2, 5, "click"), ev(3, 14, "view"),
+    ev(4, 16, "click"), ev(5, 29, "view"), ev(6, 31, "click"),
+    // user 2: two sessions separated by a 40-min gap
+    ev(7, 0, "click", user = 2), ev(8, 10, "click", user = 2),
+    ev(9, 55, "click", user = 2))
+
+  test("streaming tumbling window equals batch grouping of the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = tumbling(mem.toDF(), width = "15 minutes", watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = tumbling(sample.toDF(), width = "15 minutes")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.contains((0L, "click", 4L))) // u1@0,5 + u2@0,10
+    assert(streamed.contains((900L, "click", 1L))) // minute 16
+  }
+
+  test("built-in session window closes on the gap") {
+    val got = sessionWindow(sample.toDF(), gap = "30 minutes")
+      .filter(col("user_id") === 2)
+      .select(col("n")).as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L)) // sessions: {0,10} then {55}
+  }
+
+  test("stateful sessionization emits closed sessions with counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out")
+      .as[SessionOut].collect()
+    // user 2's first session {0,10} is closed by the event at 55
+    val u2 = closed.filter(_.user_id == 2L)
+    assert(u2.length === 1)
+    assert(u2.head.n_events === 2 && u2.head.session_start === 0L)
+  }
+
+  test("sliding windows overlap") {
+    val got = sliding(sample.toDF(), width = "30 minutes", slide = "10 minutes")
+      .filter(col("event_type") === "click")
+      .select(col("window_start").cast("long"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    // window [0,30) has clicks at u1@0,5,16 + u2@0,10 → 5
+    assert(got(0L) === 5L)
+  }
+}
