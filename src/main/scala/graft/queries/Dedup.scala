@@ -164,10 +164,13 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ SimHash
-  /** 32-bit SimHash over token occurrences. Bit j of md5(token) is
-    * extracted from hex char j/4 (strpos-based — portable to DuckDB);
-    * fingerprint bit = sign of Σ(2·bit−1). Emitted as a 32-char
-    * bitstring (no portable hex→int in DuckDB 1.0). */
+  /** 32-bit SimHash over 3-token shingle features (shingles, not bare
+    * tokens: a low-entropy vocabulary makes token-level fingerprints
+    * cluster, which blows up every band bucket — shingles spread the
+    * feature space). Bit j of md5(shingle) is extracted from hex char
+    * j/4 (strpos-based — portable to DuckDB); fingerprint bit = sign of
+    * Σ(2·bit−1). Emitted as a 32-char bitstring (no portable hex→int in
+    * DuckDB 1.0). */
   val simhashBits = 32
 
   private def bitExprSpark(j: Int): Column = {
@@ -181,7 +184,10 @@ object Dedup {
 
   def simHashDf(docs: DataFrame): DataFrame = {
     val toksH = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = toksH.groupBy(col("doc_id"))
       .agg(sum(bitExprSpark(0)).as("w0"),
@@ -202,7 +208,10 @@ object Dedup {
       .map(j => s"CASE WHEN w$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH th AS (
        |  SELECT doc_id, md5(tok) AS h FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(tk) - 2, 1)),
+       |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tok
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
        |sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
        |SELECT doc_id, $chars AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
@@ -217,7 +226,9 @@ object Dedup {
     simHashPairsDf(t(s, dir, "documents"))
 
   def simHashPairsDf(docs: DataFrame): DataFrame = {
-    val fp = simHashDf(docs)
+    // Fingerprints are tiny relative to the corpus — materialize once
+    // (the self-join would otherwise recompute the whole sketch twice).
+    val fp = simHashDf(docs).persist()
     val bandW = simhashBits / 4
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -230,13 +241,16 @@ object Dedup {
       .map(j => when(substring(col("x.simhash"), j, 1) =!=
                      substring(col("y.simhash"), j, 1), 1).otherwise(0))
       .reduce(_ + _)
+    // hamming filter BEFORE distinct: the band buckets of a low-entropy
+    // corpus can be huge, and most candidates fail the cutoff — never
+    // shuffle them into the dedup.
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         ham.cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= simhashMaxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
