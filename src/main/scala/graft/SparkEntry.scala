@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
-      graft.multimodal.MultimodalQueries.queries
+      graft.multimodal.MultimodalQueries.queries ++
+      graft.queries.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ graft.queries.TextOps.oracle ++
       graft.queries.Dedup.oracle ++ graft.queries.Similarity.oracle ++
-      graft.multimodal.MultimodalQueries.oracle
+      graft.multimodal.MultimodalQueries.oracle ++
+      graft.queries.Sketches.oracle
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.functions.VectorFunctions.{dot, norm2}
 
 /** Deduplication suite (LLM-pipeline extension ops): exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -289,10 +290,9 @@ object Dedup {
     val e = embs
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
     val cos = round(
-      expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-        (col("a.nrm") * col("b.nrm")), 4)
+      dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.functions.VectorFunctions.{dot, norm2}
 
 /** Similarity search over the `embeddings` table (`array<float>`,
   * LLM-pipeline extension op).
@@ -30,11 +31,10 @@ object Similarity {
   private def emb(embs: DataFrame): DataFrame =
     embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
 
   private def cosCol: Column = round(
-    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (col("q.nrm") * col("c.nrm")), 4)
+    dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm")), 4)
 
   // ------------------------------------------------- brute-force top-k
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame =

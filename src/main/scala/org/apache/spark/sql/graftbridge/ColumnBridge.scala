@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+package graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters —
+  * the supported classic-backend path for exposing custom Catalyst
+  * expressions as Columns in Spark 4 (Column itself now wraps a
+  * ColumnNode, so the 3.x `new Column(expr)` door is gone). */
+object ColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.{Dedup, Relational, Similarity}
+
+/** Physical-plan assertions — the 100 TB posture is checked, not hoped:
+  * filters reach the parquet scan, scans prune columns, dims broadcast,
+  * aggregates combine map-side, top-k never global-sorts, and the
+  * custom vector expressions stay inside codegen. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize via this QE so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters push down to the parquet scan and columns prune") {
+    val p = plan(Relational.q02FilterRevenue(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p) // toString truncates
+    // projection pruning: the scan must not read the full 11-col schema
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_orderkey"), "scan reads columns q02 never uses")
+  }
+
+  test("q04: part dim joins via BroadcastHashJoin") {
+    val p = plan(Relational.q04BrandAgg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    // codegen stages render as *(n) prefixes in executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("q11: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q11TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q06/q07: semi and anti joins plan as such") {
+    assert(plan(Relational.q06SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.q07AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("similarity: custom dot-product expression is in the plan (codegen'd)") {
+    val p = plan(Similarity.bruteForceTopKDf(
+      graft.Tables.t(spark, sf, "embeddings")))
+    assert(p.contains("graft_dot"), p)
+    assert(p.contains("graft_norm2"), p)
+    // the query side is broadcast against the corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup exact: groups on the hash, not the raw text payload") {
+    val p = plan(Dedup.exactDf(graft.Tables.t(spark, sf, "documents")))
+    assert(p.contains("md5"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+}
