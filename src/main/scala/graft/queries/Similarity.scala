@@ -149,10 +149,54 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- IVF ANN path
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `numCells` vectors act as cell seeds), every vector assigned to its
+    * nearest seed cell, queries probe their 2 nearest cells. The classic
+    * inverted-file trade: candidate work drops to ~2/numCells of brute
+    * force. Rows-only (cell assignment hinges on unrounded float argmax
+    * — not portable to a second engine), recall unit-tested. */
+  val numCells = 8
+  val numProbes = 2
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKDf(t(s, dir, "embeddings"))
+
+  def ivfTopKDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val seeds = e.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), col("v").as("sv"), col("nrm").as("snrm"))
+    // nearest cell per vector (corpus side: 1 probe; query side: 2)
+    def cells(df: DataFrame, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell"))
+      df.crossJoin(broadcast(seeds))
+        .withColumn("sim", dot(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
+    }
+    val corpus = cells(e, 1, "cell")
+    val queries = cells(e.filter(col("vec_id") % queryStride === 0),
+      numProbes, "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    queries.as("q")
+      .join(corpus.as("c"), col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosCol.as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> bruteForceTopK _,
-    "s02_topk_lsh"        -> lshTopK _)
+    "s02_topk_lsh"        -> lshTopK _,
+    "s03_topk_ivf"        -> ivfTopK _)
 
   val oracle: Map[String, String] = Map(
     "s01_topk_bruteforce" -> bruteForceSql,

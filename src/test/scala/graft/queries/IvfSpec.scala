@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+import scala.util.Random
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clusters seeded so that vec_ids 0..7 (the IVF seeds) span the 4
+    * directions — cluster c's seed lives in cells {c, c+4}. */
+  private lazy val clustered = {
+    val rnd = new Random(11)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val centers = Array.fill(4)(unit(dim))
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val noise = unit(dim).map(_ * 0.15)
+      val v = centers(c).zip(noise).map { case (a, b) => (a + b).toFloat }
+      ((c * 50 + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("IVF top-k recall vs brute force is high on clustered data") {
+    val exact = Similarity.bruteForceTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("IVF emits at most k ranked neighbors per query") {
+    val rows = Similarity.ivfTopKDf(clustered)
+      .as[(Long, Long, Double, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= Similarity.topK)
+      assert(g.map(_._4).sorted.toSeq === (1L to g.length).toSeq)
+    }
+  }
+}
