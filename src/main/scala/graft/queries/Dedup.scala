@@ -58,11 +58,14 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
            i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("tok"))
+    // 16 permutations from 4 md5s: each 128-bit digest yields 4
+    // independent 32-bit (8-hex-char) sub-hashes — 4× fewer digests
+    // on the hot path, same uniformity.
+    def sig(k: Int) = min(substring(
+      md5(concat_ws(":", lit(k / 4), col("tok"))), 1 + 8 * (k % 4), 8))
     val sigs = toks.groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat_ws(":", lit(0), col("tok")))).as("s0"),
-        (1 until numHashes).map(k =>
-          min(md5(concat_ws(":", lit(k), col("tok")))).as(s"s$k")): _*)
+      .agg(sig(0).as("s0"),
+        (1 until numHashes).map(k => sig(k).as(s"s$k")): _*)
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$b")
@@ -87,7 +90,8 @@ object Dedup {
 
   private val minHashLshSql: String = {
     val sigCols = (0 until numHashes)
-      .map(k => s"min(md5('$k:' || tok)) AS s$k").mkString(", ")
+      .map(k => s"min(substring(md5('${k / 4}:' || tok), ${1 + 8 * (k % 4)}, 8)) AS s$k")
+      .mkString(", ")
     val bandRows = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"s${b * rowsPerBand + r}")
         .mkString(" || '|' || ")
