@@ -580,6 +580,36 @@ object Relational {
       |MIN(ep_us) // 1000000 AS start_ep, MAX(ep_us) // 1000000 AS end_ep
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Range join, Spark-first: the probe side derives the covering band
+    * key and equi-joins the (broadcast) band dimension, with a residual
+    * BETWEEN filter — a hash join at any scale instead of the
+    * nested-loop a raw non-equi join plans. Bands partition the domain,
+    * so this equals the oracle's true range join. */
+  def q25RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = (0 until 5)
+      .map(b => (b, b * 10 + 1, (b + 1) * 10, f"q${b * 10 + 1}%02d_${(b + 1) * 10}%02d"))
+      .toDF("band", "lo", "hi", "band_label")
+    t(s, dir, "lineitem")
+      .withColumn("band", floor((col("l_quantity") - 1) / 10).cast("int"))
+      .join(broadcast(bands), Seq("band"))
+      .filter(col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy(col("band_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"))
+      .orderBy("band_label")
+  }
+
+  private val q25Sql =
+    """SELECT band_label, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN (VALUES
+      |  ( 1, 10, 'q01_10'), (11, 20, 'q11_20'), (21, 30, 'q21_30'),
+      |  (31, 40, 'q31_40'), (41, 50, 'q41_50')) AS bands(lo, hi, band_label)
+      |ON l_quantity >= lo AND l_quantity <= hi
+      |GROUP BY band_label ORDER BY band_label""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -605,7 +635,8 @@ object Relational {
     "q21_theta_join"      -> q21ThetaJoin _,
     "q22_asof_join"       -> q22AsOfJoin _,
     "q23_time_bucket"     -> q23TimeBucket _,
-    "q24_sessionize"      -> q24Sessionize _)
+    "q24_sessionize"      -> q24Sessionize _,
+    "q25_range_join"      -> q25RangeJoin _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -631,5 +662,6 @@ object Relational {
     "q21_theta_join"      -> q21Sql,
     "q22_asof_join"       -> q22Sql,
     "q23_time_bucket"     -> q23Sql,
-    "q24_sessionize"      -> q24Sql)
+    "q24_sessionize"      -> q24Sql,
+    "q25_range_join"      -> q25Sql)
 }
