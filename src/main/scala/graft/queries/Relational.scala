@@ -610,6 +610,72 @@ object Relational {
       |ON l_quantity >= lo AND l_quantity <= hi
       |GROUP BY band_label ORDER BY band_label""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** Multiset (ALL) set operations: bag semantics preserved. */
+  def q26SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def flags(st: String) =
+      li.filter(col("l_linestatus") === st).select(col("l_returnflag"))
+    val u = flags("F").unionAll(flags("O")).withColumn("grp", lit("union_all"))
+    val i = flags("F").intersectAll(flags("O")).withColumn("grp", lit("intersect_all"))
+    val e = flags("F").exceptAll(flags("O")).withColumn("grp", lit("except_all"))
+    u.unionByName(i).unionByName(e)
+      .groupBy(col("grp"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("grp", "l_returnflag")
+  }
+
+  private val q26Sql =
+    """SELECT grp, l_returnflag, COUNT(*) AS n FROM (
+      |  SELECT 'union_all' AS grp, l_returnflag FROM (
+      |    SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      |    UNION ALL SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O')
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS grp, l_returnflag FROM (
+      |    SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      |    INTERSECT ALL SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O')
+      |  UNION ALL
+      |  SELECT 'except_all' AS grp, l_returnflag FROM (
+      |    SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      |    EXCEPT ALL SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O'))
+      |GROUP BY grp, l_returnflag ORDER BY grp, l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Exact interpolated median (percentile_cont semantics) per status. */
+  def q27Median(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val q27Sql =
+    """SELECT o_orderstatus,
+      |ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Scalar subquery: customers above the (exact-decimal) mean balance.
+    * The threshold is computed identically in both engines, so the
+    * comparison set is deterministic. */
+  def q28Subquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q28Sql =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -636,7 +702,10 @@ object Relational {
     "q22_asof_join"       -> q22AsOfJoin _,
     "q23_time_bucket"     -> q23TimeBucket _,
     "q24_sessionize"      -> q24Sessionize _,
-    "q25_range_join"      -> q25RangeJoin _)
+    "q25_range_join"      -> q25RangeJoin _,
+    "q26_set_ops_all"     -> q26SetOpsAll _,
+    "q27_median"          -> q27Median _,
+    "q28_subquery"        -> q28Subquery _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -663,5 +732,8 @@ object Relational {
     "q22_asof_join"       -> q22Sql,
     "q23_time_bucket"     -> q23Sql,
     "q24_sessionize"      -> q24Sql,
-    "q25_range_join"      -> q25Sql)
+    "q25_range_join"      -> q25Sql,
+    "q26_set_ops_all"     -> q26Sql,
+    "q27_median"          -> q27Sql,
+    "q28_subquery"        -> q28Sql)
 }
