@@ -71,6 +71,24 @@ object MapleJuice {
     kv.toDF("key", "value")
       .write.mode("overwrite").partitionBy("key").parquet(path)
 
+  /** Exe-contract fidelity (optional, SURVEY.md §2.4 UDF row): the
+    * reference runs arbitrary user executables as mappers over their
+    * split (`MapleJuice.cpp:63-67`, exe contract `word_count_map.cpp`).
+    * The Spark-native equivalent is RDD.pipe: each task streams its
+    * split through the command's stdin and parses `key value` lines
+    * from stdout — same process boundary, executor-local. */
+  def maplePipe(input: Dataset[String], numTasks: Int, command: Seq[String])
+      : Dataset[(String, String)] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val piped = input.repartition(clampTasks(spark, numTasks))
+      .rdd.pipe(command)
+    piped.flatMap { line =>
+      val toks = line.trim.split("\\s+", 2)
+      if (toks.length == 2) Some((toks(0), toks(1))) else None
+    }.toDS()
+  }
+
   // ----------------------------------------------------- built-in jobs
 
   /** Q1 word count with the reference tokenizer: words are maximal runs

@@ -82,6 +82,15 @@ class MapleJuiceSpec extends SparkSpec {
     assert(got.filter(_._1.contains("node2")).values.sum === 1)
   }
 
+  test("maplePipe runs an external exe as the mapper (C1 exe contract)") {
+    val lines = Seq("x 1", "y 2", "x 3").toDS()
+    // awk as the 'user executable': emits key value pairs on stdout
+    val kv = MapleJuice.maplePipe(lines, 2, Seq("awk", "{print $1, $2}"))
+    val out = MapleJuice.juice(kv, 2)((k, vs) =>
+      Iterator.single((k, vs.map(_.toLong).sum.toString))).collect().toMap
+    assert(out === Map("x" -> "4", "y" -> "2"))
+  }
+
   test("perKeyFanout writes one partition dir per key (S4)") {
     val kv = Seq(("k1", "a"), ("k2", "b")).toDS()
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
