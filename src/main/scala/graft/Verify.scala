@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
       // default; read as raw nanos long (queries do exact µs arithmetic)

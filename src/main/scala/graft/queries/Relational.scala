@@ -676,6 +676,24 @@ object Relational {
       |  FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Per-key top-k via the engine's custom operator stack
+    * (graft.plans.TopKPerKey: LogicalPlan + Strategy + bounded-heap
+    * exec — one hash shuffle, no partition sort). Oracle is the
+    * equivalent window formulation. */
+  def q29TopKCustom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
+  private val q29Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |SELECT o_custkey, o_orderkey, o_totalprice,
+      |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -705,7 +723,8 @@ object Relational {
     "q25_range_join"      -> q25RangeJoin _,
     "q26_set_ops_all"     -> q26SetOpsAll _,
     "q27_median"          -> q27Median _,
-    "q28_subquery"        -> q28Subquery _)
+    "q28_subquery"        -> q28Subquery _,
+    "q29_topk_custom"     -> q29TopKCustom _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -735,5 +754,6 @@ object Relational {
     "q25_range_join"      -> q25Sql,
     "q26_set_ops_all"     -> q26Sql,
     "q27_median"          -> q27Sql,
-    "q28_subquery"        -> q28Sql)
+    "q28_subquery"        -> q28Sql,
+    "q29_topk_custom"     -> q29Sql)
 }

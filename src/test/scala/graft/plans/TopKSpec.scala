@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = graft.Tables.t(spark, sf, "orders")
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    orders.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k).drop("rn")
+  }
+
+  private def viaCustom(k: Int) =
+    TopK.perKey(
+      orders.select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k)
+
+  test("TopKPerKey equals the window formulation (k=3)") {
+    val expected = viaWindow(3).as[(Long, Long, Double)].collect().toSet
+    val got = viaCustom(3).as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("TopKPerKey equals the window formulation (k=1)") {
+    assert(viaCustom(1).as[(Long, Long, Double)].collect().toSet ===
+      viaWindow(1).as[(Long, Long, Double)].collect().toSet)
+  }
+
+  test("physical plan: custom exec after a hash exchange, no sort") {
+    val df = viaCustom(3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p) // nodeName strips the Exec suffix
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Sort "), s"window-style sort crept in:\n$p")
+  }
+
+  test("per-key output arrives in rank order") {
+    val rows = viaCustom(3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val byKey = rows.zipWithIndex.groupBy(_._1._1)
+    byKey.values.foreach { g =>
+      val inOrder = g.sortBy(_._2).map(_._1._2)
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
