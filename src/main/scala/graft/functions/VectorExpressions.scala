@@ -96,6 +96,48 @@ case class SquaredNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Character-level hamming distance between two equal-length strings
+  * (bitstring fingerprints) — replaces an N-term substring-comparison
+  * expression chain with one fused loop over the UTF8 bytes. ASCII
+  * inputs only (bitstrings), so byte == char. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val y = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var d = math.abs(x.length - y.length).toLong
+    var i = 0
+    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |byte[] $x = $l.getBytes();
+         |byte[] $y = $r.getBytes();
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |long $d = java.lang.Math.abs($x.length - $y.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x[$i] != $y[$i]) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
@@ -104,4 +146,8 @@ object VectorFunctions {
 
   def norm2(a: Column): Column =
     ColumnBridge.column(SquaredNorm(ColumnBridge.expression(a)))
+
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.functions.VectorFunctions.{dot, norm2}
+import graft.functions.VectorFunctions.{dot, hamming, norm2}
 
 /** Deduplication suite (LLM-pipeline extension ops): exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -242,10 +242,7 @@ object Dedup {
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
-    val ham = (1 to simhashBits)
-      .map(j => when(substring(col("x.simhash"), j, 1) =!=
-                     substring(col("y.simhash"), j, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    val ham = hamming(col("x.simhash"), col("y.simhash"))
     // hamming filter BEFORE distinct: the band buckets of a low-entropy
     // corpus can be huge, and most candidates fail the cutoff — never
     // shuffle them into the dedup.
@@ -253,7 +250,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        ham.cast("long").as("hamming"))
+        ham.as("hamming"))
       .filter(col("hamming") <= simhashMaxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
