@@ -237,15 +237,23 @@ object Relational {
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
 
   private val q08Sql =
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk, quartile FROM (
       |SELECT o_custkey, o_orderkey, o_totalprice,
-      |CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-      |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+      |CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |CAST(RANK() OVER w AS BIGINT) AS rk,
+      |CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+      |CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   // ---------------------------------------------------------------- q09
   /** Running-frame window: cumulative revenue per supplier over time.
@@ -694,6 +702,34 @@ object Relational {
       |FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** Math scalar coverage: sqrt/abs/pow/mod/log/exp/sign/ceil/floor.
+    * Transcendentals rounded to 6 places (libm last-bit divergence). */
+  def q30MathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        abs(col("p_size") - 25).cast("long").as("abs_off"),
+        pow(col("p_size"), 2).as("size_sq"),
+        (col("p_partkey") % 7).as("key_mod7"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        signum(col("p_retailprice") - 1000).cast("long").as("sign_1k"),
+        ceil(col("p_retailprice")).cast("long").as("ceil_price"),
+        floor(col("p_retailprice")).cast("long").as("floor_price"))
+      .orderBy("p_partkey")
+
+  private val q30Sql =
+    """SELECT p_partkey,
+      |ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+      |CAST(ABS(p_size - 25) AS BIGINT) AS abs_off,
+      |POW(p_size, 2) AS size_sq,
+      |p_partkey % 7 AS key_mod7,
+      |ROUND(LN(p_retailprice), 6) AS ln_price,
+      |CAST(SIGN(p_retailprice - 1000) AS BIGINT) AS sign_1k,
+      |CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+      |CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -724,7 +760,8 @@ object Relational {
     "q26_set_ops_all"     -> q26SetOpsAll _,
     "q27_median"          -> q27Median _,
     "q28_subquery"        -> q28Subquery _,
-    "q29_topk_custom"     -> q29TopKCustom _)
+    "q29_topk_custom"     -> q29TopKCustom _,
+    "q30_math_funcs"      -> q30MathFuncs _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -755,5 +792,6 @@ object Relational {
     "q26_set_ops_all"     -> q26Sql,
     "q27_median"          -> q27Sql,
     "q28_subquery"        -> q28Sql,
-    "q29_topk_custom"     -> q29Sql)
+    "q29_topk_custom"     -> q29Sql,
+    "q30_math_funcs"      -> q30Sql)
 }
