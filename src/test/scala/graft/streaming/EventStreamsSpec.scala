@@ -64,6 +64,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(u2.head.n_events === 2 && u2.head.session_start === 0L)
   }
 
+  test("stream-static enrichment join (events stream x user dimension)") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().join(users, Seq("user_id"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched_out")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("gold" -> 6L, "basic" -> 3L))
+  }
+
   test("sliding windows overlap") {
     val got = sliding(sample.toDF(), width = "30 minutes", slide = "10 minutes")
       .filter(col("event_type") === "click")
