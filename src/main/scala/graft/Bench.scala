@@ -1,19 +1,30 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query wall times.
   *
   * Methodology: a session-warmup action first (JVM/codegen/parquet
-  * footer caches), then each query timed once end-to-end (plan → action)
-  * via a foreach-noop action so the full result set is produced but
-  * nothing is collected to the driver.
+  * footer caches), then each query timed `SPARK_GRAFT_BENCH_REPS`
+  * times (default 3) end-to-end (plan → action) via a foreach-noop
+  * action so the full result set is produced but nothing is collected
+  * to the driver. Per-query time is the MIN over reps — this VM's CPU
+  * is erratic (identical runs can read 3-10× over the min), so min-of-N
+  * is the only stable estimator of engine cost.
+  *
+  * Output: the JSON line goes to stdout AND, when SPARK_GRAFT_BENCH_OUT
+  * is set, to that file — sbt interleaves [info] noise on stdout, so the
+  * file is the reliable channel for the driver.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -33,20 +44,29 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).foreach(_ => ())
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).foreach(_ => ())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // drop any query-internal persists
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop any query-internal persists
-      name -> dt
+      name -> times.min
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // Known-file channel: sbt wraps stdout in [info] noise; the driver can
+    // read this file instead. Defaults next to the repo so it is always found.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -120,21 +120,36 @@ object Dedup {
 
   // -------------------------------------------------- exact 3-gram Jaccard
   /** Exact token-3-gram Jaccard via shingle inverted index: distinct
-    * (doc, shingle) → self-join on shingle → pair intersection counts →
-    * |A∩B| / (|A|+|B|−|A∩B|). Threshold keeps the candidate space the
-    * shingle index bounds anyway. */
+    * (doc, shingle) → stop-shingle pruning → self-join on shingle →
+    * pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Stop-shingle pruning: the per-shingle pair expansion is O(df²), so
+    * one boilerplate shingle shared by millions of documents ("of the
+    * and") would be a quadratic hot key. Shingles with document
+    * frequency > [[maxShingleDf]] are dropped from the feature set
+    * (standard stop-shingle cutoff; identical on the oracle side, so
+    * parity holds), bounding every join bucket at maxShingleDf² pairs.
+    * Document sizes are counted over the *pruned* feature set — the
+    * features simply exclude stop-shingles. */
   val jaccardThreshold = 0.1
+  val maxShingleDf = 100
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardDf(t(s, dir, "documents"))
 
   def ngramJaccardDf(docs: DataFrame): DataFrame = {
-    val sh = docs
+    val shAll = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
            i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
       .distinct()
+    // df-cutoff: one extra narrow aggregate on the shingle key (same
+    // partitioning the join reuses) buys a hard O(maxDf²) bucket bound.
+    val keep = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh"))
+    val sh = shAll.join(keep, "sh")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -152,11 +167,13 @@ object Dedup {
 
   private val ngramJaccardSql =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (
+       |sh_all AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(
        |    generate_series(1, greatest(len(toks) - 2, 1)),
        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
        |  FROM d),
+       |keep AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $maxShingleDf),
+       |sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (sh)),
        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -278,44 +295,79 @@ object Dedup {
   }
 
   // ------------------------------------------- embedding-cosine near-dup
-  /** Embedding near-dup: pairs with rounded cosine ≥ threshold. Bucketed
-    * by `label` (the coarse partitioner for this table) so the pair
-    * space stays within buckets — the brute-force all-pairs variant
-    * lives in Similarity.bruteForceTopK. */
+  /** Embedding near-dup: pairs with rounded cosine ≥ threshold, with
+    * candidates generated by banded hyperplane LSH — the same
+    * md5-derived plane family as the ANN path ([[Similarity.planeBit]]).
+    * 16 sign bits → 4 bands of 4; two vectors are candidates iff some
+    * band's 4 bits all agree (OR-amplification: pairs at cosine c match
+    * a band with prob. (1−θ/π)⁴, θ = arccos c — high for real near-dups,
+    * vanishing for unrelated vectors). The join key is a *signature*,
+    * never a data column, so bucket sizes are governed by the plane
+    * count (grow `cosPlanes` ∝ log₂ corpus at 100 TB), not by the data
+    * distribution. */
   val cosineThreshold = 0.3
+  val cosPlanes = 16
+  val cosBands  = 4
+  val cosRowsPerBand: Int = cosPlanes / cosBands
 
   def embeddingCosine(s: SparkSession, dir: String): DataFrame =
     embeddingCosineDf(t(s, dir, "embeddings"))
 
   def embeddingCosineDf(embs: DataFrame): DataFrame = {
     val e = embs
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
+    val sig = e.withColumn("sig",
+      concat((0 until cosPlanes).map(Similarity.planeBit): _*))
+    val bandCols = (0 until cosBands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("sig"), b * cosRowsPerBand + 1, cosRowsPerBand).as("bsig"))
+        .as(s"b$b"))
+    // Slim (vec_id, band, bsig) relation — candidates shuffle signatures
+    // only; vectors re-join by key afterwards.
+    val bands = sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
     val cos = round(
       dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cos.as("cos_sim"))
+    cand.join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
       .filter(col("cos_sim") >= cosineThreshold)
       .orderBy("vec_a", "vec_b")
   }
 
-  private val embeddingCosineSql =
+  private val embeddingCosineSql: String = {
+    val sigExpr = (0 until cosPlanes).map(Similarity.planeBitSql).mkString(" || ")
+    val bandRows = (0 until cosBands).map(b =>
+      s"SELECT vec_id, $b AS band, substring(sig, ${b * cosRowsPerBand + 1}, $cosRowsPerBand) AS bsig FROM bits")
+      .mkString("\nUNION ALL\n")
     s"""WITH x AS (
-       |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
        |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |bits AS (SELECT vec_id, $sigExpr AS sig FROM x GROUP BY vec_id),
+       |bands AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
        |d AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-       |  FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |  SELECT vec_a, vec_b, SUM(xa.v * xb.v) AS dot
+       |  FROM cand JOIN x xa ON vec_a = xa.vec_id
+       |  JOIN x xb ON vec_b = xb.vec_id AND xa.i = xb.i
        |  GROUP BY 1, 2)
        |SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
        |FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
        |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= $cosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

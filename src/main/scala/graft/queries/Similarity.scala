@@ -24,9 +24,19 @@ import graft.functions.VectorFunctions.{dot, norm2}
   */
 object Similarity {
 
-  /** Query set: every 50th vector (deterministic, scales with corpus). */
+  /** Query set: every 50th vector (deterministic, scales with corpus),
+    * bounded to [[maxQueries]] rows (`vec_id < stride * maxQueries`) so
+    * the broadcast side of the brute-force path can never outgrow the
+    * broadcast threshold no matter the corpus size. */
   val queryStride = 50
+  val maxQueries = 1000
   val topK = 10
+
+  /** Deterministic bounded query-set predicate (same expression both
+    * engines): every `queryStride`-th vector, capped at `maxQueries`. */
+  private[queries] def isQuery: Column =
+    col("vec_id") % queryStride === 0 &&
+      col("vec_id") < queryStride * maxQueries
 
   private def emb(embs: DataFrame): DataFrame =
     embs
@@ -42,7 +52,7 @@ object Similarity {
 
   def bruteForceTopKDf(embs: DataFrame): DataFrame = {
     val e = emb(embs)
-    val queries = e.filter(col("vec_id") % queryStride === 0)
+    val queries = e.filter(isQuery)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(queries).as("q")
@@ -63,7 +73,7 @@ object Similarity {
        |d AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
        |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id % $queryStride = 0
+       |  WHERE q.vec_id % $queryStride = 0 AND q.vec_id < ${queryStride.toLong * maxQueries}
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT query_id, neighbor_id,
@@ -83,27 +93,52 @@ object Similarity {
     * digit). Deterministic and engine-portable. */
   val numPlanes = 6
 
-  /** Bucket signature for an embedding column as a bitstring. */
-  private def bucketSig: Column = {
-    val bits = (0 until numPlanes).map { p =>
-      // dot(plane_p, v) where plane weight = hexdigit(md5(p||':'||d)) - 7.5
-      val dot = expr(
-        s"""aggregate(
-            zip_with(v, sequence(0, size(v) - 1),
-              (x, d) -> x * (instr('0123456789abcdef',
-                 substring(md5(concat('$p', ':', d)), 1, 1)) - 8.5)),
-            0D, (acc, x) -> acc + x)""")
-      when(dot >= 0, lit("1")).otherwise(lit("0"))
+  /** Sign bit of plane `p` · `v` (column named `v`): the hyperplane's
+    * dim-`d` weight is derived from md5("p:d") hex → a centered hex
+    * digit in [-7.5, 7.5]. Deterministic, seedless, engine-portable —
+    * the same plane family serves s02 ANN buckets and d06 dedup bands,
+    * and more planes can be added without re-randomizing (bucket width
+    * scales as log₂(corpus) at 100 TB).
+    *
+    * The weights are data-independent, so they are hoisted to a literal
+    * array at plan-build time (64k driver-side md5s, once) and the
+    * per-row work is one codegen'd [[graft.functions.DotProduct]] —
+    * the HOF formulation (`aggregate(zip_with(...))`) evaluates
+    * interpreted lambdas per row and was the d06/s02 hot-path cost.
+    * DotProduct iterates min(len), so one [[maxDim]]-wide plane serves
+    * any embedding dim ≤ 4096. */
+  val maxDim = 4096
+
+  private[queries] def planeWeights(p: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(maxDim) { d =>
+      // first hex char of md5("p:d") as a digit, centered: digit - 7.5
+      // (== strpos('0123456789abcdef', char) - 8.5 in the SQL twin)
+      val digest = md.digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((digest(0) >> 4) & 0xf) - 7.5
     }
-    concat(bits: _*)
   }
+
+  private[queries] def planeBit(p: Int): Column =
+    when(dot(col("v"), lit(planeWeights(p))) >= 0, lit("1")).otherwise(lit("0"))
+
+  /** DuckDB twin of [[planeBit]] over the unnested `(vec_id, v, i)`
+    * layout (grouped by vec_id). */
+  private[queries] def planeBitSql(p: Int): String =
+    s"""CASE WHEN SUM(v * (strpos('0123456789abcdef',
+       |  substring(md5('$p' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 8.5)) >= 0
+       |THEN '1' ELSE '0' END""".stripMargin
+
+  /** Bucket signature for an embedding column as a bitstring. */
+  private def bucketSig: Column =
+    concat((0 until numPlanes).map(planeBit): _*)
 
   def lshTopK(s: SparkSession, dir: String): DataFrame =
     lshTopKDf(t(s, dir, "embeddings"))
 
   def lshTopKDf(embs: DataFrame): DataFrame = {
     val e = emb(embs).withColumn("bucket", bucketSig)
-    val queries = e.filter(col("vec_id") % queryStride === 0)
+    val queries = e.filter(isQuery)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     queries.as("q")
@@ -117,12 +152,7 @@ object Similarity {
   }
 
   private val lshSql: String = {
-    val planeDot = (p: Int) =>
-      s"""SUM(v * (strpos('0123456789abcdef',
-         |  substring(md5('$p' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 8.5))""".stripMargin
-    val bitCols = (0 until numPlanes)
-      .map(p => s"CASE WHEN ${planeDot(p)} >= 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
+    val bitCols = (0 until numPlanes).map(planeBitSql).mkString(" || ")
     s"""WITH x AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
@@ -134,7 +164,7 @@ object Similarity {
        |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
        |  JOIN bk bq ON q.vec_id = bq.vec_id
        |  JOIN bk bc ON c.vec_id = bc.vec_id AND bq.bucket = bc.bucket
-       |  WHERE q.vec_id % $queryStride = 0
+       |  WHERE q.vec_id % $queryStride = 0 AND q.vec_id < ${queryStride.toLong * maxQueries}
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT query_id, neighbor_id,
@@ -177,8 +207,7 @@ object Similarity {
         .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
     }
     val corpus = cells(e, 1, "cell")
-    val queries = cells(e.filter(col("vec_id") % queryStride === 0),
-      numProbes, "cell")
+    val queries = cells(e.filter(isQuery), numProbes, "cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     queries.as("q")

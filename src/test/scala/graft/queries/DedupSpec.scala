@@ -67,12 +67,28 @@ class DedupSpec extends SparkSpec {
       (0L, Array(1f, 0f, 0f, 0f), 0),
       (1L, Array(0.99f, 0.1f, 0f, 0f), 0),
       (2L, Array(0f, 1f, 0f, 0f), 0),
-      (3L, Array(-1f, 0f, 0f, 0f), 1))
+      (3L, Array(-1f, 0f, 0f, 0f), 1),
+      (4L, Array(1f, 0.01f, 0f, 0f), 1))
       .toDF("vec_id", "embedding", "label")
     val got = Dedup.embeddingCosineDf(embs)
       .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
     assert(got.contains((0L, 1L)) && got((0L, 1L)) > 0.99)
-    assert(!got.contains((0L, 2L))) // orthogonal
-    assert(!got.contains((0L, 3L))) // different label bucket
+    assert(!got.contains((0L, 2L))) // orthogonal → below threshold
+    assert(!got.contains((0L, 3L))) // opposite direction → below threshold
+    // candidates come from LSH signatures, NOT the label column: a
+    // near-dup in a different label still pairs up
+    assert(got.contains((0L, 4L)) && got((0L, 4L)) > 0.99)
+  }
+
+  test("ngram jaccard prunes stop-shingles: a shingle in every doc is not a hot key") {
+    // 120 docs that share ONLY one boilerplate shingle (df=120 >
+    // maxShingleDf): without the df-cutoff this yields 120·119/2 pairs
+    // at jaccard 1/3; with it, the stop-shingle is dropped from the
+    // feature set and no pairs survive.
+    assert(Dedup.maxShingleDf < 120)
+    val skewed = (0 until 120)
+      .map(i => (i.toLong, s"common stop shingle uniq$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardDf(skewed).count() === 0L)
   }
 }
