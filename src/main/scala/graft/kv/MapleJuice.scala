@@ -71,6 +71,41 @@ object MapleJuice {
     kv.toDF("key", "value")
       .write.mode("overwrite").partitionBy("key").parquet(path)
 
+  /** S4 with the reference's exact on-disk shape (`MapleJuice.cpp:
+    * 285-298`): one TEXT file per key named `<prefix>_<key>.txt` under
+    * `dir`, containing the grouped line `key v1 v2 … ` (trailing
+    * space). The grouped lines are written distributed (partitioned
+    * text sink, one row per key so exactly one part file per key dir),
+    * then a driver-side pass renames `key=K/part-…` → `prefix_K.txt` —
+    * O(#keys) filesystem metadata ops, the same per-key file count the
+    * reference's master writes, never data movement. Keys must be
+    * whitespace-free (reference format constraint, SURVEY.md §1.2). */
+  def perKeyFanoutText(kv: Dataset[(String, String)], dir: String,
+      prefix: String): Unit = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val lines = kv.groupByKey(_._1)
+      .mapGroups((k, vs) => (k, (Iterator(k) ++ vs.map(_._2)).mkString(" ") + " "))
+      .toDF("key", "line")
+    val out = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_tmp_fanout")
+    lines.repartition(col("key"))
+      .write.mode("overwrite").partitionBy("key").text(tmp.toString)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("key="))
+      .foreach { st =>
+        val key = java.net.URLDecoder.decode(
+          st.getPath.getName.stripPrefix("key="), "UTF-8")
+        val part = fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.startsWith("part-")).head
+        val dst = new org.apache.hadoop.fs.Path(out, s"${prefix}_$key.txt")
+        fs.delete(dst, false)
+        fs.rename(part.getPath, dst)
+      }
+    fs.delete(tmp, true)
+  }
+
   /** Exe-contract fidelity (optional, SURVEY.md §2.4 UDF row): the
     * reference runs arbitrary user executables as mappers over their
     * split (`MapleJuice.cpp:63-67`, exe contract `word_count_map.cpp`).
@@ -87,6 +122,32 @@ object MapleJuice {
       val toks = line.trim.split("\\s+", 2)
       if (toks.length == 2) Some((toks(0), toks(1))) else None
     }.toDS()
+  }
+
+  /** Juice-side exe contract (`MapleJuice.cpp:83-108`; exe input format
+    * `word_count_reduce.cpp:10-38`): after the hash shuffle, each key's
+    * group is rendered as the reference's grouped-KV line
+    * `key v1 v2 … ` (trailing space) and each partition's lines are
+    * streamed through the user executable via pipe(); stdout
+    * `key value` lines are parsed back. One process per reduce task —
+    * the same process-per-task boundary the reference's juice worker
+    * has, but executor-local and fault-retried by Spark. A key's full
+    * value list is materialized into its line, exactly as the
+    * reference's juice input files are. */
+  def juicePipe(kv: Dataset[(String, String)], numTasks: Int,
+      command: Seq[String], sortOutput: Boolean = true)
+      : Dataset[(String, String)] = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val n = clampTasks(spark, numTasks)
+    val grouped = kv.repartition(n, col("_1"))
+      .groupByKey(_._1)
+      .mapGroups((k, vs) => (Iterator(k) ++ vs.map(_._2)).mkString(" ") + " ")
+    val out = grouped.rdd.pipe(command).flatMap { line =>
+      val toks = line.trim.split("\\s+", 2)
+      if (toks.length == 2) Some((toks(0), toks(1))) else None
+    }.toDS()
+    if (sortOutput) out.orderBy(col("_1")).as[(String, String)] else out
   }
 
   // ----------------------------------------------------- built-in jobs

@@ -46,6 +46,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val boundOrder = order.map(BindReferences.bindReference(_, child.output))
     val keyExprs = keys
     val childOutput = child.output
+    // Memory contract: the heap map holds O(distinct-keys-per-task · k)
+    // rows on the JVM heap with no spill. Guarded: crossing the
+    // configured row budget fails fast with the remedy (the window
+    // formulation sorts via Spark's spillable buffers) instead of
+    // OOM-killing the executor.
+    val maxHeapRows = conf
+      .getConfString(TopK.maxHeapRowsKey, TopK.defaultMaxHeapRows.toString).toLong
+    val kLocal = k
     child.execute().mapPartitions { iter =>
       val ordering = GenerateOrdering.generate(boundOrder, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -56,8 +64,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         .asInstanceOf[Ordering[UnsafeRow]]
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd))
+        val heap = heaps.getOrElseUpdate(key.copy(), {
+          if (heaps.size.toLong * kLocal >= maxHeapRows) {
+            throw new IllegalStateException(
+              s"TopKPerKey heap budget exceeded: > ${heaps.size} keys × k=$kLocal " +
+                s"rows in one task (budget ${TopK.maxHeapRowsKey}=$maxHeapRows). " +
+                "Use TopK.perKey with an estimatedKeys hint (window fallback) " +
+                "or raise the budget.")
+          }
+          scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+        })
         if (heap.size < k) {
           heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
         } else if (ordering.compare(row, heap.head) < 0) {
@@ -84,13 +100,36 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
+  /** Per-task heap budget (rows ≈ distinct keys × k). The default,
+    * 8 Mi rows of UnsafeRow references, is comfortable for a multi-GiB
+    * executor; crossing it fails fast rather than OOM. */
+  val maxHeapRowsKey = "graft.topk.maxHeapRows"
+  val defaultMaxHeapRows: Long = 8L * 1024 * 1024
+
   /** Top-k rows per key group, ranked by `orderBy` ((column, descending)
     * pairs — give a total order with a unique tiebreak for deterministic
     * results). Attributes resolve by name against the analyzed child, so
     * the node is born fully resolved (custom nodes don't get the
-    * analyzer's column-node resolution pass). */
+    * analyzer's column-node resolution pass).
+    *
+    * `estimatedKeys` is the memory-contract escape hatch: the heap exec
+    * holds keys·k rows per task un-spillably, so when the caller knows
+    * the key cardinality is huge (keys·k above the per-task budget ×
+    * shuffle parallelism), this routes to [[perKeyWindow]] — Spark's
+    * sort-based ranking with spillable buffers — same result, different
+    * cost shape (sort vs heap). Unset (-1) keeps the heap operator,
+    * which guards itself at runtime. */
   def perKey(df: DataFrame, keyCols: Seq[String],
-      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderBy: Seq[(String, Boolean)], k: Int,
+      estimatedKeys: Long = -1L): DataFrame = {
+    if (estimatedKeys > 0) {
+      val tasks = math.max(1,
+        df.sparkSession.sessionState.conf.numShufflePartitions.toLong)
+      val budget = df.sparkSession.conf
+        .get(maxHeapRowsKey, defaultMaxHeapRows.toString).toLong
+      if (estimatedKeys / tasks * k > budget)
+        return perKeyWindow(df, keyCols, orderBy, k)
+    }
     val child = ColumnBridge.analyzedPlan(df)
     def attr(name: String): Attribute =
       child.output.find(_.name == name).getOrElse(
@@ -101,5 +140,21 @@ object TopK {
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
     ColumnBridge.ofRows(df.sparkSession, TopKPerKey(keys, order, k, child))
+  }
+
+  /** The window formulation of the same contract: one hash shuffle plus
+    * a per-partition SORT (spillable via UnsafeExternalSorter) — the
+    * fallback when keys·k exceeds what a heap map should hold. */
+  def perKeyWindow(df: DataFrame, keyCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val sorts = orderBy.map { case (name, desc) =>
+      if (desc) col(name).desc else col(name).asc
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(sorts: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
   }
 }

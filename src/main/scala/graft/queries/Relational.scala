@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 import graft.Tables.t
 
 /** Relational operator surface (SURVEY.md §2.4): scans, filter/project,
@@ -730,6 +731,76 @@ object Relational {
       |CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** Map-type scalar coverage (SURVEY §2.4 array/map row): the JSON
+    * props payload parsed three ways — `from_json` to `map<string,long>`
+    * (entries exploded), `map_keys`/`map_values` accessors, and
+    * `from_json` to a typed struct — then aggregated per
+    * (event_type, prop key). All narrow scans + one hash agg. */
+  def q31MapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .withColumn("st", from_json(col("props"), StructType(
+        Seq(StructField("k", LongType)))))
+      .select(col("event_type"),
+        size(map_keys(col("m"))).as("nk"),
+        element_at(map_values(col("m")), 1).as("mv1"),
+        col("st.k").as("sk"),
+        explode(col("m")))
+      .toDF("event_type", "nk", "mv1", "sk", "pk", "pv")
+      .groupBy(col("event_type"), col("pk"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("pv")).as("sum_pv"),
+        min(col("pv")).as("min_pv"),
+        max(col("pv")).as("max_pv"),
+        sum(col("sk")).as("sum_struct_k"),
+        max(col("mv1")).as("max_mv"),
+        sum(col("nk")).cast("long").as("total_keys"))
+      .orderBy("event_type", "pk")
+
+  private val q31Sql =
+    """WITH kv AS (
+      |  SELECT event_type, unnest(json_keys(props)) AS pk, props FROM events),
+      |kv2 AS (
+      |  SELECT event_type, pk,
+      |    CAST(json_extract_string(props, '$.' || pk) AS BIGINT) AS pv,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS sk,
+      |    CAST(json_extract_string(props, '$.' || json_keys(props)[1]) AS BIGINT) AS mv1,
+      |    len(json_keys(props)) AS nk
+      |  FROM kv)
+      |SELECT event_type, pk, COUNT(*) AS n_events,
+      |CAST(SUM(pv) AS BIGINT) AS sum_pv,
+      |MIN(pv) AS min_pv, MAX(pv) AS max_pv,
+      |CAST(SUM(sk) AS BIGINT) AS sum_struct_k,
+      |MAX(mv1) AS max_mv,
+      |CAST(SUM(nk) AS BIGINT) AS total_keys
+      |FROM kv2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Pivot: event counts per user cohort × event type. The pivot value
+    * list is explicit (no extra distinct-detection job — required at
+    * scale), and missing cells coalesce to 0 so the shape is total. */
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q32Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("cohort", (col("user_id") % 10).cast("long"))
+      .groupBy(col("cohort"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .select(col("cohort") +:
+        pivotTypes.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("cohort")
+
+  private val q32Sql = {
+    val cells = pivotTypes.map(tp =>
+      s"CAST(SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS $tp")
+      .mkString(",\n")
+    s"""SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+       |$cells
+       |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -761,7 +832,9 @@ object Relational {
     "q27_median"          -> q27Median _,
     "q28_subquery"        -> q28Subquery _,
     "q29_topk_custom"     -> q29TopKCustom _,
-    "q30_math_funcs"      -> q30MathFuncs _)
+    "q30_math_funcs"      -> q30MathFuncs _,
+    "q31_map_funcs"       -> q31MapFuncs _,
+    "q32_pivot"           -> q32Pivot _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -793,5 +866,7 @@ object Relational {
     "q27_median"          -> q27Sql,
     "q28_subquery"        -> q28Sql,
     "q29_topk_custom"     -> q29Sql,
-    "q30_math_funcs"      -> q30Sql)
+    "q30_math_funcs"      -> q30Sql,
+    "q31_map_funcs"       -> q31Sql,
+    "q32_pivot"           -> q32Sql)
 }

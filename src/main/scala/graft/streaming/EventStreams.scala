@@ -52,6 +52,30 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views within `window` after the click. Both sides carry watermarks
+    * and the join condition bounds event time in both directions, so
+    * Spark can expire buffered state (state ≤ watermark + interval per
+    * side) — the required shape for an unbounded-stream join. Inner
+    * join ⇒ append output mode. */
+  def clickViewJoin(events: DataFrame, window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Custom stateful sessionization: per-user state machine with a
     * processing-timeout, the mapGroupsWithState escape hatch for
     * semantics the built-in windows can't express. Gap in millis. */

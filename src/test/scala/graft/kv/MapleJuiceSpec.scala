@@ -98,4 +98,35 @@ class MapleJuiceSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("key="))
     assert(dirs.toSet === Set("key=k1", "key=k2"))
   }
+
+  test("juicePipe runs an external exe as the reducer (C3 exe contract)") {
+    // full exe-pair job: awk mapper emits (word, 1); awk reducer reads
+    // the grouped `key v1 v2 … ` line and sums — the reference's
+    // word_count_map + word_count_reduce pair, executor-local.
+    val lines = spark.read.textFile(fixture)
+    val kv = MapleJuice.maplePipe(lines, 4,
+      Seq("awk", """{ n = split($0, w, /[^A-Za-z0-9-]+/)
+                     for (i = 1; i <= n; i++) if (w[i] != "") print w[i], 1 }"""))
+    val out = MapleJuice.juicePipe(kv, 4,
+        Seq("awk", "{ s = 0; for (i = 2; i <= NF; i++) s += $i; print $1, s }"))
+      .collect()
+    assert(out.length === goldenCounts.size)
+    out.foreach { case (w, c) => assert(goldenCounts(w) === c.toLong, s"word $w") }
+    // final merge is key-sorted (C5), matching the reference juice master
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq)
+  }
+
+  test("perKeyFanoutText writes <prefix>_<key>.txt grouped lines (MapleJuice.cpp:285-298)") {
+    val kv = Seq(("k1", "a"), ("k1", "b"), ("k2", "z")).toDS()
+    val out = java.nio.file.Files.createTempDirectory("fanouttext").toString
+    MapleJuice.perKeyFanoutText(kv, out, "wc")
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // ignore Hadoop local-FS .crc siblings
+    assert(files === Set("wc_k1.txt", "wc_k2.txt"))
+    val k1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "wc_k1.txt")).stripLineEnd
+    assert(k1 == "k1 a b " || k1 == "k1 b a ")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "wc_k2.txt")).stripLineEnd === "k2 z ")
+  }
 }

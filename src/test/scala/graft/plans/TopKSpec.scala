@@ -52,4 +52,36 @@ class TopKSpec extends SparkSpec {
       assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("heap budget guard fails fast on high key cardinality (no silent OOM)") {
+    // every row its own key → keys·k exceeds a tiny budget immediately
+    spark.conf.set(TopK.maxHeapRowsKey, "100")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        viaCustom(3).count() // o_custkey is near-unique per small groups
+      }
+      assert(e.getMessage.contains("TopKPerKey heap budget exceeded") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("TopKPerKey heap budget exceeded"))
+    } finally spark.conf.unset(TopK.maxHeapRowsKey)
+  }
+
+  test("estimatedKeys hint routes huge-cardinality jobs to the spillable window plan") {
+    spark.conf.set(TopK.maxHeapRowsKey, "100")
+    try {
+      val df = TopK.perKey(
+        orders.select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 3, estimatedKeys = 100000000L)
+      // same rows as the heap operator under the default budget
+      spark.conf.unset(TopK.maxHeapRowsKey)
+      val expected = viaWindow(3).as[(Long, Long, Double)].collect().toSet
+      assert(df.as[(Long, Long, Double)].collect().toSet === expected)
+      // and the plan really is the window formulation (sort present,
+      // no custom exec)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("TopKPerKey"), p)
+      assert(p.contains("Window"), p)
+    } finally spark.conf.unset(TopK.maxHeapRowsKey)
+  }
 }

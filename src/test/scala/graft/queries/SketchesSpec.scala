@@ -23,4 +23,26 @@ class SketchesSpec extends SparkSpec {
       assert(p50 > 0)
     }
   }
+
+  test("portable HLL: within m=64 error bounds and partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHll.portableHll
+    val rows = Sketches.portableHllDistinct(spark, sf)
+      .select("hll_estimate", "exact_parts").as[(Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // raw HLL with m=64: std error 1.04/√64 ≈ 13%; allow 3σ
+    rows.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) / exact <= 0.39, s"est=$est exact=$exact")
+    }
+    // max-merge is commutative/associative: the sketch state must not
+    // depend on how the input is partitioned
+    def state(nPart: Int): Seq[(String, Long)] = {
+      val df = graft.Tables.t(spark, sf, "lineitem").repartition(nPart)
+      df.groupBy(col("l_returnflag"))
+        .agg(portableHll(col("l_partkey").cast("string")).as("h"))
+        .select(col("l_returnflag"), col("h.harmonic_sum"))
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(state(1) === state(13))
+  }
 }

@@ -80,6 +80,63 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Map("gold" -> 6L, "basic" -> 3L))
   }
 
+  test("readStream file-source round-trip matches batch tumbling") {
+    val dir = java.nio.file.Files.createTempDirectory("evfilesrc").toString
+    sample.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(sample.toDF().schema).parquet(dir)
+    val q = tumbling(stream, width = "15 minutes", watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_tumbling_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("file_tumbling_out")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = tumbling(sample.toDF(), width = "15 minutes")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.contains((0L, "click", 4L))) // event-time, not arrival
+  }
+
+  test("stream-stream interval join pairs clicks with later views (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = clickViewJoin(mem.toDF(), window = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cv_join_out").start()
+    // shift off epoch 0: a row exactly AT the initial watermark (t=0)
+    // is evicted as late by the join's state predicate
+    val shifted = sample.map(e => e.copy(ts = new Timestamp(e.ts.getTime + 86400000L)))
+    mem.addData(shifted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cv_join_out")
+      .select(col("click_id"), col("view_id"))
+      .as[(Long, Long)].collect().toSet
+    // user 1 clicks @0,5,16,31 (ids 1,2,4,6); views @14,29 (ids 3,5):
+    // each view joins clicks within the preceding 30 min
+    assert(got === Set((1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (4L, 5L)))
+  }
+
+  test("writeStream file-sink round-trip preserves rows (append + checkpoint)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("evfilesink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evckpt").toString
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").start(outDir)
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === sample.count(_.event_type == "click"))
+    assert(back.columns.toSet === Set("event_id", "user_id", "ts"))
+  }
+
   test("sliding windows overlap") {
     val got = sliding(sample.toDF(), width = "30 minutes", slide = "10 minutes")
       .filter(col("event_type") === "click")
