@@ -52,7 +52,8 @@ object Dedup {
   def minHashLsh(s: SparkSession, dir: String): DataFrame =
     minHashLshDf(t(s, dir, "documents"))
 
-  def minHashLshDf(docs: DataFrame): DataFrame = {
+  /** MinHash signature table: one row per doc, s0..s15. */
+  private def minHashSigs(docs: DataFrame): DataFrame = {
     val toks = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -63,9 +64,14 @@ object Dedup {
     // on the hot path, same uniformity.
     def sig(k: Int) = min(substring(
       md5(concat_ws(":", lit(k / 4), col("tok"))), 1 + 8 * (k % 4), 8))
-    val sigs = toks.groupBy(col("doc_id"))
+    toks.groupBy(col("doc_id"))
       .agg(sig(0).as("s0"),
         (1 until numHashes).map(k => sig(k).as(s"s$k")): _*)
+  }
+
+  /** Banded candidate pairs (doc_a < doc_b) from the signature table —
+    * shared by d02 (scored pairs) and d07 (cluster edges). */
+  private def minHashCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$b")
@@ -73,11 +79,16 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minHashLshDf(docs: DataFrame): DataFrame = {
+    val sigs = minHashSigs(docs)
+    val cand = minHashCandidates(sigs)
     val matches = (0 until numHashes)
       .map(k => when(col(s"xa.s$k") === col(s"yb.s$k"), 1).otherwise(0))
       .reduce(_ + _)
@@ -88,7 +99,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val minHashLshSql: String = {
+  /** Shared DuckDB CTE chain ending in `cand` (banded candidate pairs)
+    * — composed into both the d02 and d07 oracles. */
+  private val minHashCandSql: String = {
     val sigCols = (0 until numHashes)
       .map(k => s"min(substring(md5('${k / 4}:' || tok), ${1 + 8 * (k % 4)}, 8)) AS s$k")
       .mkString(", ")
@@ -97,10 +110,7 @@ object Dedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
     }.mkString("\nUNION ALL\n")
-    val est = (0 until numHashes)
-      .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |toks AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 1)),
@@ -112,7 +122,14 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minHashLshSql: String = {
+    val est = (0 until numHashes)
+      .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minHashCandSql
        |SELECT doc_a, doc_b, ($est) / 16.0 AS est_jaccard
        |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -369,6 +386,69 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------- duplicate clusters
+  /** Duplicate-cluster resolution — the step a real dedup pipeline runs
+    * AFTER pair generation: near-dup candidate pairs (the d02 banded
+    * MinHash graph) are resolved into connected components and each doc
+    * gets a canonical cluster id (min doc_id reachable) plus a keeper
+    * flag (the cluster representative a pipeline retains).
+    *
+    * Components via [[ccRounds]] unrolled min-label-propagation rounds:
+    * each round, every doc takes the min of its own label and its
+    * neighbors' labels — after r rounds the label is the min over the
+    * r-hop neighborhood, so components converge once `ccRounds` ≥ graph
+    * diameter (near-dup clusters are tight; boilerplate-heavy corpora
+    * with long chains → raise it). Bounded rounds (not loop-to-
+    * fixpoint) keep the computation deterministic and identical on the
+    * oracle side. Each round is one shuffle on doc_id; edges shuffle
+    * ids only, never text. */
+  val ccRounds = 4
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersDf(t(s, dir, "documents"))
+
+  def dupClustersDf(docs: DataFrame): DataFrame = {
+    val edges = minHashCandidates(minHashSigs(docs))
+    // undirected edge list, then ccRounds rounds of min-label propagation
+    val und = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    for (_ <- 1 to ccRounds) {
+      val nbrMin = und.join(labels, und("doc_b") === labels("doc_id"))
+        .groupBy(col("doc_a")).agg(min(col("cluster")).as("nbr"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster"),
+        col("cluster_size"),
+        when(col("doc_id") === col("cluster"), 1L).otherwise(0L).as("keeper"))
+      .orderBy("doc_id")
+  }
+
+  private val dupClustersSql: String = {
+    val rounds = (1 to ccRounds).map { r =>
+      s"""l$r AS (
+         |  SELECT l.doc_id, LEAST(l.cluster, COALESCE(m.nbr, l.cluster)) AS cluster
+         |  FROM l${r - 1} l LEFT JOIN (
+         |    SELECT u.doc_a AS doc_id, MIN(n.cluster) AS nbr
+         |    FROM u JOIN l${r - 1} n ON n.doc_id = u.doc_b GROUP BY u.doc_a) m
+         |  USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minHashCandSql,
+       |u AS (SELECT doc_a, doc_b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+       |$rounds
+       |SELECT doc_id, cluster,
+       |CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+       |CAST(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS keeper
+       |FROM l$ccRounds ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> exact _,
@@ -376,7 +456,8 @@ object Dedup {
     "d03_ngram_jaccard"   -> ngramJaccard _,
     "d04_simhash"         -> simHash _,
     "d05_simhash_pairs"   -> simHashPairs _,
-    "d06_embedding_cosine" -> embeddingCosine _)
+    "d06_embedding_cosine" -> embeddingCosine _,
+    "d07_dup_clusters"    -> dupClusters _)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact"     -> exactSql,
@@ -384,5 +465,6 @@ object Dedup {
     "d03_ngram_jaccard"   -> ngramJaccardSql,
     "d04_simhash"         -> simHashSql,
     "d05_simhash_pairs"   -> simHashPairsSql,
-    "d06_embedding_cosine" -> embeddingCosineSql)
+    "d06_embedding_cosine" -> embeddingCosineSql,
+    "d07_dup_clusters"    -> dupClustersSql)
 }

