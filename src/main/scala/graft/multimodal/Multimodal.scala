@@ -106,11 +106,64 @@ object MultimodalQueries {
       |  FROM documents)
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Blob → clip-level feature vector → modality cluster: the fan-in
+    * stage after per-frame extraction. Every 16-byte frame is hashed;
+    * feature dim j aggregates hex digit j over the blob's frames (the
+    * deterministic stand-in for a frame-encoder output — swapping in a
+    * real encoder changes only the per-frame expression); the clip is
+    * assigned its dominant dimension (argmax, first-index tiebreak).
+    * One explode + one 8-sum hash agg — partial-aggregated map-side,
+    * shuffle carries 8 longs per doc. */
+  val featDims = 8
+
+  def blobFeatures(s: SparkSession, dir: String): DataFrame = {
+    val frames = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "sequence(0, cast(floor((octet_length(text) - 1) / 16) as int))"))
+          .as("i"), col("text"))
+      .select(col("doc_id"), md5(expr("substring(text, i * 16 + 1, 16)")).as("h"))
+    val aggs = (0 until featDims).map(j =>
+      sum(expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1"))
+        .cast("long").as(s"f$j"))
+    val fvec = array((0 until featDims).map(j => col(s"f$j")): _*)
+    frames.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("fvec", fvec)
+      .withColumn("top_dim",
+        expr("array_position(fvec, array_max(fvec))").cast("long"))
+      .select(col("doc_id") +: (0 until featDims).map(j => col(s"f$j")) :+
+        col("top_dim"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val blobFeaturesSql: String = {
+    val sums = (0 until featDims).map(j =>
+      s"CAST(SUM(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS BIGINT) AS f$j")
+      .mkString(",\n")
+    val lst = (0 until featDims).map(j => s"f$j").mkString("[", ", ", "]")
+    s"""WITH fr AS (
+       |  SELECT doc_id, md5(substring(text, CAST(i AS INT) * 16 + 1, 16)) AS h
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 16) AS BIGINT))) AS i
+       |    FROM documents)),
+       |sums AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM fr GROUP BY doc_id)
+       |SELECT doc_id, ${(0 until featDims).map(j => s"f$j").mkString(", ")},
+       |CAST(list_indexof($lst, list_aggregate($lst, 'max')) AS BIGINT) AS top_dim
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_binary_meta"  -> binaryMeta _,
-    "m02_frame_sample" -> frameSample _)
+    "m01_binary_meta"   -> binaryMeta _,
+    "m02_frame_sample"  -> frameSample _,
+    "m03_blob_features" -> blobFeatures _)
 
   val oracle: Map[String, String] = Map(
-    "m01_binary_meta"  -> binaryMetaSql,
-    "m02_frame_sample" -> frameSampleSql)
+    "m01_binary_meta"   -> binaryMetaSql,
+    "m02_frame_sample"  -> frameSampleSql,
+    "m03_blob_features" -> blobFeaturesSql)
 }

@@ -58,4 +58,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), p)
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
+
+  test("d06: candidate join keys are LSH band signatures, not data columns") {
+    val p = plan(Dedup.embeddingCosineDf(graft.Tables.t(spark, sf, "embeddings")))
+    // the candidate self-join must hash on the (band, bsig) signature…
+    assert(p.contains("bsig"), p)
+    // …and the plane dots are the codegen'd custom expression, not HOFs
+    assert(p.contains("graft_dot"), p)
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF crept into the hot path")
+    // the label data column plays no role in candidate generation
+    assert(!p.contains("label"), p)
+  }
+
+  test("a03: portable HLL partial-aggregates map-side (sketch merge in shuffle)") {
+    val p = plan(graft.queries.Sketches.portableHllDistinct(spark, sf))
+    assert(p.contains("partial_graft_portable_hll") ||
+      (p.contains("graft_portable_hll") && p.contains("ObjectHashAggregate")), p)
+  }
+
+  test("q32: pivot aggregates partially before the shuffle") {
+    val p = plan(Relational.q32Pivot(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_pivotfirst") ||
+      p.contains("HashAggregate"), p)
+  }
 }
