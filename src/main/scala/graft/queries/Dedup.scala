@@ -409,9 +409,12 @@ object Dedup {
 
   def dupClustersDf(docs: DataFrame): DataFrame = {
     val edges = minHashCandidates(minHashSigs(docs))
-    // undirected edge list, then ccRounds rounds of min-label propagation
+    // undirected edge list, persisted: every propagation round joins it,
+    // and without the cache each round re-executes the whole MinHash
+    // sketch DAG (ids only — tiny relative to the corpus)
     val und = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     for (_ <- 1 to ccRounds) {
       val nbrMin = und.join(labels, und("doc_b") === labels("doc_id"))

@@ -251,6 +251,52 @@ object TextOps {
        |SELECT doc_id, term, tf, df_docs, tfidf, rank FROM ranked
        |WHERE rank <= $tfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------------- t08
+  /** Quality gate: the keep/drop decision a training-data pipeline
+    * applies from the t04-style stats, with the first failing rule as
+    * the drop reason. All rules are integer comparisons (no float
+    * thresholds) so both engines decide identically. Narrow scan → one
+    * projection; no shuffle at all. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("long"))
+      .withColumn("reason",
+        when(col("n_tokens") < 5, "too_short")
+          .when(col("n_tokens") > 500, "too_long")
+          .when(col("n_distinct") * 2 < col("n_tokens"), "low_diversity")
+          .when(col("n_stop") === 0, "no_stopwords")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("reason") === "ok", 1L).otherwise(0L).as("keep"),
+        col("reason"))
+      .orderBy("doc_id")
+
+  private val qualityGateSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM d),
+       |rs AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens < 5 THEN 'too_short'
+       |         WHEN n_tokens > 500 THEN 'too_long'
+       |         WHEN n_distinct * 2 < n_tokens THEN 'low_diversity'
+       |         WHEN n_stop = 0 THEN 'no_stopwords'
+       |         ELSE 'ok' END AS reason
+       |  FROM st)
+       |SELECT doc_id, n_tokens,
+       |CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |reason
+       |FROM rs ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
@@ -258,7 +304,8 @@ object TextOps {
     "t04_text_stats"    -> textStats _,
     "t05_lang_id"       -> langId _,
     "t06_fingerprint"   -> fingerprint _,
-    "t07_tfidf"         -> tfidf _)
+    "t07_tfidf"         -> tfidf _,
+    "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
     "t01_wordcount"     -> wordCountSql,
@@ -267,5 +314,6 @@ object TextOps {
     "t04_text_stats"    -> textStatsSql,
     "t05_lang_id"       -> langIdSql,
     "t06_fingerprint"   -> fingerprintSql,
-    "t07_tfidf"         -> tfidfSql)
+    "t07_tfidf"         -> tfidfSql,
+    "t08_quality_gate"  -> qualityGateSql)
 }

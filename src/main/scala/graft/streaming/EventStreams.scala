@@ -52,6 +52,16 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Streaming exact dedup — the streaming twin of the batch d01 op:
+    * duplicate event_ids arriving within the watermark horizon are
+    * dropped; the dedup state store evicts keys older than the
+    * watermark, so state is bounded by (arrival rate × horizon), never
+    * the stream's history. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: each click joined to the same user's
     * views within `window` after the click. Both sides carry watermarks
     * and the join condition bounds event time in both directions, so

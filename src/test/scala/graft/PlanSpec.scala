@@ -81,4 +81,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_pivotfirst") ||
       p.contains("HashAggregate"), p)
   }
+
+  test("runtime bloom filter from a selective dim prunes the fact-scan side") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB a selective dim predicate should cut the fact shuffle
+    // before the join — Spark's InjectRuntimeFilter does this when the
+    // join shuffles; pin that the engine's session shape allows it
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = graft.Tables.t(spark, sf, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val dim = graft.Tables.t(spark, sf, "part")
+        .filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"), col("p_brand"))
+      val df = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val p = plan(df)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"), p)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -137,6 +137,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(back.columns.toSet === Set("event_id", "user_id", "ts"))
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // event 1 arrives three times (same id), others once; shifted off
+    // epoch 0 (a row AT the initial watermark is dropped as late)
+    val shifted = (sample ++ Seq(ev(1, 2, "click"), ev(1, 3, "click")))
+      .map(e => e.copy(ts = new Timestamp(e.ts.getTime + 86400000L)))
+    mem.addData(shifted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(got === sample.map(_.event_id).sorted)
+  }
+
   test("sliding windows overlap") {
     val got = sliding(sample.toDF(), width = "30 minutes", slide = "10 minutes")
       .filter(col("event_type") === "click")
