@@ -432,7 +432,9 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val dupClustersSql: String = {
+  /** Shared CTE chain ending in `l{ccRounds}` (doc_id → cluster) —
+    * composed into the d07 and d08 oracles. */
+  private val dupClusterCtes: String = {
     val rounds = (1 to ccRounds).map { r =>
       s"""l$r AS (
          |  SELECT l.doc_id, LEAST(l.cluster, COALESCE(m.nbr, l.cluster)) AS cluster
@@ -441,16 +443,70 @@ object Dedup {
          |    FROM u JOIN l${r - 1} n ON n.doc_id = u.doc_b GROUP BY u.doc_a) m
          |  USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $minHashCandSql,
+    s"""$minHashCandSql,
        |u AS (SELECT doc_a, doc_b FROM cand
        |      UNION ALL SELECT doc_b, doc_a FROM cand),
        |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val dupClustersSql: String =
+    s"""WITH $dupClusterCtes
        |SELECT doc_id, cluster,
        |CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
        |CAST(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS keeper
        |FROM l$ccRounds ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- canonical selection
+  /** Canonical-document selection — the final stage of the dedup
+    * pipeline: within each near-dup cluster (d07 components), retain
+    * the best document by quality (t08 keep flag), breaking ties by
+    * token count then doc_id. One window pass over (cluster) after a
+    * doc_id equi-join of two narrow relations. */
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame =
+    canonicalDocsDf(t(s, dir, "documents"))
+
+  def canonicalDocsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClustersDf(docs).select(col("doc_id"), col("cluster"))
+    val quality = TextOps.qualityGateDf(docs)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val wRank = Window.partitionBy(col("cluster"))
+      .orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id"))
+    val wSize = Window.partitionBy(col("cluster"))
+    clusters.join(quality, "doc_id")
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_doc"),
+        col("cluster_size"), col("keep").as("canonical_keep"))
+      .orderBy("cluster")
   }
+
+  private val canonicalDocsSql: String =
+    s"""WITH $dupClusterCtes,
+       |qd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |qs AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> t IN (${TextOps.stopList}))) AS BIGINT) AS n_stop
+       |  FROM qd),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE WHEN n_tokens < 5 OR n_tokens > 500
+       |      OR n_distinct * 2 < n_tokens OR n_stop = 0
+       |      THEN 0 ELSE 1 END AS BIGINT) AS keep
+       |  FROM qs),
+       |j AS (
+       |  SELECT l.doc_id, l.cluster, q.n_tokens, q.keep,
+       |    CAST(COUNT(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster
+       |      ORDER BY q.keep DESC, q.n_tokens DESC, l.doc_id) AS rn
+       |  FROM l$ccRounds l JOIN q USING (doc_id))
+       |SELECT cluster, doc_id AS canonical_doc, cluster_size,
+       |keep AS canonical_keep
+       |FROM j WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,7 +516,8 @@ object Dedup {
     "d04_simhash"         -> simHash _,
     "d05_simhash_pairs"   -> simHashPairs _,
     "d06_embedding_cosine" -> embeddingCosine _,
-    "d07_dup_clusters"    -> dupClusters _)
+    "d07_dup_clusters"    -> dupClusters _,
+    "d08_canonical_docs"  -> canonicalDocs _)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact"     -> exactSql,
@@ -469,5 +526,6 @@ object Dedup {
     "d04_simhash"         -> simHashSql,
     "d05_simhash_pairs"   -> simHashPairsSql,
     "d06_embedding_cosine" -> embeddingCosineSql,
-    "d07_dup_clusters"    -> dupClustersSql)
+    "d07_dup_clusters"    -> dupClustersSql,
+    "d08_canonical_docs"  -> canonicalDocsSql)
 }

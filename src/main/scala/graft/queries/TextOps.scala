@@ -85,7 +85,7 @@ object TextOps {
     * integer-over-integer double divisions — deterministic across
     * engines. */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   def textStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -258,7 +258,10 @@ object TextOps {
     * thresholds) so both engines decide identically. Narrow scan → one
     * projection; no shuffle at all. */
   def qualityGate(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    qualityGateDf(t(s, dir, "documents"))
+
+  def qualityGateDf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))

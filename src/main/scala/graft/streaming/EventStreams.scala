@@ -52,6 +52,30 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** foreachBatch upsert sink: maintain a parquet table of the tumbling
+    * aggregates, partitioned by window. Update output mode emits each
+    * batch's changed windows; dynamic partition overwrite rewrites ONLY
+    * those partitions — the idempotent micro-batch upsert used when the
+    * target store has no native streaming sink (retries of a batch
+    * rewrite the same partitions, so the sink stays exactly-once per
+    * key). The partition columns must be the FULL aggregation key
+    * (window AND event_type): update mode only emits changed rows, so
+    * any coarser overwrite granularity would wipe the unchanged
+    * siblings sharing a partition. */
+  def upsertTumblingParquet(events: DataFrame, outDir: String,
+      checkpoint: String, width: String = "15 minutes",
+      watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    tumbling(events, width, watermark)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("window_start", "event_type")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Streaming exact dedup — the streaming twin of the batch d01 op:
     * duplicate event_ids arriving within the watermark horizon are
     * dropped; the dedup state store evicts keys older than the

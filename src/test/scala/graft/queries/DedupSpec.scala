@@ -93,6 +93,29 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((4L, 1L, 1L)))
   }
 
+  test("canonical selection keeps the best-quality doc per cluster") {
+    // docs 0/1/2 cluster together; all have 10 tokens and no stopwords
+    // (keep=0, reason no_stopwords), so the tiebreak falls to doc_id →
+    // canonical 0. Singletons are their own canonicals.
+    val got = Dedup.canonicalDocsDf(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (cl, cd, sz, kp) => cl -> ((cd, sz, kp)) }.toMap
+    assert(got(0L) === ((0L, 3L, 0L)))
+    assert(got(3L) === ((3L, 1L, 0L)))
+    assert(got(4L) === ((4L, 1L, 0L)))
+    assert(got.size === 3)
+    // quality must outrank doc_id: a longer stopword-bearing doc in a
+    // fresh corpus wins over a lower-id junk doc
+    val mixed = Seq(
+      (0L, "x y"), // too_short, keep=0
+      (1L, "the quick brown fox jumps over the lazy sleeping dog"))
+      .toDF("doc_id", "text")
+    val solo = Dedup.canonicalDocsDf(mixed)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (cl, cd, _, kp) => cl -> ((cd, kp)) }.toMap
+    assert(solo(1L) === ((1L, 1L))) // keep=1 doc is its own canonical
+  }
+
   test("ngram jaccard prunes stop-shingles: a shingle in every doc is not a hot key") {
     // 120 docs that share ONLY one boilerplate shingle (df=120 >
     // maxShingleDf): without the df-cutoff this yields 120·119/2 pairs

@@ -155,6 +155,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === sample.map(_.event_id).sorted)
   }
 
+  test("foreachBatch upsert keeps the parquet table equal to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("evupsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evupsertck").toString
+    val mem = MemoryStream[Event]
+    val q = upsertTumblingParquet(mem.toDF(), outDir, ckpt,
+      width = "15 minutes", watermark = "1 hour")
+    // two waves that touch an overlapping window: the second batch must
+    // OVERWRITE that window's partition, not append to it
+    val (wave1, wave2) = sample.splitAt(5)
+    mem.addData(wave1: _*)
+    q.processAllAvailable()
+    mem.addData(wave2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(outDir)
+      .select(col("window_start").cast("timestamp").cast("long"),
+        col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = tumbling(sample.toDF(), width = "15 minutes")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(back === batch)
+  }
+
   test("sliding windows overlap") {
     val got = sliding(sample.toDF(), width = "30 minutes", slide = "10 minutes")
       .filter(col("event_type") === "click")
