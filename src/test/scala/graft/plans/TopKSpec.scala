@@ -53,6 +53,39 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rewrites the row_number formulation into the heap operator") {
+    def windowForm = {
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+    }
+    val rewritten = windowForm
+    rewritten.collect()
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p) // the rule fired
+    assert(!p.contains("Sort "), s"sort survived the rewrite:\n$p")
+    // same rows as the unrewritten plan
+    spark.conf.set("graft.topk.rewrite.enabled", "false")
+    try {
+      val plain = windowForm
+      val expected = plain.as[(Long, Long, Double)].collect().toSet
+      assert(!plain.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(rewritten.as[(Long, Long, Double)].collect().toSet === expected)
+    } finally spark.conf.unset("graft.topk.rewrite.enabled")
+  }
+
+  test("rewrite leaves rank-keeping and rank-exposing plans alone") {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    // rn stays in the output → must NOT rewrite (TopKPerKey can't emit it)
+    val keepsRank = orders.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    keepsRank.collect()
+    assert(!keepsRank.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("heap budget guard fails fast on high key cardinality (no silent OOM)") {
     // every row its own key → keys·k exceeds a tiny budget immediately
     spark.conf.set(TopK.maxHeapRowsKey, "100")
