@@ -44,6 +44,15 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dup clusters are invariant to input partitioning") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    def labels(n: Int) =
+      Dedup.dupClustersDf(docs.repartition(n))
+        .select("doc_id", "cluster")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(labels(1) === labels(17))
+  }
+
   test("ngram jaccard is bounded in (0, 1], pairs canonically ordered") {
     for (s <- 1 to 5) {
       val docs = sample(docGen, s).zipWithIndex
