@@ -409,19 +409,24 @@ object Dedup {
 
   def dupClustersDf(docs: DataFrame): DataFrame = {
     val edges = minHashCandidates(minHashSigs(docs))
-    // undirected edge list, persisted: every propagation round joins it,
-    // and without the cache each round re-executes the whole MinHash
-    // sketch DAG (ids only — tiny relative to the corpus)
+    // undirected edge list: persisted (each round joins it — without the
+    // cache every round re-executes the whole MinHash sketch DAG) and
+    // pre-partitioned on the join key so rounds reuse one static
+    // exchange (ids only — tiny relative to the corpus)
     val und = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b"))
       .persist()
+    // message-passing form: each round, a doc's new label is the min of
+    // its own and its neighbors' labels — one union + one min-aggregate
+    // (labels leave each round hash-partitioned on doc_id, which the
+    // next round's join reuses; steady state is ~1 new exchange/round)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     for (_ <- 1 to ccRounds) {
-      val nbrMin = und.join(labels, und("doc_b") === labels("doc_id"))
-        .groupBy(col("doc_a")).agg(min(col("cluster")).as("nbr"))
-      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+      val msgs = und.join(labels, und("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("cluster"))
+      labels = msgs.union(labels.select(col("doc_id"), col("cluster")))
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     labels
