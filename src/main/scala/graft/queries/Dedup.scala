@@ -6,7 +6,9 @@ import graft.Tables.t
 import graft.functions.VectorFunctions.{dot, hamming, norm2}
 
 /** Deduplication suite (LLM-pipeline extension ops): exact, MinHash+LSH,
-  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup, duplicate-cluster
+  * resolution, and canonical-document selection — the full pipeline from
+  * raw docs to pairs to components to one kept doc per cluster.
   *
   * Portability design: every pseudo-random ingredient (MinHash
   * permutations, SimHash bit hashes) is derived from md5 hex strings,
