@@ -826,6 +826,43 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q33
+  /** Fuzzy (approximate string) join — the entity-resolution primitive:
+    * name pairs within levenshtein ≤ 4. Scale shape: DISTINCT names
+    * first (fuzzy-join the vocabulary, not the rows — candidate pairs
+    * scale with distinct values, and row-level matches map back by
+    * equi-join), bucket by a stable token so the pair space is
+    * per-bucket, and a length-difference prefilter (a necessary
+    * levenshtein condition) cuts candidates before the O(mn) metric
+    * runs. Integer edit distance ⇒ exact parity. */
+  val fuzzyMaxDistance = 4
+
+  def q33FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("bucket", split(col("p_name"), " ").getItem(1))
+    names.as("a").join(names.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.p_name") < col("b.p_name") &&
+        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= fuzzyMaxDistance)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("lev"))
+      .filter(col("lev") <= fuzzyMaxDistance)
+      .orderBy("name_a", "name_b")
+  }
+
+  private val q33Sql =
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name FROM part),
+       |nb AS (
+       |  SELECT p_name, string_split(p_name, ' ')[2] AS bucket FROM names)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+       |FROM nb a JOIN nb b
+       |ON a.bucket = b.bucket AND a.p_name < b.p_name
+       |  AND abs(length(a.p_name) - length(b.p_name)) <= $fuzzyMaxDistance
+       |WHERE levenshtein(a.p_name, b.p_name) <= $fuzzyMaxDistance
+       |ORDER BY name_a, name_b""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -859,7 +896,8 @@ object Relational {
     "q29_topk_custom"     -> q29TopKCustom _,
     "q30_math_funcs"      -> q30MathFuncs _,
     "q31_map_funcs"       -> q31MapFuncs _,
-    "q32_pivot"           -> q32Pivot _)
+    "q32_pivot"           -> q32Pivot _,
+    "q33_fuzzy_join"      -> q33FuzzyJoin _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -893,5 +931,6 @@ object Relational {
     "q29_topk_custom"     -> q29Sql,
     "q30_math_funcs"      -> q30Sql,
     "q31_map_funcs"       -> q31Sql,
-    "q32_pivot"           -> q32Sql)
+    "q32_pivot"           -> q32Sql,
+    "q33_fuzzy_join"      -> q33Sql)
 }

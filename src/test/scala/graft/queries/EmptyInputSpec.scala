@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Degenerate-input hardening: every Df-parameterized operator must
+  * handle an EMPTY corpus (first partition of a new table, a filter
+  * that matched nothing) by returning zero rows — never throwing on
+  * empty aggregates, empty joins, or empty iteration rounds. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noEmbs: DataFrame =
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+
+  test("dedup suite yields zero rows on an empty corpus") {
+    assert(Dedup.exactDf(noDocs).count() === 0)
+    assert(Dedup.minHashLshDf(noDocs).count() === 0)
+    assert(Dedup.ngramJaccardDf(noDocs).count() === 0)
+    assert(Dedup.simHashDf(noDocs).count() === 0)
+    assert(Dedup.simHashPairsDf(noDocs).count() === 0)
+    assert(Dedup.dupClustersDf(noDocs).count() === 0)
+    assert(Dedup.canonicalDocsDf(noDocs).count() === 0)
+  }
+
+  test("embedding ops yield zero rows on an empty corpus") {
+    assert(Dedup.embeddingCosineDf(noEmbs).count() === 0)
+    assert(Similarity.bruteForceTopKDf(noEmbs).count() === 0)
+    assert(Similarity.lshTopKDf(noEmbs).count() === 0)
+    assert(Similarity.ivfTopKDf(noEmbs).count() === 0)
+  }
+
+  test("text ops yield zero rows on an empty corpus") {
+    assert(TextOps.tfidfDf(noDocs).count() === 0)
+    assert(TextOps.qualityGateDf(noDocs).count() === 0)
+  }
+}
