@@ -60,4 +60,20 @@ object Formats {
     * `MapleJuice.cpp:16-51`) is exactly RoundRobinPartitioning. */
   def roundRobinSplit[T](ds: Dataset[T], n: Int): Dataset[T] =
     ds.repartition(math.max(1, n))
+
+  /** Range-clustered layout writer: range-partition on the key, sort
+    * within partitions, write parquet. Every output file then covers a
+    * disjoint key range (spec-pinned), so parquet row-group min/max
+    * statistics let a key-predicate scan skip whole files — at 100 TB
+    * the difference between reading one file and reading all of them.
+    * The write costs one range exchange (sampled boundaries) + a
+    * spillable per-partition sort; downstream scans repay it on every
+    * selective read. */
+  def writeRangeClustered(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(math.max(1, numFiles), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+  }
 }

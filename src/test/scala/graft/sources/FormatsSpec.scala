@@ -59,4 +59,27 @@ class FormatsSpec extends SparkSpec {
     val typed = Combiners.wordCountCombined(lines).collect().toMap
     assert(typed === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("range-clustered layout: every output file covers a disjoint key range") {
+    import org.apache.spark.sql.functions._
+    val p = tmp()
+    val df = (1 to 10000).map(i => ((i * 37) % 10007, s"v$i"))
+      .toDF("k", "v") // keys arrive unordered
+    Formats.writeRangeClustered(df, p, "k", numFiles = 8)
+    val files = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).head()
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    // disjoint and ordered: file i's max < file i+1's min
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
+      case _ =>
+    }
+    // nothing lost
+    assert(spark.read.parquet(p).count() === 10000)
+  }
 }
