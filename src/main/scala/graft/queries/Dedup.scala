@@ -89,6 +89,10 @@ object Dedup {
   }
 
   def minHashLshDf(docs: DataFrame): DataFrame = {
+    // the signature table feeds four join sides; identical shuffle
+    // sub-plans dedupe via ReusedExchange, which measures FASTER than a
+    // persist here (a cache adds a materialization barrier and breaks
+    // stage pipelining) — don't "optimize" this into .persist()
     val sigs = minHashSigs(docs)
     val cand = minHashCandidates(sigs)
     val matches = (0 until numHashes)
