@@ -258,10 +258,19 @@ object Relational {
 
   // ---------------------------------------------------------------- q09
   /** Running-frame window: cumulative revenue per supplier over time.
-    * Exact decimal running sums → deterministic doubles. */
+    * Exact decimal running sums → deterministic doubles.
+    *
+    * The window order must be TOTAL: the synthetic data contains
+    * intentional duplicate (orderkey, linenumber) rows, and one sf0.1
+    * tie group has two different prices — a ROWS frame over a non-total
+    * order accumulates ties in engine-dependent order and the running
+    * sums diverge mid-group. l_extendedprice as the last key breaks
+    * every tie that matters (rows identical in all keys AND price sum
+    * identically in any order). */
   def q09WindowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("p")) // decimal cast of l_extendedprice — same order
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -274,7 +283,8 @@ object Relational {
   private val q09Sql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
-      |PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |PARTITION BY l_suppkey
+      |ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
