@@ -873,6 +873,89 @@ object Relational {
        |WHERE levenshtein(a.p_name, b.p_name) <= $fuzzyMaxDistance
        |ORDER BY name_a, name_b""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Correlated EXISTS / NOT EXISTS (SURVEY §2.4 joins row, the
+    * subquery-decorrelation surface): orders bucketed by whether any
+    * line was deep-discounted. Written as SQL EXISTS on purpose —
+    * Catalyst's RewritePredicateSubquery must decorrelate both branches
+    * into LeftSemi/LeftAnti hash joins (no per-row re-execution), which
+    * PlanSpec pins. Semantically near q06/q07 but exercises a different
+    * front-end path (analyzer + decorrelation rules, not the DataFrame
+    * join API). */
+  def q34Exists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("g34_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("g34_lineitem")
+    s.sql("""
+      |SELECT 'discounted' AS bucket, o_orderpriority, COUNT(*) AS n_orders
+      |FROM g34_orders o
+      |WHERE EXISTS (SELECT 1 FROM g34_lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      |GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'full_price' AS bucket, o_orderpriority, COUNT(*) AS n_orders
+      |FROM g34_orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM g34_lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      |GROUP BY o_orderpriority
+      |ORDER BY bucket, o_orderpriority""".stripMargin)
+  }
+
+  private val q34Sql =
+    """SELECT 'discounted' AS bucket, o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      |GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'full_price' AS bucket, o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      |GROUP BY o_orderpriority
+      |ORDER BY bucket, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Unpivot / melt (the inverse of q32's pivot): lineitem's four
+    * measure columns melted to (measure, val) rows, then one hash agg
+    * per measure. Uses `Dataset.unpivot` — planned as a single Expand
+    * (each input row emits 4 rows map-side, no shuffle before the
+    * partial agg), so at 100 TB the cost is one scan + one 4-row
+    * hash-shuffle. Measures go through decimal(18,2) so the sums are
+    * exact and engine-order-independent ([[q01PricingSummary]] rule). */
+  def q35Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        col("l_discount").cast("decimal(18,2)").as("disc"),
+        col("l_tax").cast("decimal(18,2)").as("tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("qty"), col("price"), col("disc"), col("tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val")).cast("double").as("sum_val"),
+        min(col("val")).cast("double").as("min_val"),
+        max(col("val")).cast("double").as("max_val"),
+        (sum(col("val")).cast("double") / count(lit(1))).as("avg_val"))
+      .orderBy("measure")
+
+  private val q35Sql =
+    """WITH m AS (
+      |  SELECT l_orderkey,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS disc,
+      |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+      |  FROM lineitem),
+      |u AS (UNPIVOT m ON qty, price, disc, tax INTO NAME measure VALUE val)
+      |SELECT measure, COUNT(*) AS n,
+      |CAST(SUM(val) AS DOUBLE) AS sum_val,
+      |CAST(MIN(val) AS DOUBLE) AS min_val,
+      |CAST(MAX(val) AS DOUBLE) AS max_val,
+      |CAST(SUM(val) AS DOUBLE) / COUNT(*) AS avg_val
+      |FROM u GROUP BY measure ORDER BY measure""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -907,7 +990,9 @@ object Relational {
     "q30_math_funcs"      -> q30MathFuncs _,
     "q31_map_funcs"       -> q31MapFuncs _,
     "q32_pivot"           -> q32Pivot _,
-    "q33_fuzzy_join"      -> q33FuzzyJoin _)
+    "q33_fuzzy_join"      -> q33FuzzyJoin _,
+    "q34_exists"          -> q34Exists _,
+    "q35_unpivot"         -> q35Unpivot _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -942,5 +1027,7 @@ object Relational {
     "q30_math_funcs"      -> q30Sql,
     "q31_map_funcs"       -> q31Sql,
     "q32_pivot"           -> q32Sql,
-    "q33_fuzzy_join"      -> q33Sql)
+    "q33_fuzzy_join"      -> q33Sql,
+    "q34_exists"          -> q34Sql,
+    "q35_unpivot"         -> q35Sql)
 }

@@ -221,13 +221,112 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------- centroids
+  /** Per-label embedding centroid — the distributed vector-mean
+    * primitive under k-means/IVF training (s03's seed step, done
+    * properly). posexplode → one hash agg on (label, dim): partial
+    * sums combine map-side, so the shuffle carries labels × dim
+    * (partial_sum, count) cells regardless of corpus size — at 100 TB
+    * that is KBs per task, never vectors. Sum-order FP drift across
+    * engines is absorbed by ROUND(·,4) (values are O(1), error
+    * O(n·ε) ≈ 1e-12). */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidsDf(t(s, dir, "embeddings"))
+
+  def centroidsDf(embs: DataFrame): DataFrame =
+    embs
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "pos", "v")
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("pos"),
+        round(col("sv") / col("n_vecs"), 4).as("centroid"),
+        col("n_vecs"))
+      .orderBy("label", "pos")
+
+  private val centroidsSql =
+    """WITH x AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings)
+      |SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+      |ROUND(SUM(v) / COUNT(*), 4) AS centroid,
+      |COUNT(*) AS n_vecs
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------ k-means step
+  /** One full Lloyd iteration — seed pick → nearest-centroid assignment
+    * → centroid recompute — i.e. the training loop body behind a real
+    * IVF index (s03 scores against raw seed vectors; this is the step
+    * that would refine them). Unlike s03's float argmax, the assignment
+    * here is portable: similarities are ROUNDed to 4 dp BEFORE the
+    * argmax (ties broken by cell id), so both engines pick identical
+    * cells and the whole step carries a cell-exact oracle.
+    *
+    * Scale: the 8 seed vectors broadcast (KBs); assignment is a narrow
+    * map over the corpus; recompute is the s04 partial-agged hash agg —
+    * shuffle carries cells × dim (sum, count) cells, never vectors. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame =
+    kmeansStepDf(t(s, dir, "embeddings"))
+
+  def kmeansStepDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val seeds = e.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), col("v").as("sv"), col("nrm").as("snrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("sim",
+        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cell"), posexplode(col("v")))
+      .toDF("cell", "pos", "x")
+      .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_members"))
+      .select(col("cell"), col("pos"),
+        round(col("sx") / col("n_members"), 4).as("centroid"),
+        col("n_members"))
+      .orderBy("cell", "pos")
+  }
+
+  private val kmeansSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |d AS (
+       |  SELECT c.vec_id, s.vec_id AS cell, SUM(c.v * s.v) AS dot
+       |  FROM x c JOIN x s ON c.i = s.i
+       |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT d.vec_id, cell, ROUND(dot / (nc.nrm * ns.nrm), 4) AS sim
+       |  FROM d JOIN n nc ON d.vec_id = nc.vec_id
+       |         JOIN n ns ON d.cell = ns.vec_id),
+       |assign AS (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell) AS rk
+       |  FROM sims)
+       |SELECT a.cell, CAST(x.i - 1 AS BIGINT) AS pos,
+       |ROUND(SUM(x.v) / COUNT(*), 4) AS centroid,
+       |COUNT(*) AS n_members
+       |FROM x JOIN assign a ON x.vec_id = a.vec_id AND a.rk = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> bruteForceTopK _,
     "s02_topk_lsh"        -> lshTopK _,
-    "s03_topk_ivf"        -> ivfTopK _)
+    "s03_topk_ivf"        -> ivfTopK _,
+    "s04_centroids"       -> centroids _,
+    "s05_kmeans_step"     -> kmeansStep _)
 
   val oracle: Map[String, String] = Map(
     "s01_topk_bruteforce" -> bruteForceSql,
-    "s02_topk_lsh"        -> lshSql)
+    "s02_topk_lsh"        -> lshSql,
+    "s04_centroids"       -> centroidsSql,
+    "s05_kmeans_step"     -> kmeansSql)
 }

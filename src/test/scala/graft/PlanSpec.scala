@@ -108,4 +108,18 @@ class PlanSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q34: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan(Relational.q34Exists(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // never a per-row subquery re-execution
+    assert(!p.contains("InSubquery") && !p.contains("ScalarSubquery"), p)
+  }
+
+  test("q35: unpivot plans one map-side Expand feeding a partial agg") {
+    val p = plan(Relational.q35Unpivot(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+  }
 }

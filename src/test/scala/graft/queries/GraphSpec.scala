@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** g01 fixed-point PageRank: the claim under test is bit-exact
+  * determinism — integer message passing must make the result
+  * independent of physical partitioning (the property that lets a
+  * 100 TB run hash-match a second engine). */
+class GraphSpec extends SparkSpec {
+
+  private lazy val li = t(spark, sf, "lineitem")
+  private lazy val ord = t(spark, sf, "orders")
+
+  test("pagerank is invariant under input partitioning (bit-exact)") {
+    val a = Graph.pageRankDf(li, ord).collect().toSeq
+    val b = Graph.pageRankDf(li.repartition(7, col("l_suppkey")),
+      ord.repartition(3)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("pagerank ranks respect the damping floor and mass bound") {
+    val rows = Graph.pageRankDf(li, ord).collect()
+    assert(rows.nonEmpty)
+    // every rank >= base (0.15) and < total mass; sorted desc with
+    // node-id tiebreak
+    val prs = rows.map(_.getLong(1))
+    assert(prs.forall(_ >= Graph.baseRank))
+    val nNodes = li.select("l_suppkey").distinct.count() +
+      ord.select("o_custkey").distinct.count()
+    assert(prs.forall(_ < Graph.initRank * nNodes))
+    val pairs = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
+  test("high-degree nodes outrank leaves") {
+    // a supplier shipping to many customers accumulates more mass than
+    // one appearing on a single order line
+    val out = Graph.pageRankDf(li, ord)
+    val degs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("node"), col("o_custkey"))
+      .distinct().groupBy("node").count()
+    val joined = out.join(degs, "node").select("pr", "count").collect()
+    val byDeg = joined.sortBy(-_.getLong(1)).map(_.getLong(0))
+    // spearman-ish sanity: the max-degree survivor in the top-100 has a
+    // higher rank than the min-degree one
+    if (byDeg.length > 1) assert(byDeg.head >= byDeg.last)
+  }
+}
