@@ -956,6 +956,38 @@ object Relational {
       |CAST(SUM(val) AS DOUBLE) / COUNT(*) AS avg_val
       |FROM u GROUP BY measure ORDER BY measure""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** RANGE window frame (value-based, vs q09's ROWS frame): per-user
+    * trailing 10-minute event count + value sum. A RANGE frame is
+    * defined by the ORDER BY *value* (all ties are peers), so the frame
+    * content is deterministic even on duplicate timestamps — no
+    * tie-order hazard. Event time is exact integer micros (`ts div
+    * 1000`, parquet nanos), value sums go through decimal. One hash
+    * shuffle on user_id; the frame scan is the incremental sliding
+    * range Spark's WindowExec does per partition. */
+  def q36RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_sum",
+        sum(col("value").cast(D182)).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("trailing_n"), col("trailing_sum"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  private val q36Sql =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |COUNT(*) OVER w AS trailing_n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -992,7 +1024,8 @@ object Relational {
     "q32_pivot"           -> q32Pivot _,
     "q33_fuzzy_join"      -> q33FuzzyJoin _,
     "q34_exists"          -> q34Exists _,
-    "q35_unpivot"         -> q35Unpivot _)
+    "q35_unpivot"         -> q35Unpivot _,
+    "q36_range_frame"     -> q36RangeFrame _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1029,5 +1062,6 @@ object Relational {
     "q32_pivot"           -> q32Sql,
     "q33_fuzzy_join"      -> q33Sql,
     "q34_exists"          -> q34Sql,
-    "q35_unpivot"         -> q35Sql)
+    "q35_unpivot"         -> q35Sql,
+    "q36_range_frame"     -> q36Sql)
 }
