@@ -201,7 +201,11 @@ object Similarity {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cell"))
       df.crossJoin(broadcast(seeds))
-        .withColumn("sim", dot(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+        // ROUND before the argmax (tiebreak: cell id) — cell assignment
+        // becomes portable across engines, which is what lets s03 carry
+        // a full DuckDB oracle (same trick as s05's Lloyd step)
+        .withColumn("sim",
+          round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 4))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= n)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
@@ -292,6 +296,54 @@ object Similarity {
       .orderBy("cell", "pos")
   }
 
+  /** DuckDB twin of [[ivfTopKDf]]: same rounded-sim cell assignment
+    * (corpus 1-probe, queries 2-probe), within-cell candidate join,
+    * rounded cosine ranking. */
+  private val ivfSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |sd AS (
+       |  SELECT c.vec_id, s.vec_id AS cell, SUM(c.v * s.v) AS dot
+       |  FROM x c JOIN x s ON c.i = s.i
+       |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT sd.vec_id, cell, ROUND(dot / (nc.nrm * ns.nrm), 4) AS sim
+       |  FROM sd JOIN n nc ON sd.vec_id = nc.vec_id
+       |          JOIN n ns ON sd.cell = ns.vec_id),
+       |rk AS (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell) AS rk
+       |  FROM sim),
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id, cell FROM rk
+       |  WHERE rk <= $numProbes AND vec_id % $queryStride = 0
+       |    AND vec_id < ${queryStride.toLong * maxQueries}),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes q JOIN corpus c
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |d AS (
+       |  SELECT query_id, neighbor_id, SUM(qx.v * cx.v) AS dot
+       |  FROM cand JOIN x qx ON qx.vec_id = cand.query_id
+       |            JOIN x cx ON cx.vec_id = cand.neighbor_id AND qx.i = cx.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON d.query_id = nq.vec_id
+       |         JOIN n nb ON d.neighbor_id = nb.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   private val kmeansSql =
     s"""WITH x AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -327,6 +379,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s01_topk_bruteforce" -> bruteForceSql,
     "s02_topk_lsh"        -> lshSql,
+    "s03_topk_ivf"        -> ivfSql,
     "s04_centroids"       -> centroidsSql,
     "s05_kmeans_step"     -> kmeansSql)
 }
