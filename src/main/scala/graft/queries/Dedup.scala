@@ -519,6 +519,48 @@ object Dedup {
        |keep AS canonical_keep
        |FROM j WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------- multi-signal union
+  /** Multi-signal candidate union — the "drop if ANY modality says
+    * dup" view a training pipeline actually filters on: text-sketch
+    * pairs (d02 banded MinHash) full-outer-joined with embedding
+    * pairs (d06 hyperplane-LSH cosine), each pair tagged with its
+    * provenance (`text` / `embedding` / `both`).
+    *
+    * Scale: both inputs are already bucketed candidate sets (never
+    * all-pairs), and the outer join keys are (id, id) pairs — the
+    * shuffle carries ids and two doubles. Documents and embeddings
+    * share the id space (doc_id ≡ vec_id). */
+  def multiSignal(s: SparkSession, dir: String): DataFrame =
+    multiSignalDf(t(s, dir, "documents"), t(s, dir, "embeddings"))
+
+  def multiSignalDf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val tx = minHashLshDf(docs)
+    val em = embeddingCosineDf(embs)
+    tx.join(em,
+        tx("doc_a") === em("vec_a") && tx("doc_b") === em("vec_b"),
+        "full_outer")
+      .select(
+        coalesce(tx("doc_a"), em("vec_a")).as("doc_a"),
+        coalesce(tx("doc_b"), em("vec_b")).as("doc_b"),
+        tx("est_jaccard"), em("cos_sim"),
+        when(tx("doc_a").isNotNull && em("vec_a").isNotNull, "both")
+          .when(tx("doc_a").isNotNull, "text")
+          .otherwise("embedding").as("modality"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val multiSignalSql: String =
+    s"""SELECT COALESCE(t.doc_a, e.vec_a) AS doc_a,
+       |COALESCE(t.doc_b, e.vec_b) AS doc_b,
+       |t.est_jaccard, e.cos_sim,
+       |CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 'both'
+       |     WHEN t.doc_a IS NOT NULL THEN 'text'
+       |     ELSE 'embedding' END AS modality
+       |FROM ($minHashLshSql) t
+       |FULL OUTER JOIN ($embeddingCosineSql) e
+       |  ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> exact _,
@@ -528,7 +570,8 @@ object Dedup {
     "d05_simhash_pairs"   -> simHashPairs _,
     "d06_embedding_cosine" -> embeddingCosine _,
     "d07_dup_clusters"    -> dupClusters _,
-    "d08_canonical_docs"  -> canonicalDocs _)
+    "d08_canonical_docs"  -> canonicalDocs _,
+    "d09_multi_signal"    -> multiSignal _)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact"     -> exactSql,
@@ -538,5 +581,6 @@ object Dedup {
     "d05_simhash_pairs"   -> simHashPairsSql,
     "d06_embedding_cosine" -> embeddingCosineSql,
     "d07_dup_clusters"    -> dupClustersSql,
-    "d08_canonical_docs"  -> canonicalDocsSql)
+    "d08_canonical_docs"  -> canonicalDocsSql,
+    "d09_multi_signal"    -> multiSignalSql)
 }
