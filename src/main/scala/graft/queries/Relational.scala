@@ -988,6 +988,77 @@ object Relational {
       |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** List/string aggregation: per brand, the sorted distinct type set
+    * both as a delimited string and as a size. `collect_set` is
+    * order-nondeterministic by contract, so the result is made
+    * deterministic (and engine-portable) by `array_sort` before the
+    * join — the only safe way to emit aggregated lists at scale.
+    * Distinct-set state per group is bounded by type cardinality
+    * (tiny), so the agg partial-combines map-side. */
+  def q37StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        array_join(array_sort(collect_set(col("p_type"))), ",").as("types"),
+        countDistinct(col("p_type")).as("n_types"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+
+  private val q37Sql =
+    """SELECT p_brand,
+      |string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+      |COUNT(DISTINCT p_type) AS n_types,
+      |COUNT(*) AS n_parts
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Window navigation with IGNORE NULLS: per user ordered by event
+    * time, carry the last non-null purchase value forward (the
+    * gap-fill idiom) and expose the first and 2nd values of the
+    * partition. Nulls are derived deterministically (non-purchase
+    * events have no amount). One hash shuffle on user_id; frames are
+    * running (no second sort). Total per-partition order via
+    * (us, event_id) keeps tie rows engine-stable. */
+  def q38IgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"),
+        when(col("event_type") === "purchase",
+          col("value").cast(D182)).as("amount"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("last_amount",
+        last(col("amount"), ignoreNulls = true).over(wAll).cast("double"))
+      .withColumn("first_amount",
+        first(col("amount"), ignoreNulls = true).over(wAll).cast("double"))
+      .withColumn("second_seen",
+        nth_value(col("amount"), 2, ignoreNulls = true).over(wAll)
+          .cast("double"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("amount").cast("double").as("amount"),
+        col("last_amount"), col("first_amount"), col("second_seen"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  private val q38Sql =
+    """WITH b AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) END AS amount
+      |  FROM events)
+      |SELECT event_id, user_id, us,
+      |CAST(amount AS DOUBLE) AS amount,
+      |CAST(LAST_VALUE(amount IGNORE NULLS) OVER w AS DOUBLE) AS last_amount,
+      |CAST(FIRST_VALUE(amount IGNORE NULLS) OVER w AS DOUBLE) AS first_amount,
+      |CAST(NTH_VALUE(amount, 2 IGNORE NULLS) OVER w AS DOUBLE) AS second_seen
+      |FROM b
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1025,7 +1096,9 @@ object Relational {
     "q33_fuzzy_join"      -> q33FuzzyJoin _,
     "q34_exists"          -> q34Exists _,
     "q35_unpivot"         -> q35Unpivot _,
-    "q36_range_frame"     -> q36RangeFrame _)
+    "q36_range_frame"     -> q36RangeFrame _,
+    "q37_string_agg"      -> q37StringAgg _,
+    "q38_ignore_nulls"    -> q38IgnoreNulls _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1063,5 +1136,7 @@ object Relational {
     "q33_fuzzy_join"      -> q33Sql,
     "q34_exists"          -> q34Sql,
     "q35_unpivot"         -> q35Sql,
-    "q36_range_frame"     -> q36Sql)
+    "q36_range_frame"     -> q36Sql,
+    "q37_string_agg"      -> q37Sql,
+    "q38_ignore_nulls"    -> q38Sql)
 }

@@ -25,10 +25,9 @@ class RelationalSpec extends SparkSpec {
   test("oracleSql covers every query except declared rows-only sketches") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // a03 (portable HLL) carries a full oracle; only the native-sketch
-    // queries and the float-argmax IVF stay rows-only
-    assert(rowsOnly ===
-      Set("a01_hll_distinct", "a02_percentiles", "s03_topk_ivf"),
+    // a03 (portable HLL) and s03 (rounded-sim IVF) carry full oracles;
+    // only the native-sketch queries stay rows-only
+    assert(rowsOnly === Set("a01_hll_distinct", "a02_percentiles"),
       s"unexpected rows-only: $rowsOnly")
   }
 
