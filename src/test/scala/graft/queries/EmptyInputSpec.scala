@@ -36,4 +36,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.tfidfDf(noDocs).count() === 0)
     assert(TextOps.qualityGateDf(noDocs).count() === 0)
   }
+
+  test("centroids / k-means / multi-signal yield zero rows on empty input") {
+    assert(Similarity.centroidsDf(noEmbs).count() === 0)
+    assert(Similarity.kmeansStepDf(noEmbs).count() === 0)
+    assert(Dedup.multiSignalDf(noDocs, noEmbs).count() === 0)
+  }
+
+  test("pagerank yields zero rows on an empty edge source") {
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    assert(Graph.pageRankDf(noLi, noOrd).count() === 0)
+  }
 }
