@@ -1059,6 +1059,33 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Distribution window functions (percent_rank / cume_dist),
+    * completing the ranking family beyond q08's rank/dense_rank/ntile.
+    * Both are exact small-integer ratios evaluated in double — bit-
+    * identical across engines with a TOTAL window order (price, key).
+    * One hash shuffle on the partition key, single window pass. */
+  def q39PercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .filter(col("o_orderkey") % 10 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  private val q39Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |PERCENT_RANK() OVER w AS pct_rank,
+      |CUME_DIST() OVER w AS cum_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey)
+      |QUALIFY o_orderkey % 10 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1098,7 +1125,8 @@ object Relational {
     "q35_unpivot"         -> q35Unpivot _,
     "q36_range_frame"     -> q36RangeFrame _,
     "q37_string_agg"      -> q37StringAgg _,
-    "q38_ignore_nulls"    -> q38IgnoreNulls _)
+    "q38_ignore_nulls"    -> q38IgnoreNulls _,
+    "q39_percent_rank"    -> q39PercentRank _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1138,5 +1166,6 @@ object Relational {
     "q35_unpivot"         -> q35Sql,
     "q36_range_frame"     -> q36Sql,
     "q37_string_agg"      -> q37Sql,
-    "q38_ignore_nulls"    -> q38Sql)
+    "q38_ignore_nulls"    -> q38Sql,
+    "q39_percent_rank"    -> q39Sql)
 }
