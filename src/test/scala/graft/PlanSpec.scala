@@ -122,4 +122,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("g01: pagerank rounds probe the cached ids-only edge list") {
+    val p = plan(graft.queries.Graph.pageRank(spark, sf))
+    // the persisted adjacency is scanned from cache by every round,
+    // not recomputed from the lineitem/orders join
+    assert(p.contains("InMemoryTableScan"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("s04: centroid aggregation partial-combines map-side") {
+    val p = plan(Similarity.centroids(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Generate"), p) // posexplode is a narrow Generate
+  }
 }
