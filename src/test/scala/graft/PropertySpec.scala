@@ -64,4 +64,40 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  /** Plain-Scala mirror of g01's integer recurrence — the distributed
+    * result must equal it exactly on any graph (fixed-point arithmetic
+    * has no association slack to hide in). */
+  private def refPageRank(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import graft.queries.Graph.{baseRank, custOffset, initRank, prRounds}
+    val und = pairs.distinct.map { case (s, c) => (s, c + custOffset) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val outDeg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = und.map(_._1).distinct
+    var pr = nodes.map(_ -> initRank).toMap
+    for (_ <- 1 to prRounds) {
+      val in = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => pr(s) / outDeg(s) }.sum
+      }
+      pr = nodes.map(n => n -> (baseRank + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pagerank equals the in-memory integer reference on random graphs") {
+    val pairGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
+    for (s <- 1 to 5) {
+      val pairs = sample(pairGen, s)
+      val li = pairs.zipWithIndex
+        .map { case ((supp, _), i) => (i.toLong, supp) }
+        .toDF("l_orderkey", "l_suppkey")
+      val ord = pairs.zipWithIndex
+        .map { case ((_, cust), i) => (i.toLong, cust) }
+        .toDF("o_orderkey", "o_custkey")
+      val got = graft.queries.Graph.pageRankDf(li, ord)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refPageRank(pairs), s"seed $s")
+    }
+  }
 }
