@@ -1086,6 +1086,52 @@ object Relational {
       |QUALIFY o_orderkey % 10 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Nation-pair trade flow (TPC-H Q7 shape) — the deepest join tree in
+    * the suite: lineitem ⋈ orders ⋈ customer ⋈ supplier with `nation`
+    * joined TWICE under different roles (supplier's vs customer's
+    * nation). All four dimension sides broadcast; the only shuffle is
+    * the fact⋈fact lineitem⋈orders join, then one hash agg on the
+    * (nation, nation, year) key. Cross-nation filter keeps only
+    * inter-country flows. */
+  def q40NationPairs(s: SparkSession, dir: String): DataFrame = {
+    val sn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(price * (one - disc)).as("rev"),
+        count(lit(1)).as("n_lines"))
+      .select(col("supp_nation"), col("cust_nation"), col("o_year"),
+        col("rev").cast("double").as("revenue"), col("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  private val q40Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1126,7 +1172,8 @@ object Relational {
     "q36_range_frame"     -> q36RangeFrame _,
     "q37_string_agg"      -> q37StringAgg _,
     "q38_ignore_nulls"    -> q38IgnoreNulls _,
-    "q39_percent_rank"    -> q39PercentRank _)
+    "q39_percent_rank"    -> q39PercentRank _,
+    "q40_nation_pairs"    -> q40NationPairs _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1167,5 +1214,6 @@ object Relational {
     "q36_range_frame"     -> q36Sql,
     "q37_string_agg"      -> q37Sql,
     "q38_ignore_nulls"    -> q38Sql,
-    "q39_percent_rank"    -> q39Sql)
+    "q39_percent_rank"    -> q39Sql,
+    "q40_nation_pairs"    -> q40Sql)
 }

@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q40: all four dims broadcast; only the fact-fact join shuffles") {
+    val p = plan(Relational.q40NationPairs(spark, sf))
+    // 4 broadcast joins (customer, supplier, nation x2); the
+    // lineitem-orders join is the only shuffle join in the tree
+    assert(p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") >= 4, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("s04: centroid aggregation partial-combines map-side") {
     val p = plan(Similarity.centroids(spark, sf))
     assert(p.contains("partial_sum"), p)
