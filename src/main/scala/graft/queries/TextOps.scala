@@ -300,7 +300,68 @@ object TextOps {
        |reason
        |FROM rs ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t09
+  /** Bigram collocation mining by pointwise mutual information —
+    * which token pairs co-occur far above chance (the phrase-detection
+    * pass a tokenizer-training pipeline runs). Corpus totals arrive as
+    * broadcast one-row aggregates (never a driver action); unigram
+    * counts join by token (shuffle — vocabulary can be huge at 100 TB,
+    * so no forced broadcast; AQE may still choose one). PMI is ranked
+    * on the ROUNDED score with the bigram as tiebreak, and the top-k
+    * is a TakeOrderedAndProject. Identical arithmetic order on the
+    * oracle side keeps libm's last bit inside the rounding. */
+  val pmiMinCount = 5
+  val pmiTopK = 50
+
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsDf(t(s, dir, "documents"))
+
+  def collocationsDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+    val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val n1 = uni.agg(count(lit(1)).cast("double").as("n1"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"""
+          .stripMargin)).as("bg"))
+    val n2 = bg.agg(count(lit(1)).cast("double").as("n2"))
+    bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= pmiMinCount)
+      .withColumn("ta", split(col("bg"), " ").getItem(0))
+      .withColumn("tb", split(col("bg"), " ").getItem(1))
+      .join(ucnt.select(col("tok").as("ta"), col("cu").as("ca")), "ta")
+      .join(ucnt.select(col("tok").as("tb"), col("cu").as("cbk")), "tb")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bg").as("bigram"), col("cb"),
+        round(log(col("cb").cast("double") * col("n1") * col("n1") /
+          (col("n2") * col("ca") * col("cbk"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(pmiTopK)
+  }
+
+  private val collocationsSql =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |uni AS (SELECT unnest(toks) AS tok FROM d),
+       |ucnt AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+       |t1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1 FROM uni),
+       |bgs AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+       |  FROM d),
+       |t2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n2 FROM bgs),
+       |bcnt AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY bg
+       |         HAVING COUNT(*) >= $pmiMinCount)
+       |SELECT b.bg AS bigram, b.cb,
+       |ROUND(LN(CAST(b.cb AS DOUBLE) * n1 * n1 /
+       |  (n2 * ua.cu * ub.cu)), 6) AS pmi
+       |FROM bcnt b
+       |JOIN ucnt ua ON string_split(b.bg, ' ')[1] = ua.tok
+       |JOIN ucnt ub ON string_split(b.bg, ' ')[2] = ub.tok, t1, t2
+       |ORDER BY pmi DESC, bigram LIMIT $pmiTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_collocations"  -> collocations _,
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
     "t03_reverse_graph" -> reverseGraph _,
@@ -318,5 +379,6 @@ object TextOps {
     "t05_lang_id"       -> langIdSql,
     "t06_fingerprint"   -> fingerprintSql,
     "t07_tfidf"         -> tfidfSql,
-    "t08_quality_gate"  -> qualityGateSql)
+    "t08_quality_gate"  -> qualityGateSql,
+    "t09_collocations"  -> collocationsSql)
 }
