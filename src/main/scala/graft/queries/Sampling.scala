@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Deterministic corpus-sampling operators — the "pick the training mix"
+  * step of an LLM data pipeline (downsample a crawl, balance sources,
+  * cap any one domain). The reference has no sampling surface; these
+  * extend its data-selection queries (grep Q3 = predicate selection,
+  * `MapleJuice.cpp:134`) to statistical selection.
+  *
+  * Everything is md5-keyed, never `rand()`: a sample that can't be
+  * reproduced can't be audited, and at 100 TB the sample IS the dataset
+  * lineage. md5 hex strings compare lexicographically the same in every
+  * engine (lowercase hex, ASCII), so thresholds and orderings port to
+  * the DuckDB oracle verbatim — same trick as the d02 MinHash
+  * signatures and s02 hyperplanes.
+  *
+  * Scale shapes:
+  *  - p01 is a pure map-side filter (no shuffle beyond the
+  *    oracle-determinism sort): rate-r sampling of 100 TB reads 100 TB
+  *    but shuffles r·100 TB at most.
+  *  - p02/p03 need per-group ranks. A bare `Window.partitionBy(source)`
+  *    would put one source's whole corpus in one task — at 100 TB a
+  *    single web domain can be TBs. p02 therefore pre-filters by an
+  *    md5 threshold chosen ≫ quota/expected-group-size BEFORE the
+  *    window, so the ranked set per group is bounded ~quota/rate
+  *    regardless of corpus size. p03 caps by doc id with the same
+  *    pre-rank reduction unavailable (the cap keeps the SMALLEST ids,
+  *    which a random prefilter would evict), so it bounds the window
+  *    input with a per-group count join instead: groups under the cap
+  *    bypass ranking entirely — at web scale that is almost all of them.
+  */
+object Sampling {
+
+  /** p01: uniform deterministic sample. Keep a doc iff the first two
+    * hex chars of md5(doc_id) fall under the threshold — rate 13/256
+    * ≈ 5.1%. Independent of row order, partitioning, and engine. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    hashSampleDf(t(s, dir, "documents"))
+
+  def hashSampleDf(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("bucket") < lit("0d"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val p01Sql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+      |ORDER BY doc_id""".stripMargin
+
+  /** p02: stratified sample — quota of [[stratQuota]] docs per source,
+    * chosen by md5 rank (a deterministic "random" K). The md5 < '40'
+    * (25%) pre-filter runs BEFORE the window so the per-source ranked
+    * set stays ~4·quota in expectation even when one source dominates
+    * the corpus; the quota filter after the rank is exact. */
+  val stratQuota = 10
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleDf(t(s, dir, "documents"))
+
+  def stratifiedSampleDf(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pick"), col("doc_id"))
+    documents
+      .withColumn("pick", md5(col("doc_id").cast("string")))
+      .filter(substring(col("pick"), 1, 2) < lit("40"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= stratQuota)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("lang"))
+      .orderBy("source", "rk")
+  }
+
+  private val p02Sql =
+    s"""WITH cand AS (
+       |  SELECT source, doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS pick
+       |  FROM documents
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+       |ranked AS (
+       |  SELECT source, doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY pick, doc_id) AS rk
+       |  FROM cand)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, lang
+       |FROM ranked WHERE rk <= $stratQuota ORDER BY source, rk""".stripMargin
+
+  /** p03: per-source cap report — cap every source at [[sourceCap]]
+    * docs keeping the smallest doc ids (stable, auditable), and report
+    * per source what survives. Only groups OVER the cap are ranked:
+    * the count join routes small groups (at web scale, the long tail —
+    * almost everything) around the window entirely, so the skewed
+    * window input is just the handful of mega-sources. */
+  val sourceCap = 60
+
+  def sourceCapReport(s: SparkSession, dir: String): DataFrame =
+    sourceCapReportDf(t(s, dir, "documents"))
+
+  def sourceCapReportDf(documents: DataFrame): DataFrame = {
+    val docs = documents.select("source", "doc_id", "n_chars")
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val sized = docs.join(broadcast(sizes), "source")
+    val small = sized.filter(col("n_total") <= sourceCap)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val bigKept = sized.filter(col("n_total") > sourceCap)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sourceCap)
+      .drop("rk")
+    small.unionByName(bigKept)
+      .groupBy(col("source"))
+      .agg(max(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  private val p03Sql =
+    s"""WITH ranked AS (
+       |  SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_total
+       |  FROM documents)
+       |SELECT source, MAX(n_total) AS n_total, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |FROM ranked WHERE rk <= $sourceCap GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_hash_sample"       -> hashSample _,
+    "p02_stratified_sample" -> stratifiedSample _,
+    "p03_source_cap"        -> sourceCapReport _)
+
+  val oracle: Map[String, String] = Map(
+    "p01_hash_sample"       -> p01Sql,
+    "p02_stratified_sample" -> p02Sql,
+    "p03_source_cap"        -> p03Sql)
+}
