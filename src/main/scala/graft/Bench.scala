@@ -60,14 +60,23 @@ object Bench {
         spark.catalog.clearCache() // drop any query-internal persists
         dt
       }
-      name -> times.min
+      name -> times
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // per-query rep spread: min/max + every rep, so the driver can
+    // discount throttle-window noise itself (this VM's CPU is erratic —
+    // a single high rep is host noise, not engine cost)
+    val spread = results
+      .map { case (k, v) =>
+        val repsArr = v.map(t => f"$t%.3f").mkString("[", ",", "]")
+        "\"" + k + "\":" + f"""{"min":${v.min}%.3f,"max":${v.max}%.3f,"reps":$repsArr}"""
+      }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // Known-file channel: sbt wraps stdout in [info] noise; the driver can
     // read this file instead. Defaults next to the repo so it is always found.

@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.multimodal.MultimodalQueries.queries ++
-      graft.queries.Sketches.queries ++ graft.queries.Graph.queries
+      graft.queries.Sketches.queries ++ graft.queries.Graph.queries ++
+      graft.queries.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracle ++ graft.queries.TextOps.oracle ++
       graft.queries.Dedup.oracle ++ graft.queries.Similarity.oracle ++
       graft.multimodal.MultimodalQueries.oracle ++
-      graft.queries.Sketches.oracle ++ graft.queries.Graph.oracle
+      graft.queries.Sketches.oracle ++ graft.queries.Graph.oracle ++
+      graft.queries.Sampling.oracle
 }

@@ -109,8 +109,13 @@ object Graph {
     * O(√m) — the classical bound that keeps the wedge join Σ deg⁺(u)²
     * near-linear even when the raw graph has celebrity nodes — so the
     * plan is two hash joins on node/edge keys, no quadratic hot key.
-    * The per-order pair expansion is O(order size²), bounded by the
-    * biggest single order, not the corpus.
+    * The per-order pair expansion is NOT a lineitem⋈lineitem self-join
+    * (which would shuffle the fact table twice and hash-probe it against
+    * itself): [[coPairsDf]] groups each order's parts into one sorted
+    * array (partial collect_set combines map-side) and expands the
+    * C(size, 2) pairs with array transforms — one shuffle of (orderkey,
+    * partkey) pairs total, work O(order size²) bounded by the biggest
+    * single order, not the corpus.
     *
     * The oriented edge list is consumed three times (both wedge sides +
     * the closing probe), so it is persisted once.
@@ -120,12 +125,21 @@ object Graph {
   def triangles(s: SparkSession, dir: String): DataFrame =
     trianglesDf(t(s, dir, "lineitem"))
 
-  def trianglesDf(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val li2 = li.select(col("ok").as("ok2"), col("pk").as("pk2"))
-    val edges = li.join(li2, col("ok") === col("ok2") && col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
+  /** Distinct co-purchase pairs (a < b) via per-order array expansion —
+    * join-free above the scan (pinned by PlanSpec). */
+  private[graft] def coPairsDf(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks,
+           (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                               y -> struct(x AS a, y AS b))))""")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
+
+  def trianglesDf(lineitem: DataFrame): DataFrame = {
+    val edges = coPairsDf(lineitem)
     val deg = edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

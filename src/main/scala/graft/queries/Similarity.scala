@@ -226,14 +226,38 @@ object Similarity {
   }
 
   // -------------------------------------------------------- centroids
+  /** Fixed-point scale for centroid component sums: 2^20. Multiplying a
+    * float-derived double by a power of two is EXACT (exponent shift,
+    * no mantissa rounding), FLOOR of an exact double is unambiguous in
+    * every engine, and BIGINT sums are order-independent — so the
+    * summed numerator is bit-identical regardless of partitioning,
+    * accumulation order, or engine. A plain double SUM rounds
+    * differently under Spark's vs DuckDB's accumulation order whenever
+    * the true value sits at a ROUND(·,4) boundary (the r2 s05 hash
+    * mismatch); this removes the float accumulation entirely, the same
+    * way g01's pico-rank integers do. The ≤2⁻²⁰ per-element floor bias
+    * is far below the 4-dp output precision. Overflow headroom:
+    * |v|·2²⁰ ≈ 2²⁰ per element → 2⁴³ headroom rows per (cell, dim)
+    * group before a BIGINT sum could overflow. */
+  val fpScale = 1048576L // 2^20
+
+  /** `ROUND(Σ floor(v·2²⁰) / (n·2²⁰), 4)` — one deterministic double
+    * division over exact integers; spelled identically in the SQL twins. */
+  private def fpMean(sumCol: Column, nCol: Column): Column =
+    round(sumCol / (nCol * lit(fpScale.toDouble)), 4)
+
+  private def fpMeanSql(sumExpr: String): String =
+    s"ROUND(CAST(SUM(CAST(FLOOR($sumExpr * 1048576) AS BIGINT)) AS BIGINT)" +
+      " / (COUNT(*) * 1048576.0), 4)"
+
   /** Per-label embedding centroid — the distributed vector-mean
     * primitive under k-means/IVF training (s03's seed step, done
     * properly). posexplode → one hash agg on (label, dim): partial
     * sums combine map-side, so the shuffle carries labels × dim
     * (partial_sum, count) cells regardless of corpus size — at 100 TB
-    * that is KBs per task, never vectors. Sum-order FP drift across
-    * engines is absorbed by ROUND(·,4) (values are O(1), error
-    * O(n·ε) ≈ 1e-12). */
+    * that is KBs per task, never vectors. Component sums are exact
+    * fixed-point BIGINTs ([[fpScale]]) so the result is bit-identical
+    * across engines and partitionings. */
   def centroids(s: SparkSession, dir: String): DataFrame =
     centroidsDf(t(s, dir, "embeddings"))
 
@@ -243,22 +267,22 @@ object Similarity {
         posexplode(col("embedding").cast("array<double>")))
       .toDF("label", "pos", "v")
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n_vecs"))
+      .agg(sum(floor(col("v") * fpScale)).as("sv"), count(lit(1)).as("n_vecs"))
       .select(col("label"), col("pos"),
-        round(col("sv") / col("n_vecs"), 4).as("centroid"),
+        fpMean(col("sv"), col("n_vecs")).as("centroid"),
         col("n_vecs"))
       .orderBy("label", "pos")
 
   private val centroidsSql =
-    """WITH x AS (
-      |  SELECT CAST(label AS BIGINT) AS label,
-      |    unnest(CAST(embedding AS DOUBLE[])) AS v,
-      |    generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings)
-      |SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-      |ROUND(SUM(v) / COUNT(*), 4) AS centroid,
-      |COUNT(*) AS n_vecs
-      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""WITH x AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings)
+       |SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+       |${fpMeanSql("v")} AS centroid,
+       |COUNT(*) AS n_vecs
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------ k-means step
   /** One full Lloyd iteration — seed pick → nearest-centroid assignment
@@ -289,9 +313,9 @@ object Similarity {
       .select(col("cell"), posexplode(col("v")))
       .toDF("cell", "pos", "x")
       .groupBy(col("cell"), col("pos").cast("long").as("pos"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_members"))
+      .agg(sum(floor(col("x") * fpScale)).as("sx"), count(lit(1)).as("n_members"))
       .select(col("cell"), col("pos"),
-        round(col("sx") / col("n_members"), 4).as("centroid"),
+        fpMean(col("sx"), col("n_members")).as("centroid"),
         col("n_members"))
       .orderBy("cell", "pos")
   }
@@ -363,7 +387,7 @@ object Similarity {
        |    ORDER BY sim DESC, cell) AS rk
        |  FROM sims)
        |SELECT a.cell, CAST(x.i - 1 AS BIGINT) AS pos,
-       |ROUND(SUM(x.v) / COUNT(*), 4) AS centroid,
+       |${fpMeanSql("x.v")} AS centroid,
        |COUNT(*) AS n_members
        |FROM x JOIN assign a ON x.vec_id = a.vec_id AND a.rk = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

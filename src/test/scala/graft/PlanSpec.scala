@@ -145,4 +145,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(p.contains("Generate"), p) // posexplode is a narrow Generate
   }
+
+  test("p02: md5 pre-filter sits below the per-source Window") {
+    // a bare Window.partitionBy(source) would sort one source's whole
+    // corpus in one task; the md5 threshold filter must reach the scan
+    // side so the ranked set per group stays ~4·quota regardless of size
+    val p = plan(graft.queries.Sampling.stratifiedSample(spark, sf))
+    val lines = p.linesIterator.toVector
+    val winLine = lines.indexWhere(_.contains("Window"))
+    val filterLine = lines.indexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(winLine >= 0 && filterLine >= 0, p)
+    // executedPlan prints parents first: the filter must print BELOW
+    // (after) the window operator, i.e. on the window's input side
+    assert(filterLine > winLine, p)
+  }
+
+  test("p03: only over-cap groups are ranked; small groups bypass the window") {
+    // assert on the AQE final plan only (the Initial Plan section echoes
+    // pre-runtime operators)
+    val p = plan(graft.queries.Sampling.sourceCapReport(spark, sf))
+      .split("== Initial Plan ==").head
+    // exactly one ranking operator total, on the over-cap branch — and
+    // TopKRewrite turns it into the bounded-heap TopKPerKey, so the cap
+    // never even full-sorts a mega-source partition
+    assert(p.linesIterator.count(l =>
+      l.contains("TopKPerKey") || l.contains("row_number")) == 1, p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("g02: co-purchase pair expansion is join-free above the scan") {
+    val p = plan(graft.queries.Graph.coPairsDf(
+      graft.Tables.t(spark, sf, "lineitem")))
+    assert(p.contains("collect_set"), p)
+    assert(!p.contains("Join"), "pair expansion re-introduced a self-join:\n" + p)
+  }
 }

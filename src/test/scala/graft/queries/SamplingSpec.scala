@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** p01–p03 deterministic sampling: the claims under test are
+  * reproducibility (identical output under re-partitioning — the sample
+  * IS the dataset lineage at 100 TB) and the semantic bounds (rate,
+  * quota, cap). */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = t(spark, sf, "documents")
+
+  test("p01 hash sample is invariant under input partitioning") {
+    val a = Sampling.hashSampleDf(docs).collect().toSeq
+    val b = Sampling.hashSampleDf(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("p01 keeps only docs under the md5 threshold, rate near 13/256") {
+    val n = docs.count()
+    val kept = Sampling.hashSampleDf(docs).count()
+    // binomial(n, 13/256): allow a wide band — determinism, not luck
+    val rate = kept.toDouble / n
+    assert(rate > 0.005 && rate < 0.15, s"rate $rate")
+  }
+
+  test("p02 stratified sample: per-source quota respected, ranks dense") {
+    val out = Sampling.stratifiedSampleDf(docs)
+    val bySource = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"))
+      .collect()
+    assert(bySource.nonEmpty)
+    bySource.foreach { r =>
+      assert(r.getLong(1) <= Sampling.stratQuota)
+      assert(r.getLong(2) === r.getLong(1)) // ranks 1..n, no gaps
+    }
+    // deterministic under re-partitioning
+    val again = Sampling.stratifiedSampleDf(docs.repartition(5)).collect().toSeq
+    assert(again == out.collect().toSeq)
+  }
+
+  test("p03 cap report: kept counts bounded by cap, totals preserved") {
+    val out = Sampling.sourceCapReportDf(docs).collect()
+    val truth = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(total === truth(src))
+      assert(kept === math.min(total, Sampling.sourceCap.toLong))
+    }
+    // every source appears exactly once
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+  }
+
+  test("p03 keeps the smallest doc ids (auditable cap)") {
+    // recompute the kept set the naive way and compare kept_chars
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val naive = docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Sampling.sourceCap)
+      .groupBy("source").agg(sum("n_chars").as("kept_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.sourceCapReportDf(docs).collect().foreach { r =>
+      assert(r.getLong(3) === naive(r.getString(0)))
+    }
+  }
+}
