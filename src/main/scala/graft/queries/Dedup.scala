@@ -561,6 +561,72 @@ object Dedup {
        |  ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------- train/test decontamination
+  /** d10: train/test decontamination — the pipeline stage between dedup
+    * (d01–d09) and quality gating (t08): drop every corpus document that
+    * shares ANY ≥3-token shingle with the held-out benchmark set, so
+    * eval answers can't leak into training data.
+    *
+    * The "benchmark" here is a deterministic slice of `documents`
+    * (doc_id ≡ 0 mod [[evalStride]]) standing in for an external eval
+    * suite; the output is the surviving clean corpus.
+    *
+    * Scale shape: shingles are df-pruned with the d03 stop-shingle
+    * cutoff first (a boilerplate shingle shared by millions of docs is
+    * vocabulary, not contamination — and pruning bounds the join bucket
+    * at df² exactly as in d03). The eval shingle set is the size of the
+    * benchmark suite, not the corpus, so it BROADCASTS: contamination
+    * detection is a map-side semi join over the corpus shingle stream,
+    * then one left_anti on doc_id. Nothing in the plan grows with
+    * corpus × corpus. (If the eval suite ever outgrew the broadcast
+    * threshold, drop the hint — the join degrades to a shuffle
+    * hash semi join on the shingle key, still df²-bounded.) */
+  val evalStride = 50L
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateDf(t(s, dir, "documents"))
+
+  def decontaminateDf(docs: DataFrame): DataFrame = {
+    val shAll = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
+      .distinct()
+    val keep = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh"))
+    val sh = shAll.join(keep, "sh")
+    val evalSh = sh.filter(col("doc_id") % evalStride === 0)
+      .select(col("sh")).distinct()
+    val contaminated = sh.filter(col("doc_id") % evalStride =!= 0)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % evalStride =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh_all AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM d),
+       |keep AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $maxShingleDf),
+       |sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (sh)),
+       |eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $evalStride = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % $evalStride <> 0
+       |    AND sh IN (SELECT sh FROM eval_sh))
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % $evalStride <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> exact _,
@@ -571,7 +637,8 @@ object Dedup {
     "d06_embedding_cosine" -> embeddingCosine _,
     "d07_dup_clusters"    -> dupClusters _,
     "d08_canonical_docs"  -> canonicalDocs _,
-    "d09_multi_signal"    -> multiSignal _)
+    "d09_multi_signal"    -> multiSignal _,
+    "d10_decontaminate"   -> decontaminate _)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact"     -> exactSql,
@@ -582,5 +649,6 @@ object Dedup {
     "d06_embedding_cosine" -> embeddingCosineSql,
     "d07_dup_clusters"    -> dupClustersSql,
     "d08_canonical_docs"  -> canonicalDocsSql,
-    "d09_multi_signal"    -> multiSignalSql)
+    "d09_multi_signal"    -> multiSignalSql,
+    "d10_decontaminate"   -> decontaminateSql)
 }

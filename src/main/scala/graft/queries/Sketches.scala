@@ -93,12 +93,103 @@ object Sketches {
       |FROM st JOIN ex USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** a04: portable count-min heavy hitters — per return flag, sketch the
+    * supplier stream with [[PortableCountMin]] (one 8 KB state per
+    * group), then report the [[cmsTopN]] exact-heaviest suppliers with
+    * their count-min estimates side by side. The whole counter array is
+    * md5'd into the output, so the oracle hash-checks the sketch state
+    * itself, not just the estimates (the a03 contract).
+    *
+    * Scale: the sketch agg shuffles 8 KB per group total; the exact
+    * top-k (here as the accuracy reference) is a partial-agged count +
+    * per-key top-k — at 100 TB you would keep only the sketch side and
+    * probe candidate keys against it, which is exactly the join shape
+    * below (3-row sketch relation broadcast). */
+  val cmsTopN = 5
+
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableCountMin
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(PortableCountMin.portableCms(col("l_suppkey").cast("string"))
+        .as("sketch"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+    val top = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cmsTopN)
+    top.join(broadcast(sk), "l_returnflag")
+      .select(col("l_returnflag"), col("rk"), col("l_suppkey"),
+        col("exact_cnt"),
+        PortableCountMin.estimate(col("sketch"),
+          col("l_suppkey").cast("string")).as("cms_est"),
+        md5(concat_ws(",", col("sketch").cast("array<string>")))
+          .as("sketch_md5"))
+      .orderBy("l_returnflag", "rk")
+  }
+
+  /** DuckDB twin of the count-min: same md5-derived buckets (strpos on
+    * the first two hex chars), a densified (flag, d, bucket) counter
+    * grid (zeros included — the sketch md5 covers every counter), and
+    * min-over-rows point estimates for the exact top keys. */
+  private val cmsHeavyHittersSql = {
+    import graft.functions.PortableCountMin.{depth, width}
+    val bucketOf = (dExpr: String, kExpr: String) =>
+      s"""((strpos('0123456789abcdef', substring(md5($dExpr || ':' || $kExpr), 1, 1)) - 1) * 16 +
+         | (strpos('0123456789abcdef', substring(md5($dExpr || ':' || $kExpr), 2, 1)) - 1))""".stripMargin
+    s"""WITH hits AS (
+       |  SELECT l_returnflag, dd.d AS d,
+       |    ${bucketOf("CAST(dd.d AS VARCHAR)", "CAST(l_suppkey AS VARCHAR)")} AS bucket
+       |  FROM lineitem
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd),
+       |grid AS (
+       |  SELECT f.l_returnflag, dd.d, bb.bucket
+       |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${width - 1})) AS bucket) bb),
+       |counters AS (
+       |  SELECT g.l_returnflag, g.d, g.bucket,
+       |    COALESCE(h.c, 0) AS c
+       |  FROM grid g LEFT JOIN (
+       |    SELECT l_returnflag, d, bucket, COUNT(*) AS c
+       |    FROM hits GROUP BY 1, 2, 3) h
+       |  ON g.l_returnflag = h.l_returnflag AND g.d = h.d AND g.bucket = h.bucket),
+       |sketch AS (
+       |  SELECT l_returnflag,
+       |    md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY d, bucket)) AS sketch_md5
+       |  FROM counters GROUP BY 1),
+       |exact AS (
+       |  SELECT l_returnflag, l_suppkey, COUNT(*) AS exact_cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |top AS (
+       |  SELECT l_returnflag, l_suppkey, exact_cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |      ORDER BY exact_cnt DESC, l_suppkey) AS BIGINT) AS rk
+       |  FROM exact),
+       |est AS (
+       |  SELECT t.l_returnflag, t.rk, t.l_suppkey, t.exact_cnt,
+       |    CAST(MIN(c.c) AS BIGINT) AS cms_est
+       |  FROM top t JOIN counters c
+       |    ON c.l_returnflag = t.l_returnflag
+       |   AND c.bucket = ${bucketOf("CAST(c.d AS VARCHAR)", "CAST(t.l_suppkey AS VARCHAR)")}
+       |  WHERE t.rk <= $cmsTopN
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT e.l_returnflag, e.rk, e.l_suppkey, e.exact_cnt, e.cms_est,
+       |  s.sketch_md5
+       |FROM est e JOIN sketch s ON e.l_returnflag = s.l_returnflag
+       |ORDER BY e.l_returnflag, e.rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
-    "a03_portable_hll" -> portableHllDistinct _)
+    "a03_portable_hll" -> portableHllDistinct _,
+    "a04_cms_heavy_hitters" -> cmsHeavyHitters _)
 
-  /** a01/a02 rows-only (native sketches aren't portable); a03 is. */
+  /** a01/a02 rows-only (native sketches aren't portable); a03/a04 are. */
   val oracle: Map[String, String] = Map(
-    "a03_portable_hll" -> portableHllSql)
+    "a03_portable_hll" -> portableHllSql,
+    "a04_cms_heavy_hitters" -> cmsHeavyHittersSql)
 }

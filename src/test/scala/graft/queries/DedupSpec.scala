@@ -116,6 +116,30 @@ class DedupSpec extends SparkSpec {
     assert(solo(1L) === ((1L, 1L))) // keep=1 doc is its own canonical
   }
 
+  test("decontamination drops corpus docs sharing a shingle with the eval slice") {
+    // eval slice = doc_id % 50 == 0 → docs 0 and 50.
+    // doc 1 shares a 3-token shingle with eval doc 0 → contaminated.
+    // doc 3 is a verbatim copy of eval doc 50 → contaminated.
+    // doc 2 shares nothing → survives.
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "prefix alpha beta gamma suffix words that differ wholly here"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (50L, "red green blue cyan magenta yellow black white grey pink"),
+      (3L, "red green blue cyan magenta yellow black white grey pink"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val kept = Dedup.decontaminateDf(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+    // partition invariance: the sample IS the lineage
+    val again = Dedup.decontaminateDf(corpus.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("ngram jaccard prunes stop-shingles: a shingle in every doc is not a hot key") {
     // 120 docs that share ONLY one boilerplate shingle (df=120 >
     // maxShingleDf): without the df-cutoff this yields 120·119/2 pairs

@@ -45,4 +45,27 @@ class SketchesSpec extends SparkSpec {
     }
     assert(state(1) === state(13))
   }
+
+  test("count-min: estimate dominates the exact count and is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableCountMin.portableCms
+    val rows = Sketches.cmsHeavyHitters(spark, sf)
+      .select("exact_cnt", "cms_est").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // count-min never underestimates
+    rows.foreach { case (exact, est) =>
+      assert(est >= exact, s"est=$est exact=$exact")
+    }
+    // counter add is commutative/associative: the sketch state must not
+    // depend on how the input is partitioned
+    def state(nPart: Int): Seq[(String, String)] = {
+      val df = graft.Tables.t(spark, sf, "lineitem").repartition(nPart)
+      df.groupBy(col("l_returnflag"))
+        .agg(portableCms(col("l_suppkey").cast("string")).as("sk"))
+        .select(col("l_returnflag"),
+          md5(concat_ws(",", col("sk").cast("array<string>"))).as("m"))
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+    }
+    assert(state(1) === state(13))
+  }
 }
