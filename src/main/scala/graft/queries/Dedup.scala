@@ -40,7 +40,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("text_md5")
 
-  private val exactSql =
+  private[queries] val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
 
@@ -608,7 +608,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val decontaminateSql =
+  private[queries] val decontaminateSql =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh_all AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(

@@ -838,24 +838,37 @@ object Relational {
 
   // ---------------------------------------------------------------- q33
   /** Fuzzy (approximate string) join — the entity-resolution primitive:
-    * name pairs within levenshtein ≤ 4. Scale shape: DISTINCT names
-    * first (fuzzy-join the vocabulary, not the rows — candidate pairs
-    * scale with distinct values, and row-level matches map back by
-    * equi-join), bucket by a stable token so the pair space is
-    * per-bucket, and a length-difference prefilter (a necessary
-    * levenshtein condition) cuts candidates before the O(mn) metric
-    * runs. Integer edit distance ⇒ exact parity. */
+    * same-token name pairs within levenshtein ≤ 4. Scale shape:
+    * DISTINCT names first (fuzzy-join the vocabulary, not the rows —
+    * candidate pairs scale with distinct values, and row-level matches
+    * map back by equi-join); candidates come from a COMPOUND
+    * (token, length-band) key, not the bare token — a skewed token
+    * distribution ("the most common second word") would re-create a
+    * quadratic hot bucket at scale, and the length band caps every
+    * bucket at names-with-that-token within one ~2·(maxDist+1)-char
+    * length window. Banding is OVERLAPPING (each name emits
+    * ⌊len/5⌋ and ⌊len/5⌋+1) so any pair within the length-difference
+    * prefilter — a necessary levenshtein condition — still shares ≥1
+    * band: results are identical to the unbanded join, which is why
+    * the DuckDB twin can stay on the plain token bucket. Double-banded
+    * matches dedupe BEFORE the O(mn) metric runs. Integer edit
+    * distance ⇒ exact parity. */
   val fuzzyMaxDistance = 4
 
   def q33FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val names = t(s, dir, "part").select(col("p_name")).distinct()
-      .withColumn("bucket", split(col("p_name"), " ").getItem(1))
-    names.as("a").join(names.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+      .withColumn("tok", split(col("p_name"), " ").getItem(1))
+      .withColumn("g", expr(s"length(p_name) div ${fuzzyMaxDistance + 1}"))
+    val banded = names.select(col("p_name"), col("tok"),
+      explode(array(col("g"), col("g") + 1)).as("lb"))
+    banded.as("a").join(banded.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lb") === col("b.lb") &&
         col("a.p_name") < col("b.p_name") &&
         abs(length(col("a.p_name")) - length(col("b.p_name"))) <= fuzzyMaxDistance)
-      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("lev"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("lev") <= fuzzyMaxDistance)
       .orderBy("name_a", "name_b")
   }
@@ -1132,6 +1145,75 @@ object Relational {
       |WHERE sn.n_name <> cn.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Correlated SCALAR subqueries in SELECT — the remaining subquery
+    * form next to q28 (IN) and q34 (EXISTS): per-customer order count
+    * and max order value, written as two correlated `(SELECT agg ...)`
+    * expressions. Catalyst's decorrelation must turn BOTH into ONE
+    * aggregate-below-left-outer-join (no per-row re-execution —
+    * PlanSpec pins the absence of a subquery node and the LeftOuter),
+    * so at 100 TB this is a hash agg on o_custkey plus one shuffle
+    * join, not |customer| scans of orders. COALESCE gives order-less
+    * customers exact zeros. */
+  def q41ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("g41_customer")
+    t(s, dir, "orders").createOrReplaceTempView("g41_orders")
+    s.sql("""
+      |SELECT c_custkey,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM g41_orders o
+      |                 WHERE o.o_custkey = c.c_custkey), 0) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE((SELECT MAX(o_totalprice) FROM g41_orders o
+      |                 WHERE o.o_custkey = c.c_custkey), 0.0) AS DOUBLE) AS max_order
+      |FROM g41_customer c
+      |WHERE c_custkey % 7 = 0
+      |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q41Sql =
+    """SELECT c_custkey,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM orders o
+      |                 WHERE o.o_custkey = c.c_custkey), 0) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE((SELECT MAX(o_totalprice) FROM orders o
+      |                 WHERE o.o_custkey = c.c_custkey), 0.0) AS DOUBLE) AS max_order
+      |FROM customer c
+      |WHERE c_custkey % 7 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** ntile quantile bucketing — the "split each group into k equal
+    * cohorts" window (training-mix curricula bucket documents by
+    * quality score exactly like this). ntile is deterministic only
+    * under a TOTAL order, so the orderkey tiebreak matters (the
+    * synthetic tables carry intentional duplicate prices). One window
+    * + one hash agg; the window partitions by priority so no global
+    * sort. */
+  val ntileBuckets = 4
+
+  def q42Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(ntileBuckets).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).cast("double").as("lo"),
+        max(col("o_totalprice")).cast("double").as("hi"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  private val q42Sql =
+    s"""WITH q AS (
+       |  SELECT o_orderpriority,
+       |    NTILE($ntileBuckets) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice, o_orderkey) AS quartile,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+       |  COUNT(*) AS n_orders,
+       |  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1173,7 +1255,9 @@ object Relational {
     "q37_string_agg"      -> q37StringAgg _,
     "q38_ignore_nulls"    -> q38IgnoreNulls _,
     "q39_percent_rank"    -> q39PercentRank _,
-    "q40_nation_pairs"    -> q40NationPairs _)
+    "q40_nation_pairs"    -> q40NationPairs _,
+    "q41_scalar_subquery" -> q41ScalarSubquery _,
+    "q42_ntile"           -> q42Ntile _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1215,5 +1299,7 @@ object Relational {
     "q37_string_agg"      -> q37Sql,
     "q38_ignore_nulls"    -> q38Sql,
     "q39_percent_rank"    -> q39Sql,
-    "q40_nation_pairs"    -> q40Sql)
+    "q40_nation_pairs"    -> q40Sql,
+    "q41_scalar_subquery" -> q41Sql,
+    "q42_ntile"           -> q42Sql)
 }

@@ -128,14 +128,119 @@ object Sampling {
        |FROM ranked WHERE rk <= $sourceCap GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** p04: temperature-flattened source mixing — per-source sampling
+    * rate ∝ √(source size), normalized to the biggest source (the
+    * standard size^α rebalancing, α = 1/2, that stops one mega-crawl
+    * from dominating a multilingual/multi-source training mix while
+    * still over-representing bigger sources).
+    *
+    * Portability: the only float ops are IEEE-correctly-rounded sqrt
+    * and one division/multiplication chain spelled identically in both
+    * engines, collapsed to an integer threshold by FLOOR — after that
+    * the keep decision is `md5-16-bit(doc_id) < threshold`, pure
+    * integers. Per-doc selection never looks at another row: a
+    * map-side filter against a broadcast (source → threshold) table
+    * of |sources| rows. */
+  val mixScale = 65536L
+
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixDf(t(s, dir, "documents"))
+
+  def temperatureMixDf(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("source"), col("doc_id"), col("n_chars"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val nmax = sizes.agg(max(col("n_total")).as("n_max"))
+    val thr = sizes.crossJoin(broadcast(nmax))
+      .withColumn("mix_threshold",
+        floor(lit(mixScale.toDouble) * (sqrt(col("n_total")) / sqrt(col("n_max")))))
+      .select(col("source"), col("n_total"), col("mix_threshold"))
+    val kept = docs
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .join(broadcast(thr.select("source", "mix_threshold")), "source")
+      .filter(col("u") < col("mix_threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    thr.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("mix_threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  private val p04Sql = {
+    // 16-bit integer from the first 4 md5 hex chars, strpos-built
+    val u = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    s"""WITH sizes AS (
+       |  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+       |mx AS (SELECT MAX(n_total) AS n_max FROM sizes),
+       |thr AS (
+       |  SELECT source, n_total,
+       |    CAST(FLOOR(65536.0 * (sqrt(n_total) / sqrt(n_max))) AS BIGINT)
+       |      AS mix_threshold
+       |  FROM sizes CROSS JOIN mx),
+       |kept AS (
+       |  SELECT d.source, COUNT(*) AS n_kept,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+       |  FROM documents d JOIN thr ON d.source = thr.source
+       |  WHERE $u < thr.mix_threshold
+       |  GROUP BY d.source)
+       |SELECT t.source, t.n_total, t.mix_threshold,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.kept_chars, 0) AS kept_chars
+       |FROM thr t LEFT JOIN kept k ON t.source = k.source
+       |ORDER BY t.source""".stripMargin
+  }
+
+  /** p05: the training-data manifest — the capstone composition of the
+    * pipeline stages this library ships: a document makes the cut iff
+    * it is (1) the exact-dedup keeper of its content (d01), (2) past
+    * the quality gate (t08), and (3) clear of eval contamination (d10).
+    * Three left_semi joins on doc_id — each stage's shape is its own
+    * (already verified) plan; the composition adds only narrow id
+    * joins, so the manifest costs the sum of its stages, not a new
+    * quadratic. Output carries the token count a mix scheduler needs. */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame =
+    trainingManifestDf(t(s, dir, "documents"))
+
+  def trainingManifestDf(docs: DataFrame): DataFrame = {
+    val keepers = Dedup.exactDf(docs).select(col("keeper").as("doc_id"))
+    val quality = TextOps.qualityGateDf(docs)
+      .filter(col("keep") === 1L).select("doc_id")
+    val clean = Dedup.decontaminateDf(docs).select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val p05Sql =
+    s"""SELECT d.doc_id, d.lang, d.source,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |FROM documents d
+       |WHERE d.doc_id IN (SELECT keeper FROM (${Dedup.exactSql}) k)
+       |  AND d.doc_id IN (SELECT doc_id FROM (${TextOps.qualityGateSql}) q
+       |                   WHERE q.keep = 1)
+       |  AND d.doc_id IN (SELECT doc_id FROM (${Dedup.decontaminateSql}) c)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_sample"       -> hashSample _,
     "p02_stratified_sample" -> stratifiedSample _,
-    "p03_source_cap"        -> sourceCapReport _)
+    "p03_source_cap"        -> sourceCapReport _,
+    "p04_temperature_mix"   -> temperatureMix _,
+    "p05_training_manifest" -> trainingManifest _)
 
   val oracle: Map[String, String] = Map(
     "p01_hash_sample"       -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
-    "p03_source_cap"        -> p03Sql)
+    "p03_source_cap"        -> p03Sql,
+    "p04_temperature_mix"   -> p04Sql,
+    "p05_training_manifest" -> p05Sql)
 }

@@ -278,7 +278,7 @@ object TextOps {
         col("reason"))
       .orderBy("doc_id")
 
-  private val qualityGateSql =
+  private[queries] val qualityGateSql =
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |st AS (
@@ -360,7 +360,52 @@ object TextOps {
        |JOIN ucnt ub ON string_split(b.bg, ' ')[2] = ub.tok, t1, t2
        |ORDER BY pmi DESC, bigram LIMIT $pmiTopK""".stripMargin
 
+  // ------------------------------------------------------------- t10
+  /** Text normalization + dedup-gain report: per source, how many MORE
+    * duplicates appear once text is canonicalized — (a) case/punct
+    * normalization (lower, strip non-alphanumerics, collapse spaces)
+    * and (b) a token-bag fingerprint (sorted tokens — reorder-invariant,
+    * the cheap "same words shuffled" detector next to d01's verbatim
+    * md5). `uniq_raw ≥ uniq_norm ≥ uniq_bag` by construction; the gaps
+    * are the dedup gain each normalization level buys, which is how a
+    * pipeline decides whether canonicalization is worth a pass at
+    * 100 TB. All per-doc work is codegen'd string ops in one
+    * projection; the only shuffle is the per-source distinct-count
+    * agg (md5 fingerprints, never text). */
+  def normalizeGain(s: SparkSession, dir: String): DataFrame =
+    normalizeGainDf(t(s, dir, "documents"))
+
+  def normalizeGainDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .withColumn("bag",
+        array_join(array_sort(split(col("norm"), " ")), " "))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("uniq_raw"),
+        countDistinct(md5(col("norm"))).as("uniq_norm"),
+        countDistinct(md5(col("bag"))).as("uniq_bag"))
+      .orderBy("source")
+
+  private val normalizeGainSql =
+    """WITH n AS (
+      |  SELECT source, text,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, text, norm,
+      |    array_to_string(list_sort(string_split(norm, ' ')), ' ') AS bag
+      |  FROM n)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq_raw,
+      |  CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS uniq_norm,
+      |  CAST(COUNT(DISTINCT md5(bag)) AS BIGINT) AS uniq_bag
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_normalize_gain" -> normalizeGain _,
     "t09_collocations"  -> collocations _,
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
@@ -380,5 +425,6 @@ object TextOps {
     "t06_fingerprint"   -> fingerprintSql,
     "t07_tfidf"         -> tfidfSql,
     "t08_quality_gate"  -> qualityGateSql,
-    "t09_collocations"  -> collocationsSql)
+    "t09_collocations"  -> collocationsSql,
+    "t10_normalize_gain" -> normalizeGainSql)
 }

@@ -174,6 +174,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q41: scalar subqueries decorrelate — no per-row subquery execution") {
+    val p = plan(Relational.q41ScalarSubquery(spark, sf))
+    // both correlated aggregates become aggregate-below-outer-join
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("Subquery subquery"), p)
+    assert(p.contains("partial_count") || p.contains("partial_max"), p)
+  }
+
+  test("q33: fuzzy-join candidates key on (token, length-band), not the bare token") {
+    val p = plan(Relational.q33FuzzyJoin(spark, sf))
+    // the banded length bucket must be part of the equi-join key, so a
+    // skewed token alone can never form a quadratic hot bucket
+    assert(p.contains("lb#"), p)
+  }
+
   test("g02: co-purchase pair expansion is join-free above the scan") {
     val p = plan(graft.queries.Graph.coPairsDf(
       graft.Tables.t(spark, sf, "lineitem")))
