@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.PortableHll
@@ -182,14 +182,130 @@ object Sketches {
        |ORDER BY e.l_returnflag, e.rk""".stripMargin
   }
 
+  /** a05: portable histogram quantiles — the engine-portable answer to
+    * a02's native (rows-only) quantile sketch: a fixed
+    * [[histBuckets]]-cell equi-width histogram per order status, with
+    * p50/p95/p99 estimated by the first bucket whose running count
+    * crosses the rank. Every ingredient is deterministic in both
+    * engines (one min/max scan for the edges, integer bucket counts,
+    * integral rank thresholds), so unlike percentile_approx the whole
+    * result carries a cell-exact oracle.
+    *
+    * Scale: the histogram is a partial-agged count on (status, bucket)
+    * — ≤ statuses × [[histBuckets]] cells of shuffle regardless of row
+    * count — and the quantile walk happens on those cells, never a
+    * global sort of the data (that is q27's exact-median job; this is
+    * the 100 TB profiling pass). */
+  val histBuckets = 128
+
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("double").as("x"))
+    val rng = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val h = o.crossJoin(broadcast(rng))
+      .withColumn("b", least(lit(histBuckets - 1),
+        floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(histBuckets.toDouble))).cast("int")))
+      .groupBy(col("st"), col("b")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("st")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(wcum))
+    val tot = cum.groupBy(col("st")).agg(max(col("cum")).as("n"))
+    def pickB(p: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(p)), col("b")))
+    def edge(b: Column) =
+      col("lo") + b * ((col("hi") - col("lo")) / lit(histBuckets.toDouble))
+    cum.join(broadcast(tot), "st")
+      .groupBy(col("st"))
+      .agg(max(col("n")).as("n"), pickB(0.5).as("b50"),
+        pickB(0.95).as("b95"), pickB(0.99).as("b99"))
+      .crossJoin(broadcast(rng))
+      .select(col("st").as("o_orderstatus"), col("n"),
+        edge(col("b50")).as("est_p50"),
+        edge(col("b95")).as("est_p95"),
+        edge(col("b99")).as("est_p99"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val histogramQuantilesSql =
+    s"""WITH o AS (
+       |  SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS x
+       |  FROM orders),
+       |rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM o),
+       |h AS (
+       |  SELECT st, LEAST(${histBuckets - 1},
+       |    CAST(FLOOR((x - lo) / ((hi - lo) / $histBuckets.0)) AS INT)) AS b,
+       |    COUNT(*) AS c
+       |  FROM o CROSS JOIN rng GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT st, b, SUM(c) OVER (PARTITION BY st ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM h),
+       |tot AS (SELECT st, MAX(cum) AS n FROM cum GROUP BY st),
+       |pick AS (
+       |  SELECT c.st, MAX(t.n) AS n,
+       |    MIN(CASE WHEN c.cum >= CEIL(t.n * 0.5) THEN c.b END) AS b50,
+       |    MIN(CASE WHEN c.cum >= CEIL(t.n * 0.95) THEN c.b END) AS b95,
+       |    MIN(CASE WHEN c.cum >= CEIL(t.n * 0.99) THEN c.b END) AS b99
+       |  FROM cum c JOIN tot t ON c.st = t.st GROUP BY c.st)
+       |SELECT p.st AS o_orderstatus, CAST(p.n AS BIGINT) AS n,
+       |  lo + p.b50 * ((hi - lo) / $histBuckets.0) AS est_p50,
+       |  lo + p.b95 * ((hi - lo) / $histBuckets.0) AS est_p95,
+       |  lo + p.b99 * ((hi - lo) / $histBuckets.0) AS est_p99
+       |FROM pick p CROSS JOIN rng ORDER BY o_orderstatus""".stripMargin
+
+  /** a06: join-key skew profile — the pre-flight check before any
+    * 100 TB join: per candidate key, distinct-key count, the hottest
+    * key's row count, and the max/mean skew ratio (the number that
+    * decides between a plain hash join, AQE skew splitting, and
+    * [[graft.operators.Skew.saltedJoin]]). One partial-agged groupBy
+    * per key — the per-key count relation never leaves the executors;
+    * the profile rows are 3 × a handful of scalars. */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def prof(k: String): DataFrame =
+      li.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_cnt"))
+        .select(lit(k).as("join_key"), col("n_rows"), col("n_distinct"),
+          col("max_cnt"),
+          round(col("n_rows").cast("double") / col("n_distinct"), 4)
+            .as("avg_cnt"),
+          round(col("max_cnt").cast("double") * col("n_distinct") / col("n_rows"), 4)
+            .as("skew_ratio"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(prof)
+      .reduce(_ unionByName _)
+      .orderBy("join_key")
+  }
+
+  private val skewProfileSql = {
+    val one = (k: String) =>
+      s"""SELECT '$k' AS join_key,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(MAX(c) AS BIGINT) AS max_cnt,
+         |  ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS avg_cnt,
+         |  ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4) AS skew_ratio
+         |FROM (SELECT $k, COUNT(*) AS c FROM lineitem GROUP BY $k)""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
     "a03_portable_hll" -> portableHllDistinct _,
-    "a04_cms_heavy_hitters" -> cmsHeavyHitters _)
+    "a04_cms_heavy_hitters" -> cmsHeavyHitters _,
+    "a05_hist_quantiles" -> histogramQuantiles _,
+    "a06_skew_profile" -> skewProfile _)
 
-  /** a01/a02 rows-only (native sketches aren't portable); a03/a04 are. */
+  /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
     "a03_portable_hll" -> portableHllSql,
-    "a04_cms_heavy_hitters" -> cmsHeavyHittersSql)
+    "a04_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "a05_hist_quantiles" -> histogramQuantilesSql,
+    "a06_skew_profile" -> skewProfileSql)
 }
