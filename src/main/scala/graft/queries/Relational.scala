@@ -1214,6 +1214,84 @@ object Relational {
        |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** LATERAL correlated subquery in FROM — the "top-1 related row per
+    * outer row" idiom (DuckDB/Postgres users write exactly this).
+    * Catalyst plans the correlated ORDER BY ... LIMIT 1 via
+    * DecorrelateInnerQuery into a ranked join — one shuffle + one
+    * window/heap on o_custkey — never |customer| subquery executions.
+    * INNER lateral semantics drop order-less customers (the COALESCE
+    * path is q41's job). */
+  def q43Lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("g43_customer")
+    t(s, dir, "orders").createOrReplaceTempView("g43_orders")
+    s.sql("""
+      |SELECT c.c_custkey, t.top_price, t.top_orderkey
+      |FROM g43_customer c,
+      |LATERAL (SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_orderkey
+      |         FROM g43_orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) t
+      |WHERE c.c_custkey % 11 = 0
+      |ORDER BY c.c_custkey""".stripMargin)
+      .selectExpr("c_custkey", "CAST(top_price AS DOUBLE) AS top_price",
+        "top_orderkey")
+  }
+
+  private val q43Sql =
+    """SELECT c.c_custkey, CAST(t.top_price AS DOUBLE) AS top_price,
+      |  t.top_orderkey
+      |FROM customer c,
+      |LATERAL (SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_orderkey
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) t
+      |WHERE c.c_custkey % 11 = 0
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Generated calendar dimension + gap fill — reporting over sparse
+    * facts needs every period present, so the week dim is GENERATED
+    * (sequence/explode — Spark's Range/Generate, no table scan), the
+    * fact side pre-aggregates to one row per week BEFORE the join, and
+    * the generated side left-joins it with COALESCE zeros. At 100 TB
+    * the join touches |weeks| rows on one side and |weeks| pre-agged
+    * rows on the other — the dim is broadcast-trivial by construction.
+    * Week arithmetic is integer days-since-epoch DIV 7 (no timezone,
+    * no DATE_TRUNC dialect drift). */
+  def q44CalendarFill(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select((datediff(col("o_orderdate"), lit("1970-01-01")) / 7)
+          .cast("long").as("week"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val byWeek = o.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
+    val bounds = o.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+    val weeks = bounds
+      .select(explode(expr("sequence(w0, w1)")).as("week"))
+    weeks.join(byWeek, Seq("week"), "left")
+      .select(col("week"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy("week")
+  }
+
+  private val q44Sql =
+    """WITH o AS (
+      |  SELECT CAST(datediff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS week,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |by_week AS (
+      |  SELECT week, COUNT(*) AS n_orders, SUM(p) AS rev FROM o GROUP BY week),
+      |bounds AS (SELECT MIN(week) AS w0, MAX(week) AS w1 FROM o),
+      |weeks AS (
+      |  SELECT unnest(generate_series(w0, w1)) AS week FROM bounds)
+      |SELECT w.week,
+      |  COALESCE(b.n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(b.rev, 0) AS DOUBLE) AS revenue
+      |FROM weeks w LEFT JOIN by_week b ON w.week = b.week
+      |ORDER BY w.week""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1257,7 +1335,9 @@ object Relational {
     "q39_percent_rank"    -> q39PercentRank _,
     "q40_nation_pairs"    -> q40NationPairs _,
     "q41_scalar_subquery" -> q41ScalarSubquery _,
-    "q42_ntile"           -> q42Ntile _)
+    "q42_ntile"           -> q42Ntile _,
+    "q43_lateral"         -> q43Lateral _,
+    "q44_calendar_fill"   -> q44CalendarFill _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1301,5 +1381,7 @@ object Relational {
     "q39_percent_rank"    -> q39Sql,
     "q40_nation_pairs"    -> q40Sql,
     "q41_scalar_subquery" -> q41Sql,
-    "q42_ntile"           -> q42Sql)
+    "q42_ntile"           -> q42Sql,
+    "q43_lateral"         -> q43Sql,
+    "q44_calendar_fill"   -> q44Sql)
 }

@@ -189,6 +189,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("lb#"), p)
   }
 
+  test("d10: eval shingles broadcast into a semi join; clean set is a LeftAnti") {
+    val p = plan(Dedup.decontaminate(spark, sf))
+    // contamination detection must be a map-side broadcast semi join on
+    // the shingle key, then an anti join on doc_id — nothing corpus²
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("a04: count-min partial-aggregates map-side; sketch relation broadcasts") {
+    val p = plan(graft.queries.Sketches.cmsHeavyHitters(spark, sf))
+    assert(p.contains("partial_graft_portable_cms") ||
+      (p.contains("graft_portable_cms") && p.contains("ObjectHashAggregate")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("g02: co-purchase pair expansion is join-free above the scan") {
     val p = plan(graft.queries.Graph.coPairsDf(
       graft.Tables.t(spark, sf, "lineitem")))

@@ -48,4 +48,21 @@ class EmptyInputSpec extends SparkSpec {
     val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
     assert(Graph.pageRankDf(noLi, noOrd).count() === 0)
   }
+
+  test("sampling / decontamination / manifest yield zero rows on an empty corpus") {
+    val noFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Sampling.hashSampleDf(noFull).count() === 0)
+    assert(Sampling.stratifiedSampleDf(noFull).count() === 0)
+    assert(Sampling.sourceCapReportDf(noFull).count() === 0)
+    assert(Sampling.temperatureMixDf(noFull).count() === 0)
+    assert(Sampling.trainingManifestDf(noFull).count() === 0)
+    assert(Dedup.decontaminateDf(noFull).count() === 0)
+    assert(TextOps.normalizeGainDf(noFull).count() === 0)
+  }
+
+  test("triangle counting yields zero rows on an empty lineitem") {
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(Graph.trianglesDf(noLi).count() === 0)
+  }
 }
