@@ -392,18 +392,125 @@ object Similarity {
        |FROM x JOIN assign a ON x.vec_id = a.vec_id AND a.rk = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- product quantization ANN
+  /** s06: product-quantization (PQ) ANN — the vector-COMPRESSION path
+    * next to s02's bucketing and s03's inverted file: each vector is
+    * encoded as [[pqM]] sub-vector codes against a [[pqCodes]]-entry
+    * codebook (deterministic: the first [[pqCodes]] vectors' sub-slices,
+    * the IVF seed convention), and queries score candidates by
+    * asymmetric distance computation (ADC): approx dist = Σ_m
+    * dist(query-sub_m, codebook[code_m]) — table lookups instead of
+    * full-dimension arithmetic.
+    *
+    * Portability: every distance is an exact fixed-point BIGINT —
+    * per-element (v−c)² is a deterministic double (two IEEE ops on
+    * float-derived values), ×2²⁰ is an exact exponent shift, FLOOR is
+    * unambiguous, and from there everything (sub-distance sums, argmin
+    * encode with code-id tiebreak, ADC sums, ranking) is integer
+    * arithmetic — no rounding boundary anywhere, so the whole index +
+    * search carries a cell-exact oracle.
+    *
+    * Scale: the codebook is K×D broadcast KBs; encoding is one narrow
+    * join + partial-agged hash agg + per-(vec, m) bounded argmin; the
+    * stored index is M small codes per vector (the PQ win: 4 bytes vs
+    * 256 bytes of floats per vector — at 100 TB the index fits where
+    * raw vectors can't). ADC scoring is bounded by the s01-style hard
+    * query cap; the real-system composition (IVF cell routing before
+    * ADC, s03 ∘ s06) divides it by cells/probes. */
+  val pqM = 4
+  val pqSubDim = 16 // embeddings are 64-dim; last sub-vector absorbs any remainder
+  val pqCodes = 8
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    pqTopKDf(t(s, dir, "embeddings"))
+
+  def pqTopKDf(embs: DataFrame): DataFrame = {
+    val cells = embs
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "i", "v")
+      .withColumn("m", (col("i") / pqSubDim).cast("int"))
+    val cb = cells.filter(col("vec_id") < pqCodes)
+      .select(col("vec_id").cast("int").as("k"), col("i").as("ci"),
+        col("v").as("cv"))
+    val dists = cells.join(broadcast(cb), col("i") === col("ci"))
+      .withColumn("t", floor(
+        (col("v") - col("cv")) * (col("v") - col("cv")) * lit(1048576.0))
+        .cast("long"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum(col("t")).as("d"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("k"))
+    val codes = dists
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val qd = dists.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("k").as("qk"), col("d"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    codes.join(qd, col("m") === col("qm") && col("code") === col("qk") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("approx_dist"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val pqSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, i - 1 AS i0,
+       |    CAST((i - 1) // $pqSubDim AS INT) AS m, v
+       |  FROM x),
+       |cb AS (SELECT vec_id AS k, i0 AS ci, v AS cv FROM cells
+       |       WHERE vec_id < $pqCodes),
+       |dists AS (
+       |  SELECT c.vec_id, c.m, cb.k,
+       |    CAST(SUM(CAST(FLOOR((c.v - cb.cv) * (c.v - cb.cv) * 1048576.0)
+       |      AS BIGINT)) AS BIGINT) AS d
+       |  FROM cells c JOIN cb ON c.i0 = cb.ci
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |qd AS (
+       |  SELECT vec_id AS query_id, m, k, d FROM dists
+       |  WHERE vec_id % $queryStride = 0
+       |    AND vec_id < ${queryStride.toLong * maxQueries}),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(q.d) AS BIGINT) AS approx_dist
+       |  FROM codes c JOIN qd q ON c.m = q.m AND c.code = q.k
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, approx_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM approx)
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> bruteForceTopK _,
     "s02_topk_lsh"        -> lshTopK _,
     "s03_topk_ivf"        -> ivfTopK _,
     "s04_centroids"       -> centroids _,
-    "s05_kmeans_step"     -> kmeansStep _)
+    "s05_kmeans_step"     -> kmeansStep _,
+    "s06_topk_pq"         -> pqTopK _)
 
   val oracle: Map[String, String] = Map(
     "s01_topk_bruteforce" -> bruteForceSql,
     "s02_topk_lsh"        -> lshSql,
     "s03_topk_ivf"        -> ivfSql,
     "s04_centroids"       -> centroidsSql,
-    "s05_kmeans_step"     -> kmeansSql)
+    "s05_kmeans_step"     -> kmeansSql,
+    "s06_topk_pq"         -> pqSql)
 }

@@ -51,6 +51,19 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("PQ top-k is bit-exact under re-partitioning; distances rank monotonically") {
+    val a = Similarity.pqTopKDf(clustered).collect().toSeq
+    val b = Similarity.pqTopKDf(clustered.repartition(7)).collect().toSeq
+    assert(a == b) // integer ADC ⇒ partition-invariant, like g01/d07
+    assert(a.nonEmpty)
+    a.map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).foreach { case (_, g) =>
+        assert(g.size === Similarity.topK)
+        val byRank = g.sortBy(_._3).map(_._2)
+        assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y })
+      }
+  }
+
   test("cosine scores are rounded, in [-1, 1], ranked descending") {
     val rows = Similarity.bruteForceTopKDf(clustered)
       .as[(Long, Long, Double, Long)].collect()

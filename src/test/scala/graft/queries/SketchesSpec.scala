@@ -46,6 +46,29 @@ class SketchesSpec extends SparkSpec {
     assert(state(1) === state(13))
   }
 
+  test("a05: histogram quantile estimates bracket the exact disc quantiles") {
+    import org.apache.spark.sql.functions._
+    val est = Sketches.histogramQuantiles(spark, sf).collect()
+    val data = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val all = data.values.flatten
+    val w = (all.max - all.min) / Sketches.histBuckets
+    est.foreach { r =>
+      val xs = data(r.getString(0))
+      // the estimate is the LOWER edge of the bucket holding the
+      // ceil(p·n)-th smallest value — so that value must lie within
+      // one bucket width above it
+      for ((c, p) <- Seq(("est_p50", 0.5), ("est_p95", 0.95), ("est_p99", 0.99))) {
+        val e = r.getAs[Double](c)
+        val exact = xs(math.ceil(p * xs.length).toInt - 1)
+        assert(exact >= e - 1e-9 && exact <= e + w + 1e-9,
+          s"$c: est=$e exact=$exact width=$w")
+      }
+    }
+  }
+
   test("count-min: estimate dominates the exact count and is partition-invariant") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableCountMin.portableCms
