@@ -1292,6 +1292,38 @@ object Relational {
       |FROM weeks w LEFT JOIN by_week b ON w.week = b.week
       |ORDER BY w.week""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** CDC latest-state compaction (SCD-1 snapshot): collapse the event
+    * log to the most recent row per (user, event type) — the "current
+    * state table" every change-stream consumer materializes. The
+    * unique event_id breaks timestamp ties, so the snapshot is
+    * deterministic; `row_number = 1` is auto-rewritten by TopKRewrite
+    * into the bounded-heap TopKPerKey, so compacting a 100 TB log
+    * never sorts a partition — one shuffle on the key, constant state
+    * per key. Event time stays in exact integer micros (ts is raw
+    * nanos under nanosAsLong). */
+  def q45LatestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        expr("ts div 1000").as("last_ts_us"),
+        col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val q45Sql =
+    """SELECT user_id, event_type, event_id AS last_event_id,
+      |  CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+      |  value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |      FROM events)
+      |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1337,7 +1369,8 @@ object Relational {
     "q41_scalar_subquery" -> q41ScalarSubquery _,
     "q42_ntile"           -> q42Ntile _,
     "q43_lateral"         -> q43Lateral _,
-    "q44_calendar_fill"   -> q44CalendarFill _)
+    "q44_calendar_fill"   -> q44CalendarFill _,
+    "q45_latest_state"    -> q45LatestState _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1383,5 +1416,6 @@ object Relational {
     "q41_scalar_subquery" -> q41Sql,
     "q42_ntile"           -> q42Sql,
     "q43_lateral"         -> q43Sql,
-    "q44_calendar_fill"   -> q44Sql)
+    "q44_calendar_fill"   -> q44Sql,
+    "q45_latest_state"    -> q45Sql)
 }
