@@ -229,18 +229,67 @@ object Sampling {
        |  AND d.doc_id IN (SELECT doc_id FROM (${Dedup.decontaminateSql}) c)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** p06: sequence packing — assign documents to fixed token-budget
+    * packs ([[packBudget]] tokens) by running offset, per source in
+    * doc_id order: pack = start-offset DIV budget, i.e. documents are
+    * concatenated in order and split every `budget` tokens — exactly
+    * how pretraining examples are packed from a document stream
+    * (straddling docs truncate across the boundary). Pure integer
+    * window arithmetic ⇒ engine-portable and reproducible: the pack a
+    * doc lands in is a function of the corpus, not the partitioning.
+    *
+    * Scale: one running sum per source partition. A single source's
+    * prefix sum is inherently sequential; the parallel unit is the
+    * source (plus AQE), and a mega-source splits into doc_id ranges
+    * with per-range base offsets computed in a first pass (classic
+    * two-pass distributed prefix sum) — the escape hatch if one source
+    * is TBs. */
+  val packBudget = 2048L
+
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    sequencePackDf(t(s, dir, "documents"))
+
+  def sequencePackDf(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $packBudget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  private val p06Sql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT source, CAST((cum - n_tokens) // $packBudget AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_sample"       -> hashSample _,
     "p02_stratified_sample" -> stratifiedSample _,
     "p03_source_cap"        -> sourceCapReport _,
     "p04_temperature_mix"   -> temperatureMix _,
-    "p05_training_manifest" -> trainingManifest _)
+    "p05_training_manifest" -> trainingManifest _,
+    "p06_sequence_pack"     -> sequencePack _)
 
   val oracle: Map[String, String] = Map(
     "p01_hash_sample"       -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
     "p03_source_cap"        -> p03Sql,
     "p04_temperature_mix"   -> p04Sql,
-    "p05_training_manifest" -> p05Sql)
+    "p05_training_manifest" -> p05Sql,
+    "p06_sequence_pack"     -> p06Sql)
 }

@@ -404,8 +404,62 @@ object TextOps {
       |  CAST(COUNT(DISTINCT md5(bag)) AS BIGINT) AS uniq_bag
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- t11
+  /** OOV-rate scoring — each document's share of tokens outside a
+    * reference vocabulary (the top-[[oovVocabSize]] corpus tokens).
+    * High-OOV docs are boilerplate/garbled/foreign — the cheap filter a
+    * pipeline runs before expensive LM scoring. Integer counts + one
+    * final rounded ratio ⇒ engine-portable.
+    *
+    * Scale: the vocabulary is top-k over the token counts (partial agg
+    * + TakeOrdered, never a full sort) and BROADCASTS by construction
+    * (it is top-k sized); OOV counting is a map-side left_anti per
+    * token. No shuffle carries text. */
+  val oovVocabSize = 20
+
+  def oovRate(s: SparkSession, dir: String): DataFrame =
+    oovRateDf(t(s, dir, "documents"))
+
+  def oovRateDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(oovVocabSize)
+      .select("tok")
+    val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)) / col("n_tokens"), 4)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  private val oovRateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+       |    ORDER BY c DESC, tok LIMIT $oovVocabSize)),
+       |oov AS (
+       |  SELECT doc_id, COUNT(*) AS n_oov FROM toks
+       |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT b.doc_id, b.n_tokens,
+       |  COALESCE(o.n_oov, 0) AS n_oov,
+       |  ROUND(COALESCE(o.n_oov, 0) / b.n_tokens, 4) AS oov_rate
+       |FROM base b LEFT JOIN oov o ON b.doc_id = o.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_normalize_gain" -> normalizeGain _,
+    "t11_oov_rate"      -> oovRate _,
     "t09_collocations"  -> collocations _,
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
@@ -426,5 +480,6 @@ object TextOps {
     "t07_tfidf"         -> tfidfSql,
     "t08_quality_gate"  -> qualityGateSql,
     "t09_collocations"  -> collocationsSql,
-    "t10_normalize_gain" -> normalizeGainSql)
+    "t10_normalize_gain" -> normalizeGainSql,
+    "t11_oov_rate"      -> oovRateSql)
 }

@@ -58,8 +58,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.sourceCapReportDf(noFull).count() === 0)
     assert(Sampling.temperatureMixDf(noFull).count() === 0)
     assert(Sampling.trainingManifestDf(noFull).count() === 0)
+    assert(Sampling.sequencePackDf(noFull).count() === 0)
     assert(Dedup.decontaminateDf(noFull).count() === 0)
     assert(TextOps.normalizeGainDf(noFull).count() === 0)
+    assert(TextOps.oovRateDf(noFull).count() === 0)
   }
 
   test("triangle counting yields zero rows on an empty lineitem") {
