@@ -71,16 +71,23 @@ object Dedup {
         (1 until numHashes).map(k => sig(k).as(s"s$k")): _*)
   }
 
-  /** Banded candidate pairs (doc_a < doc_b) from the signature table —
-    * shared by d02 (scored pairs) and d07 (cluster edges). */
-  private def minHashCandidates(sigs: DataFrame): DataFrame = {
+  /** Banded key rows (doc_id, band, sig) from the signature table — the
+    * LSH index relation (what a production pipeline PERSISTS as the
+    * stored dedup index). */
+  private def minHashBands(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$b")
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Banded candidate pairs (doc_a < doc_b) from the signature table —
+    * shared by d02 (scored pairs) and d07 (cluster edges). */
+  private def minHashCandidates(sigs: DataFrame): DataFrame = {
+    val bands = minHashBands(sigs)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -105,9 +112,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Shared DuckDB CTE chain ending in `cand` (banded candidate pairs)
-    * — composed into both the d02 and d07 oracles. */
-  private val minHashCandSql: String = {
+  /** Shared DuckDB CTE chain ending in `bands` (the LSH index relation)
+    * — composed into the d02/d07/d11 oracles. */
+  private val minHashBandsSql: String = {
     val sigCols = (0 until numHashes)
       .map(k => s"min(substring(md5('${k / 4}:' || tok), ${1 + 8 * (k % 4)}, 8)) AS s$k")
       .mkString(", ")
@@ -124,12 +131,16 @@ object Dedup {
        |  FROM d),
        |sigs AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
        |bands AS (
-       |$bandRows),
+       |$bandRows)""".stripMargin
+  }
+
+  /** `bands` chain + `cand` (doc_a < doc_b candidate pairs). */
+  private val minHashCandSql: String =
+    s"""$minHashBandsSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   private val minHashLshSql: String = {
     val est = (0 until numHashes)
@@ -627,6 +638,64 @@ object Dedup {
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- incremental (delta) dedup
+  /** d11: incremental dedup — today's batch against the existing
+    * corpus, the shape a daily-crawl pipeline actually runs (d02 is the
+    * one-time backfill; this is the steady state). The delta slice
+    * (doc_id ≡ [[deltaResidue]] mod [[deltaMod]]) stands in for the
+    * incoming batch; every delta doc is probed against the BASE side's
+    * banded LSH index only — delta×delta and base×base pairs are never
+    * generated.
+    *
+    * Scale: in production the base `bands`/`sigs` relations are the
+    * PERSISTED dedup index (written once by the backfill, appended per
+    * batch); an incremental run computes signatures for the delta only
+    * and hash-joins the stored index — cost ∝ batch size, not corpus
+    * size. Here both sides derive from one table so the oracle can
+    * check the join itself; the plan shape (band-key hash join, no
+    * self-pairing) is identical. */
+  val deltaMod = 5L
+  val deltaResidue = 4L
+
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalDedupDf(t(s, dir, "documents"))
+
+  def incrementalDedupDf(docs: DataFrame): DataFrame = {
+    val isDelta = col("doc_id") % deltaMod === deltaResidue
+    val sigs = minHashSigs(docs)
+    val bands = minHashBands(sigs)
+    val cand = bands.filter(isDelta).as("dl")
+      .join(bands.filter(!isDelta).as("bs"),
+        col("dl.band") === col("bs.band") && col("dl.sig") === col("bs.sig"))
+      .select(col("dl.doc_id").as("new_doc"), col("bs.doc_id").as("dup_of"))
+      .distinct()
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"xa.s$k") === col(s"yb.s$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigs.as("xa"), col("new_doc") === col("xa.doc_id"))
+      .join(sigs.as("yb"), col("dup_of") === col("yb.doc_id"))
+      .select(col("new_doc"), col("dup_of"),
+        (matches / lit(numHashes.toDouble)).as("est_jaccard"))
+      .orderBy("new_doc", "dup_of")
+  }
+
+  private val incrementalDedupSql: String = {
+    val est = (0 until numHashes)
+      .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minHashBandsSql,
+       |cand AS (
+       |  SELECT DISTINCT dl.doc_id AS new_doc, bs.doc_id AS dup_of
+       |  FROM bands dl JOIN bands bs
+       |  ON dl.band = bs.band AND dl.sig = bs.sig
+       |  WHERE dl.doc_id % $deltaMod = $deltaResidue
+       |    AND bs.doc_id % $deltaMod <> $deltaResidue)
+       |SELECT new_doc, dup_of, ($est) / 16.0 AS est_jaccard
+       |FROM cand JOIN sigs x ON new_doc = x.doc_id
+       |          JOIN sigs y ON dup_of = y.doc_id
+       |ORDER BY new_doc, dup_of""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> exact _,
@@ -638,7 +707,8 @@ object Dedup {
     "d07_dup_clusters"    -> dupClusters _,
     "d08_canonical_docs"  -> canonicalDocs _,
     "d09_multi_signal"    -> multiSignal _,
-    "d10_decontaminate"   -> decontaminate _)
+    "d10_decontaminate"   -> decontaminate _,
+    "d11_incremental"     -> incrementalDedup _)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact"     -> exactSql,
@@ -650,5 +720,6 @@ object Dedup {
     "d07_dup_clusters"    -> dupClustersSql,
     "d08_canonical_docs"  -> canonicalDocsSql,
     "d09_multi_signal"    -> multiSignalSql,
-    "d10_decontaminate"   -> decontaminateSql)
+    "d10_decontaminate"   -> decontaminateSql,
+    "d11_incremental"     -> incrementalDedupSql)
 }

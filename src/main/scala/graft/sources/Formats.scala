@@ -36,6 +36,9 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeText(ds: Dataset[String], path: String): Unit =
     ds.write.mode("overwrite").text(path)
 
@@ -51,6 +54,9 @@ object Formats {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** S4: one output directory per distinct key value. */
   def writePartitionedByKey(df: DataFrame, keyCol: String, path: String): Unit =

@@ -116,6 +116,21 @@ class DedupSpec extends SparkSpec {
     assert(solo(1L) === ((1L, 1L))) // keep=1 doc is its own canonical
   }
 
+  test("incremental dedup pairs delta docs with base only, never delta-delta") {
+    // delta slice = doc_id % 5 == 4 → docs 4 and 9; both copy base doc 0;
+    // the delta-delta pair (4,9) must NOT appear
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupDf(corpus)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(g => (g._1, g._2)).toSet === Set((4L, 0L), (9L, 0L)))
+    assert(got.forall(_._3 == 1.0)) // verbatim copies: all 16 sigs match
+  }
+
   test("decontamination drops corpus docs sharing a shingle with the eval slice") {
     // eval slice = doc_id % 50 == 0 → docs 0 and 50.
     // doc 1 shares a 3-token shingle with eval doc 0 → contaminated.

@@ -24,6 +24,18 @@ class FormatsSpec extends SparkSpec {
       df.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("orc round-trip; filters push into the orc scan") {
+    val p = tmp()
+    Formats.writeOrc(df, p)
+    val back = Formats.readOrc(spark, p)
+    assert(back.as[(Long, String, Double)].collect().toSet ===
+      df.as[(Long, String, Double)].collect().toSet)
+    val filtered = Formats.readOrc(spark, p).filter($"id" === 1L)
+    filtered.collect()
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedFilters: ["), "orc scan lost predicate pushdown")
+  }
+
   test("json round-trip with explicit schema (no inference scan)") {
     val p = tmp()
     Formats.writeJson(df, p)
