@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round connected components by min-label propagation — the
+  * reusable clustering primitive under duplicate-cluster resolution
+  * (`Dedup.dupClustersDf` / d07) and any other "group the candidate
+  * pairs" step.
+  *
+  * Semantics: after `rounds` iterations every node's label is the
+  * minimum node id within `rounds` hops — components whose diameter is
+  * ≤ `rounds` are exactly resolved (near-dup clusters are dense, so
+  * tiny diameters; 4 rounds covers them with slack). Bounded rounds
+  * keep the DAG static — an engine-portable second run (or a SQL twin
+  * unrolling the same rounds as CTEs) reproduces labels bit-for-bit.
+  *
+  * Scale shape: the undirected ids-only edge list is persisted once and
+  * pre-partitioned on the join key (each round probes it against a
+  * CHANGING labels relation, so ReusedExchange can't dedupe across
+  * rounds — this is the persist-pays-off case); each round is one hash
+  * join + one partial-agged min-aggregate, labels staying partitioned
+  * on id between rounds. Messages are (id, label) longs — KBs per
+  * million edges, never payloads.
+  */
+object ConnectedComponents {
+
+  /** @param nodes single-column `id` relation seeding the labels
+    * @param edges two-column `src`/`dst` relation (either orientation;
+    *              both directions are materialized internally)
+    * @return (id, label) — label = min id within `rounds` hops */
+  def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val msgs = und.join(labels, und("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      labels = msgs.union(labels.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    }
+    labels
+  }
+}

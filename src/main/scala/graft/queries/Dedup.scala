@@ -426,25 +426,13 @@ object Dedup {
 
   def dupClustersDf(docs: DataFrame): DataFrame = {
     val edges = minHashCandidates(minHashSigs(docs))
-    // undirected edge list: persisted (each round joins it — without the
-    // cache every round re-executes the whole MinHash sketch DAG) and
-    // pre-partitioned on the join key so rounds reuse one static
-    // exchange (ids only — tiny relative to the corpus)
-    val und = edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b"))
-      .persist()
-    // message-passing form: each round, a doc's new label is the min of
-    // its own and its neighbors' labels — one union + one min-aggregate
-    // (labels leave each round hash-partitioned on doc_id, which the
-    // next round's join reuses; steady state is ~1 new exchange/round)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-    for (_ <- 1 to ccRounds) {
-      val msgs = und.join(labels, und("doc_b") === labels("doc_id"))
-        .select(col("doc_a").as("doc_id"), col("cluster"))
-      labels = msgs.union(labels.select(col("doc_id"), col("cluster")))
-        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-    }
+    // the propagation itself is the reusable operator (persisted
+    // undirected ids-only edges, one join + min-agg per round)
+    val labels = graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id").as("id")),
+        edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        ccRounds)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
