@@ -294,18 +294,101 @@ object Sketches {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
   }
 
+  /** a07: sketch set algebra — the property that makes sketches the
+    * 100 TB tool: portable-HLL sketches of the A-flag and R-flag part
+    * sets, their UNION (a sketch over the combined stream — register
+    * max-merge, so per-day/per-partition sketches combine without
+    * rescanning), and the INTERSECTION estimated by inclusion-exclusion
+    * over the raw estimates, all next to exact answers. Conditional
+    * sketching (`when(cond, key)` — nulls skip the update) builds all
+    * three sketches in ONE pass over the fact table. */
+  def sketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHll.portableHll
+    val k = col("l_partkey").cast("string")
+    val isA = col("l_returnflag") === "A"
+    val isR = col("l_returnflag") === "R"
+    t(s, dir, "lineitem")
+      .agg(
+        portableHll(when(isA, k)).as("ha"),
+        portableHll(when(isR, k)).as("hr"),
+        portableHll(when(isA || isR, k)).as("hu"),
+        countDistinct(when(isA, k)).as("exact_a"),
+        countDistinct(when(isR, k)).as("exact_r"),
+        countDistinct(when(isA || isR, k)).as("exact_union"))
+      .select(
+        round(col("ha.estimate"), 4).as("est_a"),
+        col("ha.harmonic_sum").as("hs_a"),
+        round(col("hr.estimate"), 4).as("est_r"),
+        col("hr.harmonic_sum").as("hs_r"),
+        round(col("hu.estimate"), 4).as("est_union"),
+        col("hu.harmonic_sum").as("hs_union"),
+        round(col("ha.estimate") + col("hr.estimate") - col("hu.estimate"), 4)
+          .as("est_intersection"),
+        col("exact_a"), col("exact_r"), col("exact_union"),
+        (col("exact_a") + col("exact_r") - col("exact_union"))
+          .as("exact_intersection"))
+  }
+
+  /** DuckDB twin: the a03 register chain computed per subset (A, R,
+    * A∪R) via conditional hashing, identical estimator arithmetic,
+    * inclusion-exclusion over the raw (unrounded) estimates. */
+  private val sketchSetOpsSql = {
+    def chain(name: String, pred: String) =
+      s"""zd_$name AS (
+         |  SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx,
+         |    len(regexp_extract(substring(md5(CAST(l_partkey AS VARCHAR)), 3, 12), '^0*')) AS nz
+         |  FROM lineitem WHERE $pred),
+         |rr_$name AS (
+         |  SELECT
+         |    ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+         |     (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 64 AS reg,
+         |    CASE WHEN nz = 12 THEN 49
+         |      ELSE 4 * nz + 1 +
+         |        CASE WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 8 THEN 0
+         |             WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 4 THEN 1
+         |             WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 2 THEN 2
+         |             ELSE 3 END
+         |    END AS rank
+         |  FROM zd_$name),
+         |st_$name AS (
+         |  SELECT CAST(SUM((1::BIGINT << (50 - r))) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS hs
+         |  FROM (SELECT reg, MAX(rank) AS r FROM rr_$name GROUP BY reg))"""
+    def est(name: String) =
+      s"""(0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 1125899906842624.0
+         |  / CAST(st_$name.hs AS DOUBLE))""".stripMargin
+    s"""WITH ${chain("a", "l_returnflag = 'A'")},
+       |${chain("r", "l_returnflag = 'R'")},
+       |${chain("u", "l_returnflag IN ('A', 'R')")},
+       |ex AS (
+       |  SELECT
+       |    CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_partkey END) AS BIGINT) AS exact_a,
+       |    CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS BIGINT) AS exact_r,
+       |    CAST(COUNT(DISTINCT CASE WHEN l_returnflag IN ('A', 'R') THEN l_partkey END) AS BIGINT) AS exact_union
+       |  FROM lineitem)
+       |SELECT
+       |  ROUND(${est("a")}, 4) AS est_a, st_a.hs AS hs_a,
+       |  ROUND(${est("r")}, 4) AS est_r, st_r.hs AS hs_r,
+       |  ROUND(${est("u")}, 4) AS est_union, st_u.hs AS hs_union,
+       |  ROUND(${est("a")} + ${est("r")} - ${est("u")}, 4) AS est_intersection,
+       |  exact_a, exact_r, exact_union,
+       |  exact_a + exact_r - exact_union AS exact_intersection
+       |FROM st_a, st_r, st_u, ex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
     "a03_portable_hll" -> portableHllDistinct _,
     "a04_cms_heavy_hitters" -> cmsHeavyHitters _,
     "a05_hist_quantiles" -> histogramQuantiles _,
-    "a06_skew_profile" -> skewProfile _)
+    "a06_skew_profile" -> skewProfile _,
+    "a07_sketch_setops" -> sketchSetOps _)
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
     "a03_portable_hll" -> portableHllSql,
     "a04_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "a05_hist_quantiles" -> histogramQuantilesSql,
-    "a06_skew_profile" -> skewProfileSql)
+    "a06_skew_profile" -> skewProfileSql,
+    "a07_sketch_setops" -> sketchSetOpsSql)
 }

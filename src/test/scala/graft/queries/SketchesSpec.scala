@@ -69,6 +69,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("a07: sketch union/intersection estimates track the exact answers") {
+    val r = Sketches.sketchSetOps(spark, sf).collect().head
+    // union merge can never exceed the sum of the parts
+    assert(r.getAs[Double]("est_union") <=
+      r.getAs[Double]("est_a") + r.getAs[Double]("est_r") + 1e-6)
+    // inclusion-exclusion compounds three raw-HLL errors (~13% each):
+    // assert a wide but real accuracy band
+    val estI = r.getAs[Double]("est_intersection")
+    val exactI = r.getAs[Long]("exact_intersection")
+    assert(math.abs(estI - exactI) <= 0.9 * math.max(exactI.toDouble, 1.0),
+      s"est=$estI exact=$exactI")
+  }
+
   test("count-min: estimate dominates the exact count and is partition-invariant") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableCountMin.portableCms
