@@ -457,9 +457,81 @@ object TextOps {
        |FROM base b LEFT JOIN oov o ON b.doc_id = o.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t12
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training: count adjacent CHARACTER pairs within tokens (weighted
+    * by occurrence) and rank the merge candidates. One explode chain →
+    * partial-agged count → TakeOrdered top-k; at 100 TB the pair space
+    * is bounded by charset² so the final agg is trivial, and each BPE
+    * iteration is this same query over re-segmented tokens. */
+  val bpeTopK = 30
+
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairsDf(t(s, dir, "documents"))
+
+  def bpePairsDf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(expr(
+        """CASE WHEN length(tok) < 2 THEN array()
+           ELSE transform(sequence(1, length(tok) - 1),
+                          i -> substring(tok, i, 2)) END""")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(bpeTopK)
+
+  private val bpePairsSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, len(tok) - 1),
+       |    i -> substring(tok, i, 2))) AS pair
+       |  FROM toks)
+       |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT $bpeTopK""".stripMargin
+
+  // ------------------------------------------------------------- t13
+  /** Intra-document repetition — the duplicate-shingle fraction
+    * (1 − distinct/total 3-gram occurrences), the standard "repetitive
+    * text" quality signal next to t08's rules. Pure per-row array
+    * arithmetic in one projection (no shuffle but the output sort);
+    * the ratio is one deterministic division, rounded. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionDf(t(s, dir, "documents"))
+
+  def repetitionDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))"""))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1) - col("n_distinct") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+
+  private val repetitionSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 1)),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(len(sh) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+      |  ROUND(1 - (len(list_distinct(sh)) / len(sh)), 4) AS rep_ratio
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_normalize_gain" -> normalizeGain _,
     "t11_oov_rate"      -> oovRate _,
+    "t12_bpe_pairs"     -> bpePairs _,
+    "t13_repetition"    -> repetition _,
     "t09_collocations"  -> collocations _,
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
@@ -481,5 +553,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGateSql,
     "t09_collocations"  -> collocationsSql,
     "t10_normalize_gain" -> normalizeGainSql,
-    "t11_oov_rate"      -> oovRateSql)
+    "t11_oov_rate"      -> oovRateSql,
+    "t12_bpe_pairs"     -> bpePairsSql,
+    "t13_repetition"    -> repetitionSql)
 }
