@@ -43,4 +43,35 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** [[minLabel]] with POINTER JUMPING: each round propagates along
+    * edges (radius +1) and then shortcuts every label to its label's
+    * label (radius ×2) — the PRAM-CC / Hash-to-Min trick that makes
+    * covered radius grow exponentially in rounds (4 rounds ≳ radius
+    * 20) instead of linearly. This is the variant for graphs whose
+    * component diameter grows with the data (co-occurrence graphs,
+    * social graphs); [[minLabel]] remains the cheaper choice when
+    * components are known-tight (near-dup clusters).
+    *
+    * The shortcut join is total by construction — every label value IS
+    * a node id present in the labels relation — and adds one (id,
+    * label)-only hash join per round: 2 joins + 1 min-agg per round,
+    * still never a payload shuffle. */
+  def minLabelJumping(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val msgs = und.join(labels, und("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val prop = msgs.union(labels.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val ptr = prop.select(col("id").as("lid"), col("label").as("llabel"))
+      labels = prop.join(ptr, prop("label") === ptr("lid"))
+        .select(prop("id"), col("llabel").as("label"))
+    }
+    labels
+  }
 }

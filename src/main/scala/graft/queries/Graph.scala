@@ -190,11 +190,101 @@ object Graph {
        |ORDER BY n_tri DESC, node LIMIT $triTopN""".stripMargin
 
   // ------------------------------------------------------------------
+
+  /** g03: connected components of the strong co-purchase graph — the
+    * [[graft.operators.ConnectedComponents]] operator (the primitive
+    * under d07's duplicate clusters) surfaced as its own contract
+    * query, on a second graph with genuinely multiple components.
+    *
+    * Graph: parts are linked when they co-occur in at least
+    * [[ccSupport]] distinct orders — the support cutoff prunes the
+    * one-off co-purchase noise that fuses everything into a giant
+    * component (and at 100 TB prunes the edge list from O(orders ·
+    * basket²) to the recurring-pair core). Pair expansion reuses the
+    * g02 join-free per-order array expansion ([[coPairsDf]]'s shape)
+    * but keeps per-pair counts instead of distinct-ing.
+    *
+    * Labels come from the POINTER-JUMPING propagation
+    * ([[graft.operators.ConnectedComponents.minLabelJumping]]):
+    * co-occurrence graphs grow long chains with the data (the sf0.001
+    * slice already has a radius-6 component), so the linear-coverage
+    * variant d07 uses would need diameter-many rounds — jumping covers
+    * radius ≳ 20 in [[compRounds]] = 4 bounded rounds, exponential in
+    * rounds, while keeping the DAG static so the oracle unrolls the
+    * identical two-step (propagate, shortcut) recurrence per round. */
+  val ccSupport = 3
+  val compRounds = 4
+
+  def components(s: SparkSession, dir: String): DataFrame =
+    componentsDf(t(s, dir, "lineitem"))
+
+  def componentsDf(lineitem: DataFrame): DataFrame = {
+    // per-order pair expansion, one (ok, pair) row per co-occurrence —
+    // counted, not distinct-ed, so support = number of shared orders
+    val pairCounts = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks,
+           (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                               y -> struct(x AS a, y AS b))))""")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= ccSupport)
+    val edges = pairCounts.select(col("a").as("src"), col("b").as("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val labels = graft.operators.ConnectedComponents
+      .minLabelJumping(nodes, edges, compRounds)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    labels.join(sizes, "label")
+      .select(col("id").as("part"), col("label").as("component"),
+        col("n_nodes").as("component_size"))
+      .orderBy("part")
+  }
+
+  /** DuckDB twin: self-join pair counts (the oracle side may afford the
+    * quadratic form), identical support cutoff, and each round unrolled
+    * as the same two CTEs — propagate (p) then pointer-jump (l). */
+  private val componentsSql = {
+    val rounds = (1 to compRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT l.id, LEAST(l.label, COALESCE(m.nbr, l.label)) AS label
+         |  FROM l${r - 1} l LEFT JOIN (
+         |    SELECT u.src AS id, MIN(n.label) AS nbr
+         |    FROM u JOIN l${r - 1} n ON n.id = u.dst GROUP BY u.src) m
+         |  USING (id)),
+         |l$r AS (
+         |  SELECT p.id, q.label
+         |  FROM p$r p JOIN p$r q ON p.label = q.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pc AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |    COUNT(DISTINCT a.l_orderkey) AS support
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $ccSupport),
+       |u AS (SELECT a AS src, b AS dst FROM pc
+       |      UNION ALL SELECT b, a FROM pc),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM u),
+       |$rounds,
+       |sz AS (SELECT label, COUNT(*) AS n_nodes FROM l$compRounds GROUP BY label)
+       |SELECT l.id AS part, l.label AS component,
+       |  sz.n_nodes AS component_size
+       |FROM l$compRounds l JOIN sz ON l.label = sz.label
+       |ORDER BY part""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> pageRank _,
-    "g02_triangles" -> triangles _)
+    "g02_triangles" -> triangles _,
+    "g03_components" -> components _)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank"  -> pageRankSql,
-    "g02_triangles" -> trianglesSql)
+    "g02_triangles" -> trianglesSql,
+    "g03_components" -> componentsSql)
 }

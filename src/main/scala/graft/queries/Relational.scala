@@ -1324,6 +1324,50 @@ object Relational {
       |      FROM events)
       |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Running COUNT(DISTINCT) over a window — an aggregate Spark does not
+    * support natively (no DISTINCT window aggregates, SPARK-Window
+    * limitation), expressed by the standard decomposition: mark the
+    * FIRST occurrence of each (supplier, part) in ship order with a
+    * per-pair row_number, then running-sum the first-occurrence flags
+    * over the supplier timeline. Both windows are plain rank/sum
+    * windows, so the whole operator stays in native window exec.
+    *
+    * Scale: two windows partitioned by high-cardinality keys
+    * ((suppkey, partkey) then suppkey) — the same shuffle key modulo
+    * the part suffix, no global sort, state O(1) per row. The oracle
+    * spells the identical decomposition (rather than DuckDB's native
+    * COUNT(DISTINCT …) OVER) so both engines walk the same plan. */
+  def q46WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wFirst = Window.partitionBy(col("l_suppkey"), col("l_partkey"))
+      .orderBy(ord: _*)
+    val wRun = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_shipdate"))
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_parts", sum(col("first_seen")).over(wRun))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "distinct_parts")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val q46Sql =
+    """WITH flagged AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY l_suppkey, l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+      |      THEN 1 ELSE 0 END AS first_seen
+      |  FROM lineitem)
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(first_seen) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS distinct_parts
+      |FROM flagged ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1370,7 +1414,8 @@ object Relational {
     "q42_ntile"           -> q42Ntile _,
     "q43_lateral"         -> q43Lateral _,
     "q44_calendar_fill"   -> q44CalendarFill _,
-    "q45_latest_state"    -> q45LatestState _)
+    "q45_latest_state"    -> q45LatestState _,
+    "q46_window_distinct" -> q46WindowDistinct _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1417,5 +1462,6 @@ object Relational {
     "q42_ntile"           -> q42Sql,
     "q43_lateral"         -> q43Sql,
     "q44_calendar_fill"   -> q44Sql,
-    "q45_latest_state"    -> q45Sql)
+    "q45_latest_state"    -> q45Sql,
+    "q46_window_distinct" -> q46Sql)
 }

@@ -276,6 +276,55 @@ object Sampling {
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** p07: deterministic train/val/test split — the assignment every
+    * training corpus needs before anything touches an eval metric:
+    * bucket = md5-16-bit(doc_id) mod 100, train < [[valLo]] ≤ val <
+    * [[testLo]] ≤ test. Hash-based (never modulo on the raw id — ids
+    * correlate with crawl time/source; md5 decorrelates) and
+    * engine-portable, so the SAME doc lands in the SAME split in every
+    * run, engine, and partitioning — the property that makes the split
+    * auditable and leak-free. Pure map-side assignment (zero shuffle
+    * until the report agg); at 100 TB the split column is computed on
+    * read, never materialized globally.
+    *
+    * Output is the split manifest report: per (split, source) doc and
+    * char counts — the numbers a mix scheduler checks before training. */
+  val valLo = 90L
+  val testLo = 95L
+
+  def datasetSplit(s: SparkSession, dir: String): DataFrame =
+    datasetSplitDf(t(s, dir, "documents"))
+
+  def datasetSplitDf(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < valLo, "train")
+          .when(col("bucket") < testLo, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "source")
+
+  private val p07Sql = {
+    val u = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    s"""WITH b AS (
+       |  SELECT source, n_chars, ($u) % 100 AS bucket FROM documents),
+       |sp AS (
+       |  SELECT source, n_chars,
+       |    CASE WHEN bucket < $valLo THEN 'train'
+       |         WHEN bucket < $testLo THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM b)
+       |SELECT split, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hash_sample"       -> hashSample _,
@@ -283,7 +332,8 @@ object Sampling {
     "p03_source_cap"        -> sourceCapReport _,
     "p04_temperature_mix"   -> temperatureMix _,
     "p05_training_manifest" -> trainingManifest _,
-    "p06_sequence_pack"     -> sequencePack _)
+    "p06_sequence_pack"     -> sequencePack _,
+    "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
     "p01_hash_sample"       -> p01Sql,
@@ -291,5 +341,6 @@ object Sampling {
     "p03_source_cap"        -> p03Sql,
     "p04_temperature_mix"   -> p04Sql,
     "p05_training_manifest" -> p05Sql,
-    "p06_sequence_pack"     -> p06Sql)
+    "p06_sequence_pack"     -> p06Sql,
+    "p07_dataset_split"     -> p07Sql)
 }

@@ -375,6 +375,91 @@ object Sketches {
        |FROM st_a, st_r, st_u, ex""".stripMargin
   }
 
+  /** a08: portable-Bloom semi-join pre-filter — the membership sketch
+    * ([[graft.functions.PortableBloom]]) in its 100 TB role: build a
+    * ~1 KB filter over the BUILDING-segment customer keys (the small
+    * side), broadcast it, and probe every order map-side. Per order
+    * status the report shows total orders, orders passing the filter,
+    * and the exact semi-join count — bloom_pass ≥ exact_match always
+    * (no false negatives), and the gap IS the measured false-positive
+    * rate. The whole bit array is md5'd into the output, so the oracle
+    * hash-checks the sketch itself (the a03/a04 contract).
+    *
+    * Scale shape: the filter aggregates the dimension side only (OR of
+    * 1 KB states, partition-invariant); the probe is a broadcast of
+    * one 128-word row + codegen'd bit arithmetic per fact row — no
+    * shuffle of the fact table at all. At 100 TB this runs BEFORE the
+    * real semi-join and drops ~all non-matching rows at the scan. */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableBloom
+    val keys = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val sk = keys.agg(
+      PortableBloom.portableBloom(col("c_custkey").cast("string"))
+        .as("sketch"))
+    val exactFlag = keys
+      .select(col("c_custkey").as("o_custkey"), lit(1L).as("is_bldg"))
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .crossJoin(broadcast(sk))
+      .join(broadcast(exactFlag), Seq("o_custkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(PortableBloom.hit(col("sketch"),
+          col("o_custkey").cast("string")), 1L).otherwise(0L))
+          .as("bloom_pass"),
+        sum(coalesce(col("is_bldg"), lit(0L))).as("exact_match"),
+        first(md5(concat_ws(",", col("sketch").cast("array<string>"))))
+          .as("sketch_md5"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** DuckDB twin: identical positions (first four md5 hex chars mod
+    * bits), 32-bit words OR-folded with bit_or over a densified word
+    * grid (zeros included — the md5 covers every word), and the probe
+    * as min-over-hash-rows of the addressed bit. */
+  private val bloomPrefilterSql = {
+    import graft.functions.PortableBloom.{bits, depth, wordBits, words}
+    val u16 = (k: String, d: String) => (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5($d || ':' || $k), $i, 1)) - 1)")
+      .reduce((acc, h) => s"($acc * 16 + $h)")
+    s"""WITH keys AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |ds AS (SELECT unnest(generate_series(0, ${depth - 1})) AS d),
+       |pos AS (
+       |  SELECT (${u16("CAST(c_custkey AS VARCHAR)", "CAST(d AS VARCHAR)")}) % $bits AS p
+       |  FROM keys CROSS JOIN ds),
+       |grid AS (SELECT unnest(generate_series(0, ${words - 1})) AS w),
+       |wordvals AS (
+       |  SELECT g.w, COALESCE(b.v, 0) AS v
+       |  FROM grid g LEFT JOIN (
+       |    SELECT p // $wordBits AS w, bit_or(1::BIGINT << (p % $wordBits)) AS v
+       |    FROM pos GROUP BY 1) b ON g.w = b.w),
+       |sk AS (
+       |  SELECT md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY w)) AS sketch_md5
+       |  FROM wordvals),
+       |probe AS (
+       |  SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey,
+       |    MIN((wv.v >> (op.p % $wordBits)) & 1) AS hit
+       |  FROM orders o
+       |  CROSS JOIN ds
+       |  JOIN LATERAL (SELECT
+       |    (${u16("CAST(o.o_custkey AS VARCHAR)", "CAST(ds.d AS VARCHAR)")}) % $bits AS p) op ON true
+       |  JOIN wordvals wv ON wv.w = op.p // $wordBits
+       |  GROUP BY 1, 2, 3)
+       |SELECT p.o_orderstatus,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(p.hit) AS BIGINT) AS bloom_pass,
+       |  CAST(SUM(CASE WHEN p.o_custkey IN (SELECT c_custkey FROM keys)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_match,
+       |  MIN(sk.sketch_md5) AS sketch_md5
+       |FROM probe p CROSS JOIN sk
+       |GROUP BY p.o_orderstatus
+       |ORDER BY p.o_orderstatus""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
@@ -382,7 +467,8 @@ object Sketches {
     "a04_cms_heavy_hitters" -> cmsHeavyHitters _,
     "a05_hist_quantiles" -> histogramQuantiles _,
     "a06_skew_profile" -> skewProfile _,
-    "a07_sketch_setops" -> sketchSetOps _)
+    "a07_sketch_setops" -> sketchSetOps _,
+    "a08_bloom_prefilter" -> bloomPrefilter _)
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
@@ -390,5 +476,6 @@ object Sketches {
     "a04_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "a05_hist_quantiles" -> histogramQuantilesSql,
     "a06_skew_profile" -> skewProfileSql,
-    "a07_sketch_setops" -> sketchSetOpsSql)
+    "a07_sketch_setops" -> sketchSetOpsSql,
+    "a08_bloom_prefilter" -> bloomPrefilterSql)
 }

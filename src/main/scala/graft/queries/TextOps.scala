@@ -527,7 +527,127 @@ object TextOps {
       |  ROUND(1 - (len(list_distinct(sh)) / len(sh)), 4) AS rep_ratio
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t14
+  /** PII detection + redaction — the scrub stage a corpus passes before
+    * anything trains on it: count and mask e-mail addresses, phone
+    * numbers, and IPv4 literals. The synthetic corpus contains no PII,
+    * so the query first APPENDS deterministic pseudo-PII derived from
+    * doc_id (documented self-exercising harness — the detector must
+    * then find and redact exactly what was planted, and the oracle
+    * must reproduce both); in production the enrichment step is
+    * dropped and the detector runs on raw text.
+    *
+    * Patterns are the RE2∩Java-regex common subset (char classes +
+    * bounded repetition, no lookaround) so Spark and DuckDB compile
+    * them identically. Pure map-side projection — regexp_count /
+    * regexp_replace are codegen'd; nothing shuffles but the ordered
+    * output, and the redacted text itself leaves the executors only as
+    * an md5. */
+  val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val phonePat = "\\+[0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+  val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactDf(t(s, dir, "documents"))
+
+  def piiRedactDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("enriched", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".77"))).otherwise(lit(""))))
+      .withColumn("n_email", regexp_count(col("enriched"), lit(emailPat)))
+      .withColumn("n_phone", regexp_count(col("enriched"), lit(phonePat)))
+      .withColumn("n_ip", regexp_count(col("enriched"), lit(ipPat)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("enriched"),
+          emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>"))
+      .select(col("doc_id"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_phone").cast("long").as("n_phone"),
+        col("n_ip").cast("long").as("n_ip"),
+        length(col("redacted")).cast("long").as("red_len"),
+        md5(col("redacted")).as("red_md5"))
+      .orderBy("doc_id")
+
+  private val piiRedactSql =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or +1-555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+       |      ELSE '' END AS enriched
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, enriched,
+       |    regexp_replace(regexp_replace(regexp_replace(enriched,
+       |      '$emailPat', '<EMAIL>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g'),
+       |      '$ipPat', '<IP>', 'g') AS redacted
+       |  FROM e)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(enriched, '$emailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(enriched, '$phonePat')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(enriched, '$ipPat')) AS BIGINT) AS n_ip,
+       |  CAST(length(redacted) AS BIGINT) AS red_len,
+       |  md5(redacted) AS red_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- t15
+  /** Unigram familiarity scoring — an LM-score proxy with no model:
+    * each document's mean corpus-relative token frequency (in ppm,
+    * integer arithmetic end to end) plus its rarest token's count.
+    * Documents full of corpus-rare tokens are garbled/foreign/spam —
+    * the cheap statistical stand-in for perplexity filtering, next to
+    * t08's rule gate and t11's OOV rate.
+    *
+    * Scale: token counts are partial-agged (words, never text); the
+    * per-token freq lookup is a token⇄freq shuffle join (like t09, the
+    * vocabulary of a 100 TB corpus is deliberately NOT broadcast); the
+    * grand total is one broadcast scalar. Integer sums ⇒ order- and
+    * engine-invariant, so the score is auditable at any scale. */
+  def unigramScore(s: SparkSession, dir: String): DataFrame =
+    unigramScoreDf(t(s, dir, "documents"))
+
+  def unigramScoreDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("freq_sum"),
+        min(col("freq")).as("min_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("min_freq"),
+        expr("(freq_sum * 1000000L) div (n_tokens * total)")
+          .as("familiarity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+      |total AS (SELECT SUM(freq) AS total FROM freq),
+      |per_doc AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    SUM(f.freq) AS freq_sum, MIN(f.freq) AS min_freq
+      |  FROM toks t JOIN freq f ON t.tok = f.tok GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, CAST(min_freq AS BIGINT) AS min_freq,
+      |  CAST((freq_sum * 1000000) // (n_tokens * total) AS BIGINT)
+      |    AS familiarity_ppm
+      |FROM per_doc CROSS JOIN total ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_pii_redact"    -> piiRedact _,
+    "t15_unigram_score" -> unigramScore _,
     "t10_normalize_gain" -> normalizeGain _,
     "t11_oov_rate"      -> oovRate _,
     "t12_bpe_pairs"     -> bpePairs _,
@@ -555,5 +675,7 @@ object TextOps {
     "t10_normalize_gain" -> normalizeGainSql,
     "t11_oov_rate"      -> oovRateSql,
     "t12_bpe_pairs"     -> bpePairsSql,
-    "t13_repetition"    -> repetitionSql)
+    "t13_repetition"    -> repetitionSql,
+    "t14_pii_redact"    -> piiRedactSql,
+    "t15_unigram_score" -> unigramScoreSql)
 }

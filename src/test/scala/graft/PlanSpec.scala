@@ -211,4 +211,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_set"), p)
     assert(!p.contains("Join"), "pair expansion re-introduced a self-join:\n" + p)
   }
+
+  test("a08: bloom probe never shuffles the fact table (broadcast-only joins)") {
+    val p = plan(graft.queries.Sketches.bloomPrefilter(spark, sf))
+    // the 1-row sketch and the dim flag both broadcast; a sort-merge or
+    // shuffled-hash join here would mean the fact side moved
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the filter itself partial-aggregates map-side (OR-merge in shuffle)
+    assert(p.contains("partial_graft_portable_bloom") ||
+      (p.contains("graft_portable_bloom") && p.contains("ObjectHashAggregate")), p)
+  }
+
+  test("q46: windowed count-distinct stays join-free in native window exec") {
+    val p = plan(graft.queries.Relational.q46WindowDistinct(spark, sf))
+    assert(!p.contains("Join"), "decomposition re-introduced a join:\n" + p)
+    assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined, p)
+  }
 }

@@ -47,4 +47,41 @@ class GraphSpec extends SparkSpec {
     // higher rank than the min-degree one
     if (byDeg.length > 1) assert(byDeg.head >= byDeg.last)
   }
+
+  test("g03: components match an in-memory union-find and are partition-invariant") {
+    val out = Graph.componentsDf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent reference: union-find over pairs counted the naive way
+    val byOrder = li.select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val support = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = support.filter(_._2 >= Graph.ccSupport).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val ref = nodes.groupBy(find).flatMap { case (_, ns) =>
+      val lbl = ns.min; ns.map(n => n -> (lbl, ns.length.toLong))
+    }
+    assert(out.length === nodes.length)
+    out.foreach { case (part, comp, size) =>
+      assert(ref(part) === ((comp, size)),
+        s"part=$part got=($comp,$size) want=${ref(part)}")
+    }
+    // bounded-round propagation is deterministic under repartitioning
+    val again = Graph.componentsDf(li.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(again))
+  }
 }

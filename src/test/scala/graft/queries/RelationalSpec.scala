@@ -52,4 +52,16 @@ class RelationalSpec extends SparkSpec {
     val distinctKeys = df.select("o_custkey", "grp").distinct().count()
     assert(total === distinctKeys)
   }
+
+  test("q46: final running value equals the supplier's true distinct-part count") {
+    import org.apache.spark.sql.functions._
+    val last = Relational.q46WindowDistinct(spark, sf)
+      .groupBy("l_suppkey").agg(max("distinct_parts").as("got"))
+    val truth = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("want"))
+    val off = last.join(truth, "l_suppkey")
+      .filter(col("got") =!= col("want")).count()
+    assert(off === 0L)
+  }
 }

@@ -69,4 +69,20 @@ class SamplingSpec extends SparkSpec {
       assert(r.getLong(3) === naive(r.getString(0)))
     }
   }
+
+  test("p07 split covers every doc once with ~90/5/5 shares, partition-invariant") {
+    val rep = Sampling.datasetSplitDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = rep.map(_._3).sum
+    assert(total === docs.count(), "split dropped or duplicated docs")
+    val bySplit = rep.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // md5 buckets are uniform: train ≈ 90% with slack for small corpora
+    assert(bySplit("train").toDouble / total > 0.8)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) <
+      total / 4)
+    val again = Sampling.datasetSplitDf(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep.sameElements(again))
+  }
 }

@@ -104,4 +104,30 @@ class SketchesSpec extends SparkSpec {
     }
     assert(state(1) === state(13))
   }
+
+  test("a08: bloom has no false negatives and the state is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableBloom
+    val rows = Sketches.bloomPrefilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, pass, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pass >= exact, s"false negative: pass=$pass exact=$exact")
+      assert(pass <= n)
+    }
+    // every inserted key must probe true against its own sketch
+    val keys = (1L to 200L).map(k => s"key$k").toDF("k")
+    val sk = keys.agg(PortableBloom.portableBloom(col("k")).as("sk"))
+    val misses = keys.crossJoin(sk)
+      .filter(!PortableBloom.hit(col("sk"), col("k"))).count()
+    assert(misses === 0L, "bloom dropped an inserted key")
+    // OR-merge is commutative/associative/idempotent: state must not
+    // depend on partitioning
+    def state(nPart: Int): String =
+      keys.repartition(nPart)
+        .agg(PortableBloom.portableBloom(col("k")).as("sk"))
+        .select(md5(concat_ws(",", col("sk").cast("array<string>"))))
+        .as[String].head()
+    assert(state(1) === state(7))
+  }
 }
