@@ -233,7 +233,10 @@ object Graph {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= ccSupport)
+    // the expansion is the expensive subtree and feeds four consumers
+    // (nodes twice via union, und twice) — persist it once
     val edges = pairCounts.select(col("a").as("src"), col("b").as("dst"))
+      .persist()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val labels = graft.operators.ConnectedComponents

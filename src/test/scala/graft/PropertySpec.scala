@@ -84,6 +84,37 @@ class PropertySpec extends SparkSpec {
     pr
   }
 
+  test("pointer-jumping min-label equals union-find components on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (s <- 1 to 5) {
+      val edges = sample(edgeGen, s).filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.groupBy(find).values
+          .flatMap(ns => ns.map(_ -> ns.min)).toMap
+        // 30 nodes ⇒ worst-case path diameter ~30, radius ≤ 29: 5 jump
+        // rounds cover radius ≥ 31, linear propagation would need 29
+        val got = graft.operators.ConnectedComponents.minLabelJumping(
+            nodes.toDF("id"),
+            edges.toDF("src", "dst").repartition(3), 5)
+          .select(col("id"), col("label"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"seed $s")
+      }
+    }
+  }
+
   test("pagerank equals the in-memory integer reference on random graphs") {
     val pairGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
