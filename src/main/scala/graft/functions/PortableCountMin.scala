@@ -54,11 +54,15 @@ case class PortableCountMin(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
+  // task-local digest (see PortableHll — per-row getInstance is a
+  // measurable JCA lookup cost on wide partitions)
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[UTF8String].getBytes
-      val md = java.security.MessageDigest.getInstance("MD5")
       var d = 0
       while (d < depth) {
         md.reset()

@@ -52,11 +52,16 @@ case class PortableHll(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  // task-local digest: a JCA getInstance lookup per row is measurable
+  // on 100M-row partitions; expression instances are per-task copies
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(v.asInstanceOf[UTF8String].getBytes)
+      md5.reset()
+      val digest = md5.digest(v.asInstanceOf[UTF8String].getBytes)
       val reg = (digest(0) & 0xff) % m
       // 48-bit big-endian value from bytes 1..6 (hex chars 3..14)
       var bits = 0L
