@@ -157,13 +157,106 @@ object MultimodalQueries {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** m04: perceptual-hash near-dup across blobs — MULTIMODAL dedup,
+    * the stage that catches re-encoded/re-uploaded media exact-hash
+    * dedup (m01's sha) misses. The pHash stand-in is a simhash over
+    * the blob's frame fingerprints (the m02 frame family: 16-byte
+    * frames at 64-byte stride): content-derived, locality-preserving,
+    * and portable — a real DCT pHash swaps only the per-frame
+    * expression, exactly like m03's encoder stub. Pairing reuses the
+    * d04/d05 machinery verbatim (reference: `Dedup.scala` simhash):
+    * 4-band pigeonhole prefilter (lossless for hamming ≤ 3), hamming
+    * cut BEFORE distinct.
+    *
+    * Scale shape: fingerprints are 32-char strings — the self-join
+    * input is ids+fingerprints, never blob bytes; band buckets bound
+    * the candidate space; the sketch is persisted once (computing it
+    * on both join sides would decode every blob twice). */
+  val phashBits = graft.queries.Dedup.simhashBits
+  val phashMaxHamming = graft.queries.Dedup.simhashMaxHamming
+
+  def phashPairs(s: SparkSession, dir: String): DataFrame =
+    phashPairsDf(t(s, dir, "documents"))
+
+  def phashPairsDf(docs: DataFrame): DataFrame = {
+    import graft.queries.Dedup.bitExprSpark
+    import graft.functions.VectorFunctions.hamming
+    val feats = docs
+      .select(col("doc_id"),
+        explode(expr(
+          "sequence(0, cast(floor((octet_length(text) - 1) / 64) as int))"))
+          .as("i"), col("text"))
+      .select(col("doc_id"), md5(expr("substring(text, i * 64 + 1, 16)")).as("h"))
+    val sums = feats.groupBy(col("doc_id"))
+      .agg(sum(bitExprSpark(0)).as("w0"),
+        (1 until phashBits).map(j => sum(bitExprSpark(j)).as(s"w$j")): _*)
+    val fp = sums.select(col("doc_id"),
+      concat((0 until phashBits)
+        .map(j => when(col(s"w$j") >= 0, lit("1")).otherwise(lit("0"))): _*)
+        .as("phash"))
+      .persist()
+    val bandW = phashBits / 4
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("phash"), b * bandW + 1, bandW).as("sig")).as(s"b$b"))
+    val bands = fp.select(col("doc_id"), col("phash"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("phash"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("media_a"), col("y.doc_id").as("media_b"),
+        hamming(col("x.phash"), col("y.phash")).as("hamming"))
+      .filter(col("hamming") <= phashMaxHamming)
+      .distinct()
+      .orderBy("media_a", "media_b")
+  }
+
+  private val phashPairsSql: String = {
+    def bit(j: Int) = {
+      val c = s"substring(h, ${j / 4 + 1}, 1)"
+      val v = s"(strpos('0123456789abcdef', $c) - 1)"
+      s"CASE WHEN ($v // ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+    }
+    val sums = (0 until phashBits).map(j => s"SUM(${bit(j)}) AS w$j").mkString(", ")
+    val chars = (0 until phashBits)
+      .map(j => s"CASE WHEN w$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bandW = phashBits / 4
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, phash, $b AS band, substring(phash, ${b * bandW + 1}, $bandW) AS sig FROM fp")
+      .mkString("\nUNION ALL\n")
+    val ham = (1 to phashBits)
+      .map(j => s"CASE WHEN substring(x.phash, $j, 1) <> substring(y.phash, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH fh AS (
+       |  SELECT doc_id, md5(substring(text, CAST(i AS INT) * 64 + 1, 16)) AS h
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 64) AS BIGINT))) AS i
+       |    FROM documents)),
+       |sums AS (SELECT doc_id, $sums FROM fh GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $chars AS phash FROM sums),
+       |bands AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b,
+       |    CAST($ham AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT media_a, media_b, hamming FROM cand
+       |WHERE hamming <= $phashMaxHamming ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"   -> binaryMeta _,
     "m02_frame_sample"  -> frameSample _,
-    "m03_blob_features" -> blobFeatures _)
+    "m03_blob_features" -> blobFeatures _,
+    "m04_phash_pairs"   -> phashPairs _)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta"   -> binaryMetaSql,
     "m02_frame_sample"  -> frameSampleSql,
-    "m03_blob_features" -> blobFeaturesSql)
+    "m03_blob_features" -> blobFeaturesSql,
+    "m04_phash_pairs"   -> phashPairsSql)
 }

@@ -229,7 +229,7 @@ object Dedup {
     * DuckDB 1.0). */
   val simhashBits = 32
 
-  private def bitExprSpark(j: Int): Column = {
+  private[graft] def bitExprSpark(j: Int): Column = {
     val c = s"substring(h, ${j / 4 + 1}, 1)"
     val v = s"(instr('0123456789abcdef', $c) - 1)"
     expr(s"CASE WHEN ($v div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")

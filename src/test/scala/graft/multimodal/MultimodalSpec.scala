@@ -33,4 +33,26 @@ class MultimodalSpec extends SparkSpec {
     // empty blob still yields one (empty) frame row
     assert(got(3L).map(_._2).toSeq === Seq(0L))
   }
+
+  test("m04: identical blobs pair at hamming 0; pairs canonical; disjoint blobs don't pair") {
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 are byte-identical (distinct ids), doc 3 unrelated
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, "the quick brown fox jumps over the lazy dog " * 8),
+      (3L, "ZZZZ completely different payload bytes QQQQ " * 8))
+      .toDF("doc_id", "text")
+    val pairs = MultimodalQueries.phashPairsDf(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.contains((1L, 2L, 0L)), s"identical blobs must pair: ${pairs.toSeq}")
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, "pairs must be canonically ordered")
+      assert(h <= MultimodalQueries.phashMaxHamming)
+    }
+    // partition invariance of the sketch+banding pipeline
+    val again = MultimodalQueries.phashPairsDf(docs.repartition(5))
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.sortBy(p => (p._1, p._2)).toSeq ===
+      again.sortBy(p => (p._1, p._2)).toSeq)
+  }
 }
