@@ -1368,6 +1368,70 @@ object Relational {
       |    AS distinct_parts
       |FROM flagged ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Distribution scalars Spark lacks as deterministic built-ins: MODE
+    * (most frequent value) and exact PERCENTILE_DISC, per group — both
+    * via rank decompositions so ties are pinned (mode breaks toward the
+    * smaller value; the disc quantile is the value at rank ⌈q·n⌉ under
+    * a unique total order) and both engines walk the identical plan
+    * instead of trusting engine-specific tie behavior.
+    *
+    * Scale: the mode ranks the (status, priority)-count relation —
+    * |groups|-sized, not data-sized — and row_number=1 is rewritten to
+    * the bounded TopKPerKey heap; the quantile window ranks within
+    * status partitions with O(1) per-row state, then one conditional
+    * agg picks the three ranks. No global sort, no collect. */
+  def q47DistScalars(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val pc = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    val wm = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("c").desc, col("o_orderpriority"))
+    val mode = pc.withColumn("rk", row_number().over(wm))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("c").as("mode_cnt"))
+    val wq = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("p"), col("o_orderkey"))
+    val ranked = o.select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast(D182).as("p"))
+      .withColumn("rn", row_number().over(wq))
+    val n = ranked.groupBy(col("o_orderstatus")).agg(max(col("rn")).as("n"))
+    val quant = ranked.join(broadcast(n), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.25), col("p"))).cast("double").as("p25"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("p"))).cast("double").as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("p"))).cast("double").as("p75"))
+    mode.join(quant, "o_orderstatus").orderBy("o_orderstatus")
+  }
+
+  private val q47Sql =
+    """WITH pc AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |md AS (
+      |  SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS mode_cnt
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |          ORDER BY c DESC, o_orderpriority) AS rk FROM pc)
+      |  WHERE rk = 1),
+      |rankd AS (
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn
+      |  FROM orders),
+      |nn AS (SELECT o_orderstatus, MAX(rn) AS n FROM rankd GROUP BY 1),
+      |qt AS (
+      |  SELECT r.o_orderstatus,
+      |    CAST(MAX(CASE WHEN r.rn = CEIL(nn.n * 0.25) THEN r.p END) AS DOUBLE) AS p25,
+      |    CAST(MAX(CASE WHEN r.rn = CEIL(nn.n * 0.5)  THEN r.p END) AS DOUBLE) AS p50,
+      |    CAST(MAX(CASE WHEN r.rn = CEIL(nn.n * 0.75) THEN r.p END) AS DOUBLE) AS p75
+      |  FROM rankd r JOIN nn ON r.o_orderstatus = nn.o_orderstatus
+      |  GROUP BY 1)
+      |SELECT md.o_orderstatus, md.mode_priority, md.mode_cnt, qt.p25, qt.p50, qt.p75
+      |FROM md JOIN qt ON md.o_orderstatus = qt.o_orderstatus
+      |ORDER BY md.o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1415,7 +1479,8 @@ object Relational {
     "q43_lateral"         -> q43Lateral _,
     "q44_calendar_fill"   -> q44CalendarFill _,
     "q45_latest_state"    -> q45LatestState _,
-    "q46_window_distinct" -> q46WindowDistinct _)
+    "q46_window_distinct" -> q46WindowDistinct _,
+    "q47_dist_scalars"    -> q47DistScalars _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1463,5 +1528,6 @@ object Relational {
     "q43_lateral"         -> q43Sql,
     "q44_calendar_fill"   -> q44Sql,
     "q45_latest_state"    -> q45Sql,
-    "q46_window_distinct" -> q46Sql)
+    "q46_window_distinct" -> q46Sql,
+    "q47_dist_scalars"    -> q47Sql)
 }

@@ -53,6 +53,30 @@ class RelationalSpec extends SparkSpec {
     assert(total === distinctKeys)
   }
 
+  test("q47: mode and disc percentiles match a naive in-memory computation") {
+    val rows = Relational.q47DistScalars(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val st = r.getString(0)
+      val grp = orders(st)
+      // mode: max count, tie toward smaller priority
+      val want = grp.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (p, c) => (-c, p) }.head
+      assert(r.getString(1) === want._1 && r.getLong(2) === want._2.toLong, st)
+      // disc percentiles are order statistics at rank ceil(q*n)
+      val sorted = grp.map(_._3).sorted
+      def disc(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(BigDecimal(r.getDouble(3)) === disc(0.25), s"$st p25")
+      assert(BigDecimal(r.getDouble(4)) === disc(0.5), s"$st p50")
+      assert(BigDecimal(r.getDouble(5)) === disc(0.75), s"$st p75")
+    }
+  }
+
   test("q46: final running value equals the supplier's true distinct-part count") {
     import org.apache.spark.sql.functions._
     val last = Relational.q46WindowDistinct(spark, sf)
