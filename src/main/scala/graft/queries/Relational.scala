@@ -1326,30 +1326,28 @@ object Relational {
 
   // ---------------------------------------------------------------- q46
   /** Running COUNT(DISTINCT) over a window — an aggregate Spark does not
-    * support natively (no DISTINCT window aggregates, SPARK-Window
-    * limitation), expressed by the standard decomposition: mark the
-    * FIRST occurrence of each (supplier, part) in ship order with a
-    * per-pair row_number, then running-sum the first-occurrence flags
-    * over the supplier timeline. Both windows are plain rank/sum
-    * windows, so the whole operator stays in native window exec.
+    * support natively (no DISTINCT window aggregates). Written in the
+    * NATURAL one-line form — `size(collect_set(part).over(w))` — which
+    * on stock Spark materializes the distinct SET per row (O(distinct)
+    * window state, the scale-killer); the engine's
+    * [[graft.plans.DistinctWindowRewrite]] optimizer rule rewrites it
+    * into the bounded first-occurrence decomposition (per-(supplier,
+    * part) row_number flag + running sum — two plain rank/sum windows,
+    * O(1) state per row). PlanSpec pins that no collect_set survives.
     *
     * Scale: two windows partitioned by high-cardinality keys
-    * ((suppkey, partkey) then suppkey) — the same shuffle key modulo
-    * the part suffix, no global sort, state O(1) per row. The oracle
-    * spells the identical decomposition (rather than DuckDB's native
-    * COUNT(DISTINCT …) OVER) so both engines walk the same plan. */
+    * ((suppkey, partkey) then suppkey), no global sort. The oracle
+    * spells the decomposition explicitly (DuckDB has no rule), so both
+    * engines produce the same values down to the cell. */
   def q46WindowDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    val wFirst = Window.partitionBy(col("l_suppkey"), col("l_partkey"))
-      .orderBy(ord: _*)
     val wRun = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
         col("l_linenumber"), col("l_shipdate"))
-      .withColumn("first_seen",
-        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .withColumn("distinct_parts", sum(col("first_seen")).over(wRun))
+      .withColumn("distinct_parts",
+        size(collect_set(col("l_partkey")).over(wRun)).cast("long"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "distinct_parts")
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }

@@ -223,8 +223,10 @@ class PlanSpec extends SparkSpec {
       (p.contains("graft_portable_bloom") && p.contains("ObjectHashAggregate")), p)
   }
 
-  test("q46: windowed count-distinct stays join-free in native window exec") {
+  test("q46: DistinctWindowRewrite removes the per-row set; plan stays join-free") {
     val p = plan(graft.queries.Relational.q46WindowDistinct(spark, sf))
+    assert(!p.contains("collect_set"),
+      "O(distinct)-state set window survived the rewrite:\n" + p)
     assert(!p.contains("Join"), "decomposition re-introduced a join:\n" + p)
     assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined, p)
   }

@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class DistinctWindowRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wRows = Window.partitionBy($"p").orderBy($"o", $"id")
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  // (p, o, id, x) with repeats and a null x
+  private def df: DataFrame = Seq(
+    ("a", 1L, 1L, Some("u")), ("a", 2L, 2L, Some("v")),
+    ("a", 3L, 3L, Some("u")), ("a", 4L, 4L, None),
+    ("a", 5L, 5L, Some("w")), ("b", 1L, 6L, Some("u")),
+    ("b", 2L, 7L, Some("u")), ("b", 3L, 8L, None))
+    .toDF("p", "o", "id", "x")
+
+  private def natural(d: DataFrame): DataFrame =
+    d.select($"p", $"id", size(collect_set($"x").over(wRows)).as("nd"))
+
+  test("rewrite: collect_set vanishes from the plan; two rank/sum windows appear") {
+    val out = natural(df)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_set"),
+      "set-building window survived the rewrite:\n" + p)
+    assert("__graft_dw_rn".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("rewrite preserves values incl. nulls and repeats (vs rule disabled)") {
+    val got = natural(df).as[(String, Long, Int)].collect().toSet
+    val want = {
+      spark.conf.set("graft.distinctwindow.rewrite.enabled", "false")
+      try natural(df).as[(String, Long, Int)].collect().toSet
+      finally spark.conf.unset("graft.distinctwindow.rewrite.enabled")
+    }
+    assert(got === want)
+    // spot values: partition a timeline u,v,u,null,w → 1,2,2,2,3
+    val a = natural(df).filter($"p" === "a").orderBy($"id")
+      .select($"nd").as[Int].collect().toSeq
+    assert(a === Seq(1, 2, 2, 2, 3))
+  }
+
+  test("no rewrite when the set itself escapes or the frame is RANGE") {
+    // set escapes: array itself selected
+    val escape = df.select($"p", $"id",
+      size(collect_set($"x").over(wRows)).as("nd"),
+      collect_set($"x").over(wRows).as("the_set"))
+    escape.collect()
+    assert(escape.queryExecution.executedPlan.toString.contains("collect_set"))
+    // RANGE frame (default with orderBy): tie rows share the set —
+    // decomposition would differ mid-tie, so the rule must not fire
+    val wRange = Window.partitionBy($"p").orderBy($"o")
+    val range = df.select($"p", $"id",
+      size(collect_set($"x").over(wRange)).as("nd"))
+    range.collect()
+    assert(range.queryExecution.executedPlan.toString.contains("collect_set"))
+  }
+}
