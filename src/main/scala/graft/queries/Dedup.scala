@@ -685,6 +685,84 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  /** d12: containment detection — the asymmetric cousin of d03's
+    * Jaccard: score = |A∩B| / |smaller set|, which catches SUBSET
+    * duplicates (a doc quoted/embedded inside a bigger one, boilerplate
+    * wrappers around identical cores) that symmetric Jaccard dilutes
+    * below threshold as the size ratio grows. Same df-pruned shingle
+    * inverted index as d03 (one index serves both measures — in a real
+    * pipeline this is literally a second aggregation over d03's join),
+    * same maxShingleDf² bucket bound. Orientation is canonical: `inner`
+    * is the doc with the smaller pruned-shingle set (tie → smaller id),
+    * so every pair appears once with a deterministic direction. The
+    * score is one IEEE division of two exact integers. */
+  val containmentThreshold = 0.9
+
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentDf(t(s, dir, "documents"))
+
+  def containmentDf(docs: DataFrame): DataFrame = {
+    val shAll = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
+      .distinct()
+    val keep = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh"))
+    val sh = shAll.join(keep, "sh")
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val scored = pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sa.n_sh").as("na"), col("sb.n_sh").as("nb"))
+    scored
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("inner_doc"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("outer_doc"),
+        col("common"),
+        (col("common") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= containmentThreshold)
+      .orderBy("inner_doc", "outer_doc")
+  }
+
+  private val containmentSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh_all AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM d),
+       |keep AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $maxShingleDf),
+       |sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (sh)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_a, p.doc_b, p.common,
+       |    sa.n_sh AS na, sb.n_sh AS nb
+       |  FROM pairs p
+       |  JOIN sz sa ON p.doc_a = sa.doc_id
+       |  JOIN sz sb ON p.doc_b = sb.doc_id)
+       |SELECT
+       |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS inner_doc,
+       |  CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS outer_doc,
+       |  CAST(common AS BIGINT) AS common,
+       |  common / LEAST(na, nb) AS containment
+       |FROM scored
+       |WHERE common / LEAST(na, nb) >= $containmentThreshold
+       |ORDER BY inner_doc, outer_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact"     -> exact _,
     "d02_minhash_lsh"     -> minHashLsh _,
@@ -696,7 +774,8 @@ object Dedup {
     "d08_canonical_docs"  -> canonicalDocs _,
     "d09_multi_signal"    -> multiSignal _,
     "d10_decontaminate"   -> decontaminate _,
-    "d11_incremental"     -> incrementalDedup _)
+    "d11_incremental"     -> incrementalDedup _,
+    "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact"     -> exactSql,
@@ -709,5 +788,6 @@ object Dedup {
     "d08_canonical_docs"  -> canonicalDocsSql,
     "d09_multi_signal"    -> multiSignalSql,
     "d10_decontaminate"   -> decontaminateSql,
-    "d11_incremental"     -> incrementalDedupSql)
+    "d11_incremental"     -> incrementalDedupSql,
+    "d12_containment"     -> containmentSql)
 }

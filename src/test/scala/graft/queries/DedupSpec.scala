@@ -166,4 +166,25 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.ngramJaccardDf(skewed).count() === 0L)
   }
+
+  test("d12: containment catches the subset duplicate symmetric jaccard dilutes") {
+    val core = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val wrapper = core + " " + (1 to 600).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, core), (2L, wrapper),
+      (3L, "an unrelated document about nothing at all"))
+      .toDF("doc_id", "text")
+    // the core is a strict prefix of the wrapper: containment 1.0 with
+    // canonical orientation (smaller set = inner)
+    val cont = Dedup.containmentDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.exists { case (i, o, c) => i == 1L && o == 2L && c == 1.0 },
+      s"subset dup not caught: ${cont.toSeq}")
+    assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+    // symmetric jaccard on the same pair: 28/628 — under even the d03
+    // threshold, which is the whole point of the asymmetric measure
+    val jac = Dedup.ngramJaccardDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)),
+      "jaccard unexpectedly kept the size-skewed pair")
+  }
 }
