@@ -69,4 +69,16 @@ class EmptyInputSpec extends SparkSpec {
     val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
     assert(Graph.trianglesDf(noLi).count() === 0)
   }
+
+  test("round-3 ops yield zero rows on empty input") {
+    val noFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(Graph.componentsDf(noLi).count() === 0)
+    assert(Dedup.containmentDf(noFull).count() === 0)
+    assert(Sampling.datasetSplitDf(noFull).count() === 0)
+    assert(TextOps.piiRedactDf(noFull).count() === 0)
+    assert(TextOps.unigramScoreDf(noFull).count() === 0)
+    assert(graft.multimodal.MultimodalQueries.phashPairsDf(noFull).count() === 0)
+  }
 }
