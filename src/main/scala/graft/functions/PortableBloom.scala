@@ -131,6 +131,30 @@ object PortableBloom {
     (conv(substring(md5(concat_ws(":", lit(d), key)), 1, 4), 16, 10)
       .cast("int") % bits)
 
+  /** Imperative mirror of update+probe for STATEFUL STREAMING use
+    * (e.g. [[graft.streaming.EventStreams.dedupStreamBloom]]): sets
+    * the key's bits in `words` and returns true iff every bit was
+    * ALREADY set (apparent duplicate). Identical positions to the
+    * aggregate's update and the SQL twin, so a state snapshot is
+    * comparable across engines. Caller supplies the MessageDigest
+    * (one per group invocation, not per key). */
+  def testAndSet(words: Array[Long], keyBytes: Array[Byte],
+      md: java.security.MessageDigest): Boolean = {
+    var seen = true
+    var d = 0
+    while (d < depth) {
+      md.reset()
+      md.update(prefixes(d))
+      val digest = md.digest(keyBytes)
+      val pos = (((digest(0) & 0xff) << 8) | (digest(1) & 0xff)) % bits
+      val w = pos >>> 5
+      val b = 1L << (pos & 31)
+      if ((words(w) & b) == 0L) { seen = false; words(w) |= b }
+      d += 1
+    }
+    seen
+  }
+
   /** Membership probe against a sketch column (the BIGINT-word array
     * this aggregate returns): true iff all `depth` bits are set. All
     * codegen'd built-ins (conv / element_at / shiftright / bitwise). */

@@ -22,6 +22,8 @@ object EventStreams {
 
   case class SessionState(start: Long, last: Long, cnt: Long)
 
+  case class BloomState(words: Array[Long])
+
   /** Tumbling event-time window aggregation with a watermark. Works on
     * both batch and streaming DataFrames with (ts, event_type, value). */
   def tumbling(events: DataFrame, width: String = "15 minutes",
@@ -85,6 +87,41 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Approximate streaming dedup with BOUNDED state: a per-user
+    * portable Bloom filter ([[graft.functions.PortableBloom]], 1 KB)
+    * in keyed state instead of [[dedupStream]]'s exact key set.
+    *
+    * The exact variant's state grows with distinct keys inside the
+    * watermark — on a 100 TB / multi-month dedup horizon that is the
+    * state store's scale-killer. The Bloom trade: state is CONSTANT
+    * (words × 8 bytes per key-group, forever), a true duplicate is
+    * never emitted twice (no false negatives), and the cost is a tiny
+    * false-POSITIVE rate — (1 − e^(−depth·n/bits))^depth chance a new
+    * event is wrongly dropped — acceptable for dedup (losing 1-in-10⁴
+    * events to over-dedup beats unbounded state) and tunable via the
+    * filter size. Events are processed in (ts, event_id) order within
+    * each micro-batch so output is deterministic given batch
+    * boundaries. */
+  def dedupStreamBloom(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    import graft.functions.PortableBloom
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BloomState, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Event], state: GroupState[BloomState]) =>
+          val words = state.getOption.map(_.words)
+            .getOrElse(new Array[Long](PortableBloom.words))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .filterNot { e =>
+              PortableBloom.testAndSet(words,
+                e.event_id.toString.getBytes("UTF-8"), md)
+            }
+          state.update(BloomState(words))
+          out.iterator
+      }
+  }
 
   /** Stream-stream interval join: each click joined to the same user's
     * views within `window` after the click. Both sides carry watermarks

@@ -155,6 +155,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === sample.map(_.event_id).sorted)
   }
 
+  test("bloom-state dedup drops duplicates ACROSS micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStreamBloom(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloomdedup_out").start()
+    // batch 1: ids 1..5 (id 1 twice within the batch), two users
+    mem.addData(ev(1, 1, "click"), ev(1, 2, "click"), ev(2, 3, "view"),
+      ev(3, 4, "click", user = 2L), ev(4, 5, "view"), ev(5, 6, "view", user = 2L))
+    q.processAllAvailable()
+    // batch 2: ids 1 and 3 AGAIN (exact dedup would need their keys in
+    // state — the bloom remembers them in constant space), plus new 6, 7
+    mem.addData(ev(1, 7, "click"), ev(3, 8, "click", user = 2L),
+      ev(6, 9, "view"), ev(7, 10, "view", user = 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bloomdedup_out")
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"cross-batch duplicate survived or a new id was dropped: $got")
+  }
+
   test("foreachBatch upsert keeps the parquet table equal to the batch answer") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("evupsert").toString
