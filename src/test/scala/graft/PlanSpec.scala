@@ -223,6 +223,29 @@ class PlanSpec extends SparkSpec {
       (p.contains("graft_portable_bloom") && p.contains("ObjectHashAggregate")), p)
   }
 
+  test("d12: containment join keys on the df-pruned shingle, never raw text") {
+    val p = plan(Dedup.containment(spark, sf))
+    // the df-cutoff aggregate must sit in the plan (bucket bound) and
+    // no join may carry the text payload
+    assert(p.contains("partial_count") || p.contains("count"), p)
+    assert(!"Join.*\\btext\\b".r.findFirstIn(p).isDefined,
+      "containment join carries the text payload:\n" + p)
+  }
+
+  test("m04: phash pair join reads the persisted fingerprints, not the blobs") {
+    val p = plan(graft.multimodal.MultimodalQueries.phashPairs(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "fingerprints recomputed per join side:\n" + p)
+    assert(!"Join.*\\btext\\b".r.findFirstIn(p).isDefined,
+      "pair join carries blob bytes:\n" + p)
+  }
+
+  test("p07: split assignment is map-side — one aggregate, no join, no window") {
+    val p = plan(graft.queries.Sampling.datasetSplit(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("q46: DistinctWindowRewrite removes the per-row set; plan stays join-free") {
     val p = plan(graft.queries.Relational.q46WindowDistinct(spark, sf))
     assert(!p.contains("collect_set"),
