@@ -467,6 +467,62 @@ object Sketches {
        |ORDER BY p.o_orderstatus""".stripMargin
   }
 
+  /** a09: join-cardinality pre-flight — a06's sibling question: not
+    * "is the key skewed" but "HOW BIG is the join output, and how much
+    * of it comes from the hottest key". For each candidate fact⋈dim
+    * join, the exact output size is Σ_k cnt_build(k)·cnt_probe(k) —
+    * computed on the per-key COUNT relations (|keys|-sized, partial-
+    * agged), never by running the join. The planner-facing numbers: out
+    * rows, amplification vs the probe side, the hot key's share (the
+    * AQE-vs-saltedJoin decision), and matched key count (broadcast
+    * feasibility of the build side).
+    *
+    * Scale: two partial-agged groupBys + one |keys|-sized equi-join
+    * per candidate — the fact table is scanned once per key column and
+    * reduced to counts map-side; nothing data-sized shuffles. */
+  def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def prof(name: String, factKey: String, dim: DataFrame, dimKey: String)
+        : DataFrame = {
+      val f = li.groupBy(col(factKey).as("k")).agg(count(lit(1)).as("cf"))
+      val d = dim.groupBy(col(dimKey).as("k")).agg(count(lit(1)).as("cd"))
+      f.join(d, "k")
+        .select(col("k"), (col("cf") * col("cd")).as("o"))
+        .agg(count(lit(1)).as("matched_keys"),
+          sum(col("o")).as("out_rows"),
+          max(col("o")).as("max_key_out"))
+        .select(lit(name).as("join_key"), col("matched_keys"),
+          col("out_rows"), col("max_key_out"),
+          round(col("max_key_out").cast("double") / col("out_rows"), 6)
+            .as("hot_share"))
+    }
+    Seq(
+      prof("l_orderkey=o_orderkey", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      prof("l_partkey=p_partkey", "l_partkey", t(s, dir, "part"), "p_partkey"),
+      prof("l_suppkey=s_suppkey", "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+      .reduce(_ unionByName _)
+      .orderBy("join_key")
+  }
+
+  private val joinCardinalitySql = {
+    def one(name: String, fk: String, dimTable: String, dk: String) =
+      s"""SELECT '$name' AS join_key,
+         |  CAST(COUNT(*) AS BIGINT) AS matched_keys,
+         |  CAST(SUM(o) AS BIGINT) AS out_rows,
+         |  CAST(MAX(o) AS BIGINT) AS max_key_out,
+         |  ROUND(CAST(MAX(o) AS DOUBLE) / SUM(o), 6) AS hot_share
+         |FROM (
+         |  SELECT f.k, f.cf * d.cd AS o
+         |  FROM (SELECT $fk AS k, COUNT(*) AS cf FROM lineitem GROUP BY 1) f
+         |  JOIN (SELECT $dk AS k, COUNT(*) AS cd FROM $dimTable GROUP BY 1) d
+         |  ON f.k = d.k)""".stripMargin
+    Seq(
+      one("l_orderkey=o_orderkey", "l_orderkey", "orders", "o_orderkey"),
+      one("l_partkey=p_partkey", "l_partkey", "part", "p_partkey"),
+      one("l_suppkey=s_suppkey", "l_suppkey", "supplier", "s_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
@@ -475,7 +531,8 @@ object Sketches {
     "a05_hist_quantiles" -> histogramQuantiles _,
     "a06_skew_profile" -> skewProfile _,
     "a07_sketch_setops" -> sketchSetOps _,
-    "a08_bloom_prefilter" -> bloomPrefilter _)
+    "a08_bloom_prefilter" -> bloomPrefilter _,
+    "a09_join_cardinality" -> joinCardinality _)
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
@@ -484,5 +541,6 @@ object Sketches {
     "a05_hist_quantiles" -> histogramQuantilesSql,
     "a06_skew_profile" -> skewProfileSql,
     "a07_sketch_setops" -> sketchSetOpsSql,
-    "a08_bloom_prefilter" -> bloomPrefilterSql)
+    "a08_bloom_prefilter" -> bloomPrefilterSql,
+    "a09_join_cardinality" -> joinCardinalitySql)
 }

@@ -130,4 +130,19 @@ class SketchesSpec extends SparkSpec {
         .as[String].head()
     assert(state(1) === state(7))
   }
+
+  test("a09: predicted join cardinality equals the actual join size") {
+    import org.apache.spark.sql.functions._
+    val prof = Sketches.joinCardinality(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val ord = graft.Tables.t(spark, sf, "orders")
+    // fk→pk join: predicted out_rows must equal the real join's count
+    val real = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val (mk, out, mx) = prof("l_orderkey=o_orderkey")
+    assert(out === real, s"predicted $out real $real")
+    assert(mk === li.select("l_orderkey").distinct().count())
+    assert(mx <= out && mx >= 1L)
+  }
 }
