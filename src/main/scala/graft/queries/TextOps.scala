@@ -645,7 +645,67 @@ object TextOps {
       |    AS familiarity_ppm
       |FROM per_doc CROSS JOIN total ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t16
+  /** Corpus vocabulary profile — the numbers a tokenizer budget and a
+    * mix design read per source: token volume, vocabulary size,
+    * type-token ratio, and the head-concentration share (fraction of
+    * all occurrences from the [[zipfTopK]] most frequent tokens — the
+    * Zipf-head mass; boilerplate-heavy sources concentrate, diverse
+    * prose spreads).
+    *
+    * Scale: everything reduces on (source, token) counts — partial-
+    * agged, vocabulary-sized, never text-sized; the head share ranks
+    * within sources (TopKRewrite-eligible row_number ≤ K) and the
+    * ratios are single IEEE divisions of exact integers. */
+  val zipfTopK = 10
+
+  def vocabProfile(s: SparkSession, dir: String): DataFrame =
+    vocabProfileDf(t(s, dir, "documents"))
+
+  def vocabProfileDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val cnt = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    val head = cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= zipfTopK)
+      .groupBy(col("source")).agg(sum(col("c")).as("head_occ"))
+    val docsPer = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    docsPer.join(totals, "source").join(head, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("vocab") / col("n_tokens"), 6).as("ttr"),
+        round(col("head_occ") / col("n_tokens"), 6).as("head_share"))
+      .orderBy("source")
+  }
+
+  private val vocabProfileSql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cnt AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab
+       |  FROM cnt GROUP BY 1),
+       |head AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS head_occ FROM (
+       |    SELECT source, c, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY c DESC, tok) AS rk FROM cnt)
+       |  WHERE rk <= $zipfTopK GROUP BY source),
+       |dp AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT dp.source, dp.n_docs, totals.n_tokens, totals.vocab,
+       |  ROUND(totals.vocab / totals.n_tokens, 6) AS ttr,
+       |  ROUND(head.head_occ / totals.n_tokens, 6) AS head_share
+       |FROM dp JOIN totals ON dp.source = totals.source
+       |JOIN head ON dp.source = head.source
+       |ORDER BY dp.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_vocab_profile" -> vocabProfile _,
     "t14_pii_redact"    -> piiRedact _,
     "t15_unigram_score" -> unigramScore _,
     "t10_normalize_gain" -> normalizeGain _,
@@ -677,5 +737,6 @@ object TextOps {
     "t12_bpe_pairs"     -> bpePairsSql,
     "t13_repetition"    -> repetitionSql,
     "t14_pii_redact"    -> piiRedactSql,
-    "t15_unigram_score" -> unigramScoreSql)
+    "t15_unigram_score" -> unigramScoreSql,
+    "t16_vocab_profile" -> vocabProfileSql)
 }

@@ -75,4 +75,19 @@ class TextOpsSpec extends SparkSpec {
     // doc1: freq_sum = 1, n=1, total=5 → 1e6/5 = 200000
     assert(rows(1L) === ((1L, 1L, 200000L)))
   }
+
+  test("t16: vocab profile is exact on a constructed two-source corpus") {
+    import org.apache.spark.sql.functions.col
+    // source A: "a a b" (3 tokens, vocab 2); source B: "x" (1 token)
+    val docs = Seq((1L, "a a b", "A"), (2L, "x", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.vocabProfileDf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    // head_share = 1.0 when vocab ≤ zipfTopK (the whole head)
+    assert(got("A") === ((1L, 3L, 2L, BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1.0)))
+    assert(got("B") === ((1L, 1L, 1L, 1.0, 1.0)))
+  }
 }
