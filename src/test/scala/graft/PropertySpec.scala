@@ -115,6 +115,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distinct-window rewrite is value-identical to the set plan on random inputs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rowGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0L, 20L),
+      Gen.option(Gen.oneOf("u", "v", "w", "z"))))
+    val wr = W.partitionBy($"p").orderBy($"o", $"id")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    for (s <- 1 to 3) {
+      val rows = sample(rowGen, s).zipWithIndex
+        .map { case ((p, o, x), i) => (p, o, i.toLong, x) }
+      val df = rows.toDF("p", "o", "id", "x").repartition(5)
+      def run(): Set[(Int, Long, Int)] =
+        df.select($"p", $"id", size(collect_set($"x").over(wr)).as("nd"))
+          .as[(Int, Long, Int)].collect().toSet
+      val rewritten = run()
+      spark.conf.set("graft.distinctwindow.rewrite.enabled", "false")
+      val stock = try run()
+        finally spark.conf.unset("graft.distinctwindow.rewrite.enabled")
+      assert(rewritten === stock, s"seed $s")
+    }
+  }
+
   test("pagerank equals the in-memory integer reference on random graphs") {
     val pairGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
