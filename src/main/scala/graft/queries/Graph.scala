@@ -257,28 +257,33 @@ object Graph {
 
   /** DuckDB twin: self-join pair counts (the oracle side may afford the
     * quadratic form), identical support cutoff, and each round unrolled
-    * as the same two CTEs — propagate (p) then pointer-jump (l). */
+    * as the same two CTEs — propagate (p) then pointer-jump (l). Every
+    * CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    * round references its predecessor twice, so an inlined chain
+    * re-expands the pair computation 2^rounds times — the exact
+    * plan-doubling disease the Spark side cures with localCheckpoint
+    * (it spilled DuckDB to disk exhaustion at sf0.1 before this). */
   private val componentsSql = {
     val rounds = (1 to compRounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT l.id, LEAST(l.label, COALESCE(m.nbr, l.label)) AS label
          |  FROM l${r - 1} l LEFT JOIN (
          |    SELECT u.src AS id, MIN(n.label) AS nbr
          |    FROM u JOIN l${r - 1} n ON n.id = u.dst GROUP BY u.src) m
          |  USING (id)),
-         |l$r AS (
+         |l$r AS MATERIALIZED (
          |  SELECT p.id, q.label
          |  FROM p$r p JOIN p$r q ON p.label = q.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pc AS (
+    s"""WITH pc AS MATERIALIZED (
        |  SELECT a.l_partkey AS a, b.l_partkey AS b,
        |    COUNT(DISTINCT a.l_orderkey) AS support
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $ccSupport),
-       |u AS (SELECT a AS src, b AS dst FROM pc
+       |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM pc
        |      UNION ALL SELECT b, a FROM pc),
-       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM u),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM u),
        |$rounds,
        |sz AS (SELECT label, COUNT(*) AS n_nodes FROM l$compRounds GROUP BY label)
        |SELECT l.id AS part, l.label AS component,
