@@ -445,8 +445,13 @@ object Dedup {
   /** Shared CTE chain ending in `l{ccRounds}` (doc_id → cluster) —
     * composed into the d07 and d08 oracles. */
   private val dupClusterCtes: String = {
+    // MATERIALIZED like the g03 oracle: every round references its
+    // predecessor twice, and DuckDB inlines CTEs by default — an
+    // inlined chain re-expands the MinHash signature computation
+    // 2^rounds times (the plan-doubling the Spark side cures with
+    // localCheckpoint)
     val rounds = (1 to ccRounds).map { r =>
-      s"""l$r AS (
+      s"""l$r AS MATERIALIZED (
          |  SELECT l.doc_id, LEAST(l.cluster, COALESCE(m.nbr, l.cluster)) AS cluster
          |  FROM l${r - 1} l LEFT JOIN (
          |    SELECT u.doc_a AS doc_id, MIN(n.cluster) AS nbr
@@ -454,9 +459,9 @@ object Dedup {
          |  USING (doc_id))""".stripMargin
     }.mkString(",\n")
     s"""$minHashCandSql,
-       |u AS (SELECT doc_a, doc_b FROM cand
+       |u AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
        |      UNION ALL SELECT doc_b, doc_a FROM cand),
-       |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM documents),
        |$rounds""".stripMargin
   }
 
