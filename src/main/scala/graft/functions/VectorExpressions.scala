@@ -96,6 +96,58 @@ case class SquaredNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Σ floor((xᵢ−yᵢ)²·2²⁰) over two double arrays, as a BIGINT — the
+  * integer fixed-point squared distance that makes nearest-neighbor
+  * ASSIGNMENT engine-portable (the s06 PQ pattern): each per-element
+  * term is a deterministic double expression (two IEEE ops on
+  * float-derived values, an exact ×2²⁰ exponent shift, an unambiguous
+  * FLOOR) and the sum is integer, so the result is bit-identical
+  * regardless of accumulation order, partitioning, or engine — no
+  * ROUND boundary for two engines to disagree about, unlike a rounded
+  * cosine argmax. Iterates min(len) like [[DotProduct]]. */
+case class FixedPointSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // children must already be array<double> (callers cast explicitly)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_fp_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += math.floor(d * d * 1048576.0).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x.getDouble($i) - $y.getDouble($i);
+         |  $s += (long) java.lang.Math.floor($d * $d * 1048576.0);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FixedPointSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Character-level hamming distance between two equal-length strings
   * (bitstring fingerprints) — replaces an N-term substring-comparison
   * expression chain with one fused loop over the UTF8 bytes. ASCII
@@ -146,6 +198,10 @@ object VectorFunctions {
 
   def norm2(a: Column): Column =
     ColumnBridge.column(SquaredNorm(ColumnBridge.expression(a)))
+
+  def fpSqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FixedPointSqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
-import graft.functions.VectorFunctions.{dot, norm2}
+import graft.functions.VectorFunctions.{dot, fpSqDist, norm2}
 
 /** Similarity search over the `embeddings` table (`array<float>`,
   * LLM-pipeline extension op).
@@ -180,42 +180,65 @@ object Similarity {
   }
 
   // ------------------------------------------------------- IVF ANN path
-  /** IVF-style ANN: a deterministic coarse quantizer (the first
-    * `numCells` vectors act as cell seeds), every vector assigned to its
-    * nearest seed cell, queries probe their 2 nearest cells. The classic
-    * inverted-file trade: candidate work drops to ~2/numCells of brute
-    * force. Rows-only (cell assignment hinges on unrounded float argmax
-    * — not portable to a second engine), recall unit-tested. */
+  /** IVF-style ANN with TRAINED cells: the coarse quantizer is one
+    * Lloyd refinement ([[lloydCells]], the s05 step) over the
+    * deterministic first-`numCells` raw seeds, so the inverted file
+    * indexes against actual cluster centers instead of arbitrary
+    * vectors — the gap between "has IVF" and "has a usable IVF" (a
+    * real index's recall depends on trained cells). Every vector is
+    * assigned to its nearest trained centroid, queries probe their
+    * [[numProbes]] nearest cells. The classic inverted-file trade:
+    * candidate work drops to ~numProbes/numCells of brute force. */
   val numCells = 8
   val numProbes = 2
 
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKDf(t(s, dir, "embeddings"))
 
-  /** Nearest-cell assignment against the broadcast seed set (corpus
-    * side: 1 probe; query side: [[numProbes]]). ROUND before the argmax
-    * (tiebreak: cell id) — cell assignment becomes portable across
-    * engines, which is what lets s03/s07 carry full DuckDB oracles
-    * (same trick as s05's Lloyd step). */
-  private def cellAssign(e: DataFrame, probe: DataFrame, n: Int,
+  /** Nearest-cell assignment of `probe` rows against a broadcast
+    * seed-vector relation `(cell, sv)` — argmin of the INTEGER
+    * fixed-point squared distance ([[graft.functions.FixedPointSqDist]],
+    * the s06 pattern), cell-id tiebreak. No float rounding exists
+    * anywhere in the choice, so assignment is bit-portable across
+    * engines — which is what lets s03/s05/s07 carry cell-exact DuckDB
+    * oracles. (The previous ROUND(cos, 4) argmax was not: a vector on
+    * a 4-dp boundary flipped cells between engines — the r2/r3 s05
+    * hash mismatch.) */
+  private def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
       out: String): DataFrame = {
-    // seeds always come from the FULL corpus `e`, never the probe side
-    val seeds = e.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell"), col("v").as("sv"), col("nrm").as("snrm"))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
+      .orderBy(col("d"), col("cell"))
     probe.crossJoin(broadcast(seeds))
-      .withColumn("sim",
-        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 4))
+      .withColumn("d", fpSqDist(col("v"), col("sv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= n)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
   }
 
+  /** Deterministic raw seed relation `(cell, sv)`: the first
+    * [[numCells]] vectors (the IVF seed convention — portable because
+    * it is a plain filter, not a sample). */
+  private def rawSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), col("v").as("sv"))
+
+  /** Trained seed vectors `(cell, sv)`: the [[lloydCells]] centroids
+    * re-assembled into dense arrays (8 rows — the collect_list runs
+    * over cells × dim mean cells, never corpus vectors). */
+  private def trainedSeeds(e: DataFrame): DataFrame =
+    lloydCells(e)
+      .groupBy(col("cell"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, centroid))), p -> p.centroid)")
+        .as("sv"))
+
   def ivfTopKDf(embs: DataFrame): DataFrame = {
     val e = emb(embs)
-    val corpus = cellAssign(e, e, 1, "cell")
-    val queries = cellAssign(e, e.filter(isQuery), numProbes, "cell")
+    // 8-row trained quantizer, persisted so the corpus-side and
+    // query-side broadcasts share one Lloyd-step computation
+    val seeds = trainedSeeds(e).persist()
+    val corpus = assignCells(seeds, e, 1, "cell")
+    val queries = assignCells(seeds, e.filter(isQuery), numProbes, "cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     queries.as("q")
@@ -291,29 +314,31 @@ object Similarity {
   // ------------------------------------------------------ k-means step
   /** One full Lloyd iteration — seed pick → nearest-centroid assignment
     * → centroid recompute — i.e. the training loop body behind a real
-    * IVF index (s03 scores against raw seed vectors; this is the step
-    * that would refine them). Unlike s03's float argmax, the assignment
-    * here is portable: similarities are ROUNDed to 4 dp BEFORE the
-    * argmax (ties broken by cell id), so both engines pick identical
-    * cells and the whole step carries a cell-exact oracle.
+    * IVF index, and the trained quantizer s03/s07 now index against
+    * ([[trainedSeeds]]). The assignment is ALL-INTEGER (the s06
+    * pattern): per-vector distance to each raw seed is the fixed-point
+    * BIGINT Σ floor((v−s)²·2²⁰) ([[graft.functions.FixedPointSqDist]]),
+    * argmin with cell-id tiebreak — no float dot, no norm division, no
+    * decimal ROUND anywhere in the choice, so both engines pick
+    * identical cells on every input (the r2/r3 rounded-cosine
+    * assignment hash-failed exactly because a 4-dp ROUND boundary is
+    * not engine-stable).
     *
     * Scale: the 8 seed vectors broadcast (KBs); assignment is a narrow
-    * map over the corpus; recompute is the s04 partial-agged hash agg —
-    * shuffle carries cells × dim (sum, count) cells, never vectors. */
+    * codegen'd map over the corpus; recompute is the s04 partial-agged
+    * hash agg — shuffle carries cells × dim (sum, count) cells, never
+    * vectors. Returns (cell, pos, centroid, n_members). */
   def kmeansStep(s: SparkSession, dir: String): DataFrame =
     kmeansStepDf(t(s, dir, "embeddings"))
 
-  def kmeansStepDf(embs: DataFrame): DataFrame = {
-    val e = emb(embs)
-    val seeds = e.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell"), col("v").as("sv"), col("nrm").as("snrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    e.crossJoin(broadcast(seeds))
-      .withColumn("sim",
-        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+  def kmeansStepDf(embs: DataFrame): DataFrame =
+    lloydCells(emb(embs)).orderBy("cell", "pos")
+
+  /** The Lloyd-step body shared by s05 and the s03/s07 trained
+    * quantizer: integer-assign every vector to its nearest raw seed,
+    * recompute exact fixed-point centroid means per (cell, pos). */
+  private def lloydCells(e: DataFrame): DataFrame =
+    assignCells(rawSeeds(e), e, 1, "cell")
       .select(col("cell"), posexplode(col("v")))
       .toDF("cell", "pos", "x")
       .groupBy(col("cell"), col("pos").cast("long").as("pos"))
@@ -321,30 +346,57 @@ object Similarity {
       .select(col("cell"), col("pos"),
         fpMean(col("sx"), col("n_members")).as("centroid"),
         col("n_members"))
-      .orderBy("cell", "pos")
-  }
 
-  /** DuckDB twin of [[ivfTopKDf]]: same rounded-sim cell assignment
-    * (corpus 1-probe, queries 2-probe), within-cell candidate join,
-    * rounded cosine ranking. */
-  private val ivfSql =
-    s"""WITH x AS (
+  /** Per-element exact fixed-point squared distance, summed as BIGINT —
+    * the SQL twin of [[graft.functions.FixedPointSqDist]] over the
+    * unnested layout. Identical operation order to the Spark side
+    * ((a−b)·(a−b)·2²⁰, floor, integer sum) so every term is
+    * bit-identical. */
+  private def sqDistSumSql(a: String, b: String): String =
+    s"CAST(SUM(CAST(FLOOR(($a - $b) * ($a - $b) * 1048576) AS BIGINT)) AS BIGINT)"
+
+  /** Oracle CTE chain shared by s03/s05/s07: unnested layout `x`,
+    * integer distances to the raw first-[[numCells]] seeds `sd0`, the
+    * Lloyd assignment `seed_assign` (argmin, cell-id tiebreak). */
+  private def kmeansChainSql: String =
+    s"""x AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
-       |sd AS (
-       |  SELECT c.vec_id, s.vec_id AS cell, SUM(c.v * s.v) AS dot
+       |sd0 AS (
+       |  SELECT c.vec_id, s.vec_id AS cell, ${sqDistSumSql("c.v", "s.v")} AS d
        |  FROM x c JOIN x s ON c.i = s.i
        |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
-       |sim AS (
-       |  SELECT sd.vec_id, cell, ROUND(dot / (nc.nrm * ns.nrm), 4) AS sim
-       |  FROM sd JOIN n nc ON sd.vec_id = nc.vec_id
-       |          JOIN n ns ON sd.cell = ns.vec_id),
+       |seed_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d, cell) AS srk
+       |    FROM sd0) WHERE srk = 1)""".stripMargin
+
+  /** [[kmeansChainSql]] extended with the trained quantizer s03/s07
+    * assign against: centroids `ct` (MATERIALIZED — referenced per
+    * probe side), corpus-vs-centroid integer distances `cd`, and the
+    * nearest-cell ranking `rk`. */
+  private def trainedChainSql: String =
+    s"""$kmeansChainSql,
+       |ct AS MATERIALIZED (
+       |  SELECT a.cell, x.i - 1 AS pos, ${fpMeanSql("x.v")} AS centroid
+       |  FROM x JOIN seed_assign a ON x.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |cd AS (
+       |  SELECT x.vec_id, ct.cell, ${sqDistSumSql("x.v", "ct.centroid")} AS d
+       |  FROM x JOIN ct ON x.i - 1 = ct.pos GROUP BY 1, 2),
        |rk AS (
        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY sim DESC, cell) AS rk
-       |  FROM sim),
+       |    ORDER BY d, cell) AS rk
+       |  FROM cd)""".stripMargin
+
+  /** DuckDB twin of [[ivfTopKDf]]: same trained-centroid integer cell
+    * assignment (corpus 1-probe, queries 2-probe), within-cell
+    * candidate join, rounded cosine ranking. */
+  private val ivfSql =
+    s"""WITH $trainedChainSql,
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
        |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
        |probes AS (
        |  SELECT vec_id, cell FROM rk
@@ -372,28 +424,14 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB twin of [[kmeansStepDf]]: the same all-integer assignment
+    * chain, then the exact fixed-point centroid recompute. */
   private val kmeansSql =
-    s"""WITH x AS (
-       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
-       |    generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
-       |d AS (
-       |  SELECT c.vec_id, s.vec_id AS cell, SUM(c.v * s.v) AS dot
-       |  FROM x c JOIN x s ON c.i = s.i
-       |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
-       |sims AS (
-       |  SELECT d.vec_id, cell, ROUND(dot / (nc.nrm * ns.nrm), 4) AS sim
-       |  FROM d JOIN n nc ON d.vec_id = nc.vec_id
-       |         JOIN n ns ON d.cell = ns.vec_id),
-       |assign AS (
-       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY sim DESC, cell) AS rk
-       |  FROM sims)
+    s"""WITH $kmeansChainSql
        |SELECT a.cell, CAST(x.i - 1 AS BIGINT) AS pos,
        |${fpMeanSql("x.v")} AS centroid,
        |COUNT(*) AS n_members
-       |FROM x JOIN assign a ON x.vec_id = a.vec_id AND a.rk = 1
+       |FROM x JOIN seed_assign a ON x.vec_id = a.vec_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------- product quantization ANN
@@ -532,8 +570,9 @@ object Similarity {
 
   def ivfPqTopKDf(embs: DataFrame): DataFrame = {
     val e = emb(embs)
-    val corpus = cellAssign(e, e, 1, "cell").select(col("vec_id"), col("cell"))
-    val probes = cellAssign(e, e.filter(isQuery), numProbes, "cell")
+    val seeds = trainedSeeds(e).persist()
+    val corpus = assignCells(seeds, e, 1, "cell").select(col("vec_id"), col("cell"))
+    val probes = assignCells(seeds, e.filter(isQuery), numProbes, "cell")
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = probes.join(corpus, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -556,24 +595,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB twin of [[ivfPqTopKDf]]: trained-centroid integer cell
+    * routing chained into the s06 ADC scoring CTEs. */
   private val ivfPqSql =
-    s"""WITH x AS (
-       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
-       |    generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
-       |sd AS (
-       |  SELECT c.vec_id, s.vec_id AS cell, SUM(c.v * s.v) AS dot
-       |  FROM x c JOIN x s ON c.i = s.i
-       |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
-       |sim AS (
-       |  SELECT sd.vec_id, cell, ROUND(dot / (nc.nrm * ns.nrm), 4) AS sim
-       |  FROM sd JOIN n nc ON sd.vec_id = nc.vec_id
-       |          JOIN n ns ON sd.cell = ns.vec_id),
-       |rk AS (
-       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY sim DESC, cell) AS rk
-       |  FROM sim),
+    s"""WITH $trainedChainSql,
        |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cell FROM rk

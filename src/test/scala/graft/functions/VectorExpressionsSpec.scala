@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.{dot, fpSqDist, hamming, norm2}
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+    (2L, Array(0.5, -0.25, 2.0), Array(-0.5, 0.75, 1.0)),
+    (3L, Array(1e-7, 0.0, -1e-7), Array(0.0, 0.0, 0.0))
+  ).toDF("id", "a", "b")
+
+  test("dot and norm2 match the sequential fold") {
+    val rows = vecs.select(col("id"), dot(col("a"), col("b")).as("d"),
+      norm2(col("a")).as("n")).orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 14.0)
+    assert(rows(0).getDouble(2) === 14.0)
+    assert(rows(1).getDouble(1) === (0.5 * -0.5 + -0.25 * 0.75 + 2.0 * 1.0))
+  }
+
+  test("fpSqDist is the exact BIGINT sum of floor((a-b)^2 * 2^20)") {
+    def expect(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) =>
+        val d = x - y; math.floor(d * d * 1048576.0).toLong
+      }.sum
+    val rows = vecs.select(col("id"), fpSqDist(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) === 0L)
+    assert(rows(1).getLong(1) ===
+      expect(Array(0.5, -0.25, 2.0), Array(-0.5, 0.75, 1.0)))
+    // sub-2^-20 squared differences floor to 0 — below output precision
+    assert(rows(2).getLong(1) === 0L)
+  }
+
+  test("fpSqDist iterates min(len) and is symmetric") {
+    val df = Seq((Array(1.0, 2.0, 9.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+    val d1 = df.select(fpSqDist(col("a"), col("b"))).head().getLong(0)
+    val d2 = df.select(fpSqDist(col("b"), col("a"))).head().getLong(0)
+    assert(d1 === 1048576L) // only (2-1)^2 contributes
+    assert(d1 === d2)
+  }
+
+  test("hamming counts differing chars plus length delta") {
+    val df = Seq(("10110", "10011"), ("111", "11100")).toDF("x", "y")
+    val got = df.select(hamming(col("x"), col("y"))).as[Long].collect().toSeq
+    assert(got === Seq(2L, 2L))
+  }
+}

@@ -34,6 +34,17 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("kmeans step is partition-invariant (integer assignment, like PQ)") {
+    val a = Similarity.kmeansStepDf(clustered).collect().toSeq
+    val b = Similarity.kmeansStepDf(clustered.repartition(7)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // one (cell, pos) mean per assigned cell and dimension; members sum
+    // to the corpus size within every pos slice
+    val byPos = a.groupBy(_.getLong(1))
+    byPos.values.foreach(g => assert(g.map(_.getLong(3)).sum === 200L))
+  }
+
   test("IVF emits at most k ranked neighbors per query") {
     val rows = Similarity.ivfTopKDf(clustered)
       .as[(Long, Long, Double, Long)].collect()
