@@ -86,12 +86,20 @@ object MultimodalQueries {
 
   /** Frame sampling in pure SQL shape: 16-byte frames, every 4th frame
     * (64-byte stride), fingerprint per sampled frame. The distributed
-    * twin of Multimodal.sampleFrames with a portable oracle. */
+    * twin of Multimodal.sampleFrames with a portable oracle.
+    *
+    * The sequence upper bound is clamped to ≥ 0 (greatest) because for
+    * an EMPTY blob Spark's `sequence(0, -1)` yields `[0, -1]` (a
+    * descending 2-step sequence) while DuckDB's `generate_series(0,
+    * -1)` is empty — an empty doc would get two frame rows on Spark
+    * and none in the oracle. Clamped, both engines emit exactly one
+    * row 0 (an empty blob still yields one empty frame). Same guard in
+    * m03/m04 and mirrored as GREATEST in every SQL twin. */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         explode(expr(
-          "sequence(0, cast(floor((octet_length(text) - 1) / 64) as int))"))
+          "sequence(0, greatest(cast(floor((octet_length(text) - 1) / 64) as int), 0))"))
           .as("i"))
       .select(col("doc_id"), (col("i") * 4).cast("long").as("frame_no"),
         md5(expr("substring(text, i * 64 + 1, 16)")).as("frame_sig"))
@@ -102,7 +110,7 @@ object MultimodalQueries {
       |md5(substring(text, CAST(i AS INT) * 64 + 1, 16)) AS frame_sig
       |FROM (
       |  SELECT doc_id, text,
-      |    unnest(generate_series(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 64) AS BIGINT))) AS i
+      |    unnest(generate_series(0, GREATEST(CAST(FLOOR((octet_length(encode(text)) - 1) / 64) AS BIGINT), 0))) AS i
       |  FROM documents)
       |ORDER BY doc_id, frame_no""".stripMargin
 
@@ -120,7 +128,7 @@ object MultimodalQueries {
     val frames = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr(
-          "sequence(0, cast(floor((octet_length(text) - 1) / 16) as int))"))
+          "sequence(0, greatest(cast(floor((octet_length(text) - 1) / 16) as int), 0))"))
           .as("i"), col("text"))
       .select(col("doc_id"), md5(expr("substring(text, i * 16 + 1, 16)")).as("h"))
     val aggs = (0 until featDims).map(j =>
@@ -146,7 +154,7 @@ object MultimodalQueries {
        |  SELECT doc_id, md5(substring(text, CAST(i AS INT) * 16 + 1, 16)) AS h
        |  FROM (
        |    SELECT doc_id, text,
-       |      unnest(generate_series(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 16) AS BIGINT))) AS i
+       |      unnest(generate_series(0, GREATEST(CAST(FLOOR((octet_length(encode(text)) - 1) / 16) AS BIGINT), 0))) AS i
        |    FROM documents)),
        |sums AS (
        |  SELECT doc_id,
@@ -184,7 +192,7 @@ object MultimodalQueries {
     val feats = docs
       .select(col("doc_id"),
         explode(expr(
-          "sequence(0, cast(floor((octet_length(text) - 1) / 64) as int))"))
+          "sequence(0, greatest(cast(floor((octet_length(text) - 1) / 64) as int), 0))"))
           .as("i"), col("text"))
       .select(col("doc_id"), md5(expr("substring(text, i * 64 + 1, 16)")).as("h"))
     val sums = feats.groupBy(col("doc_id"))
@@ -233,7 +241,7 @@ object MultimodalQueries {
        |  SELECT doc_id, md5(substring(text, CAST(i AS INT) * 64 + 1, 16)) AS h
        |  FROM (
        |    SELECT doc_id, text,
-       |      unnest(generate_series(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 64) AS BIGINT))) AS i
+       |      unnest(generate_series(0, GREATEST(CAST(FLOOR((octet_length(encode(text)) - 1) / 64) AS BIGINT), 0))) AS i
        |    FROM documents)),
        |sums AS (SELECT doc_id, $sums FROM fh GROUP BY doc_id),
        |fp AS (SELECT doc_id, $chars AS phash FROM sums),

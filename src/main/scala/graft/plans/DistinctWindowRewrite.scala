@@ -40,6 +40,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Semantics preserved: collect_set drops nulls (the flag is 0 for
   * null x); the frame always contains the current row, so the sum is
   * never null; size() returns INT, so the LONG sum is cast back.
+  * Tied order keys: the original plan is itself nondeterministic
+  * mid-tie, but always counts the current row's value; the rewrite
+  * appends the first-seen flag DESC to window 2's ordering so flagged
+  * rows precede their unflagged tie-peers and every emitted count is
+  * one the original plan could produce (in particular never 0 for a
+  * non-null current value).
   */
 object DistinctWindowRewrite extends Rule[LogicalPlan] {
 
@@ -83,11 +89,25 @@ object DistinctWindowRewrite extends Rule[LogicalPlan] {
               Literal(1L, LongType), Literal(0L, LongType)),
             "__graft_dw_flag")()
           val proj1 = Project(wchild.output :+ flag, w1)
-          // window 2: running sum of flags over the original partition
+          // window 2: running sum of flags over the original partition.
+          // The flag is appended DESC as a secondary sort so a flagged
+          // row always precedes its unflagged tie-peers: with tied
+          // order keys, windows 1 and 2 are separate shuffles that may
+          // resolve ties differently, and without this a row could be
+          // summed before the tie-peer carrying its first-seen flag —
+          // yielding a count of 0, a value impossible under the
+          // original size(collect_set) plan (whose frame always
+          // contains the current row). With the tiebreaker every
+          // prefix ending in a tie group has all of the group's flags
+          // in view, so counts stay within the original plan's
+          // achievable range; for unique order keys the extra key is
+          // inert.
           val sumA = Alias(WindowExpression(
             AggregateExpression(Sum(flag.toAttribute), aggregate.Complete,
               isDistinct = false),
-            WindowSpecDefinition(parts, order, frame)), "__graft_dw_sum")()
+            WindowSpecDefinition(parts,
+              order :+ SortOrder(flag.toAttribute, Descending), frame)),
+            "__graft_dw_sum")()
           val w2 = Window(Seq(sumA), parts, order, proj1, None)
           val finalList = replaced.map(_.transform {
             case UnresolvedSizePlaceholder =>

@@ -34,6 +34,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).map(_._2).toSeq === Seq(0L))
   }
 
+  test("m04: empty blobs get exactly one frame row and pair with each other") {
+    // sequence upper bound is clamped to >= 0: without the guard Spark's
+    // sequence(0, -1) yields [0, -1] (two frame rows) while the DuckDB
+    // twin's generate_series(0, -1) is empty — engines would disagree on
+    // whether empty docs can pair. Clamped, both emit one frame row 0.
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, ""), (2L, ""), (3L, "some actual content here"))
+      .toDF("doc_id", "text")
+    val pairs = MultimodalQueries.phashPairsDf(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.forall(_.getLong(2) === 0L))
+  }
+
   test("m04: identical blobs pair at hamming 0; pairs canonical; disjoint blobs don't pair") {
     import org.apache.spark.sql.functions.col
     // docs 1 and 2 are byte-identical (distinct ids), doc 3 unrelated

@@ -45,6 +45,31 @@ class DistinctWindowRewriteSpec extends SparkSpec {
     assert(a === Seq(1, 2, 2, 2, 3))
   }
 
+  test("tied order keys: counts stay in the original plan's achievable range") {
+    // rows tied on (p, o) with the same non-null x: whatever tie order
+    // window 2 resolves, the first-seen flag (sorted DESC within the
+    // tie) must be in view — so no row can report 0, which the
+    // original size(collect_set) plan (frame includes current row)
+    // can never produce
+    val tied = Seq(
+      ("a", 1L, 1L, Some("u")), ("a", 1L, 2L, Some("u")),
+      ("a", 1L, 3L, Some("u")), ("a", 2L, 4L, Some("v")),
+      ("b", 5L, 5L, Some("z")), ("b", 5L, 6L, Some("z")))
+      .toDF("p", "o", "id", "x")
+    val wTied = Window.partitionBy($"p").orderBy($"o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = tied.select($"p", $"id",
+      size(collect_set($"x").over(wTied)).as("nd"))
+    out.collect()
+    assert(!out.queryExecution.executedPlan.toString.contains("collect_set"))
+    val got = out.select($"nd").as[Int].collect()
+    assert(got.forall(_ >= 1), s"count 0 emitted: ${got.toSeq}")
+    // the final row of each tie group always sees the full set
+    val byP = out.as[(String, Long, Int)].collect().groupBy(_._1)
+    assert(byP("a").map(_._3).max === 2)
+    assert(byP("b").map(_._3).max === 1)
+  }
+
   test("no rewrite when the set itself escapes or the frame is RANGE") {
     // set escapes: array itself selected
     val escape = df.select($"p", $"id",
