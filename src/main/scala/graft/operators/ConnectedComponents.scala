@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Conf key selecting how per-round lineage truncation is done:
+    * `local` (default) uses `localCheckpoint` — executor-memory
+    * resident, zero I/O, right for a single-JVM or loss-tolerant run;
+    * `reliable` uses `checkpoint()` against the directory set via
+    * `SparkContext.setCheckpointDir` — on a real cluster an executor
+    * loss then costs re-reading one round's (id, label) pairs from the
+    * checkpoint store instead of recomputing every prior round (local
+    * checkpoint blocks die with their executor). The round structure
+    * is identical in both modes; only the storage of the truncated
+    * lineage differs. */
+  val checkpointModeKey = "graft.cc.checkpoint"
+
+  /** Per-round lineage truncation honoring [[checkpointModeKey]]. */
+  private def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(checkpointModeKey, "local") match {
+      case "reliable" => df.checkpoint()
+      case _          => df.localCheckpoint()
+    }
+
   /** @param nodes single-column `id` relation seeding the labels
     * @param edges two-column `src`/`dst` relation (either orientation;
     *              both directions are materialized internally)
@@ -38,13 +57,12 @@ object ConnectedComponents {
     // is referenced twice per round, so an un-truncated analyzed plan
     // doubles per round — 2^rounds copies of the seed subtree for the
     // driver to re-plan even when every block is cached
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = truncate(nodes.select(col("id"), col("id").as("label")))
     for (_ <- 1 to rounds) {
       val msgs = und.join(labels, und("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      labels = msgs.union(labels.select(col("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      labels = truncate(msgs.union(labels.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
     }
     labels
   }
@@ -63,28 +81,26 @@ object ConnectedComponents {
     * label)-only hash join per round: 2 joins + 1 min-agg per round,
     * still never a payload shuffle.
     *
-    * Each round TRUNCATES LINEAGE with an eager `localCheckpoint` of
-    * the (id, label)-only propagated relation. Caching alone is not
-    * enough here: the shortcut references `prop` twice, so the ANALYZED
-    * plan doubles per round — 4 rounds produced a 2-million-line tree
-    * whose driver-side planning alone cost ~60 s at sf0.1 even with
-    * every block cached; checkpointing keeps the plan constant-depth
-    * (measured 60 s → ~1 s). Local checkpoints live in executor memory
-    * — on a real cluster with executor-loss risk, swap for
-    * `spark.sparkContext.setCheckpointDir` + reliable `checkpoint()`;
-    * the round structure is unchanged. */
+    * Each round TRUNCATES LINEAGE with an eager checkpoint of the
+    * (id, label)-only propagated relation ([[truncate]] — mode picked
+    * by [[checkpointModeKey]]: executor-memory `localCheckpoint` by
+    * default, reliable `checkpoint()` for clusters with executor-loss
+    * risk). Caching alone is not enough here: the shortcut references
+    * `prop` twice, so the ANALYZED plan doubles per round — 4 rounds
+    * produced a 2-million-line tree whose driver-side planning alone
+    * cost ~60 s at sf0.1 even with every block cached; checkpointing
+    * keeps the plan constant-depth (measured 60 s → ~1 s). */
   def minLabelJumping(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = truncate(nodes.select(col("id"), col("id").as("label")))
     for (_ <- 1 to rounds) {
       val msgs = und.join(labels, und("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      val prop = msgs.union(labels.select(col("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val prop = truncate(msgs.union(labels.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       val ptr = prop.select(col("id").as("lid"), col("label").as("llabel"))
       labels = prop.join(ptr, prop("label") === ptr("lid"))
         .select(prop("id"), col("llabel").as("label"))

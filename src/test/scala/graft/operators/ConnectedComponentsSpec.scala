@@ -30,6 +30,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("reliable checkpoint mode produces identical labels (g03's operator)") {
+    // graft.cc.checkpoint=reliable swaps the per-round localCheckpoint
+    // for a setCheckpointDir-backed checkpoint() — same rounds, same
+    // labels, lineage durable against executor loss
+    val local = ConnectedComponents.minLabelJumping(nodes, edges, 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(ConnectedComponents.checkpointModeKey, "reliable")
+    try {
+      val reliable = ConnectedComponents.minLabelJumping(nodes, edges, 4)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(reliable === local)
+    } finally {
+      spark.conf.unset(ConnectedComponents.checkpointModeKey)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a path longer than the round bound resolves only within hops") {
     // path 0-1-2-3-4-5: with 2 rounds, node 5 sees min id within 2 hops (3)
     val path = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
