@@ -40,6 +40,46 @@ object TextOps {
       |  FROM documents)
       |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
 
+  // ------------------------------------------------- exe-contract t00
+  /** t00: the reference's EXE CONTRACT run end-to-end as a contract
+    * query — the same word count as t01, but with the tokenizer and
+    * the counter as external executables crossing a real process
+    * boundary per task ([[graft.kv.MapleJuice.maplePipe]] /
+    * [[graft.kv.MapleJuice.juicePipe]]; reference
+    * `word_count_map.cpp` / `word_count_reduce.cpp`, dispatched by
+    * `MapleJuice.cpp:63-67,83-108`). The map exe tokenizes its
+    * split's lines (`tr` with the reference's [A-Za-z0-9-] classes,
+    * LC_ALL=C so ranges are byte ranges); the juice exe counts each
+    * grouped `key v1 v2 … ` line. Shares t01's DuckDB oracle, so the
+    * pipe path is hash-checked — and benched, making the
+    * process-boundary overhead vs t01's codegen'd split a recorded
+    * number.
+    *
+    * The two shell scripts are written per call to a driver-side temp
+    * dir (two tiny files — the reference ships exes to SDFS the same
+    * way) and shipped to tasks by absolute path (single-host local
+    * mode; a cluster run would `SparkContext.addFile` them). */
+  def exeWordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exeDir = java.nio.file.Files.createTempDirectory("graft_exe")
+    exeDir.toFile.deleteOnExit()
+    val mapSh = exeDir.resolve("wc_map.sh")
+    val redSh = exeDir.resolve("wc_reduce.sh")
+    java.nio.file.Files.writeString(mapSh,
+      "#!/bin/sh\nLC_ALL=C tr -cs 'A-Za-z0-9-' '\\n' " +
+        "| awk 'length($0) > 0 { print $0 \" 1\" }'\n")
+    java.nio.file.Files.writeString(redSh,
+      "#!/bin/sh\nLC_ALL=C awk '{ print $1 \" \" (NF - 1) }'\n")
+    val lines = t(s, dir, "documents").select(col("text")).as[String]
+    val mapped = graft.kv.MapleJuice.maplePipe(
+      lines, 8, Seq("/bin/sh", mapSh.toString))
+    val reduced = graft.kv.MapleJuice.juicePipe(
+      mapped, 8, Seq("/bin/sh", redSh.toString), sortOutput = false)
+    reduced.toDF("word", "cnt")
+      .withColumn("cnt", col("cnt").cast("long"))
+      .orderBy("word")
+  }
+
   // --------------------------------------------------------------- grep
   /** Distributed grep: per-"node" (source) match counts + TOTAL row.
     * Mirrors logger.cpp's per-node counts and client-side sum. */
@@ -713,6 +753,7 @@ object TextOps {
     "t12_bpe_pairs"     -> bpePairs _,
     "t13_repetition"    -> repetition _,
     "t09_collocations"  -> collocations _,
+    "t00_exe_wordcount" -> exeWordCount _,
     "t01_wordcount"     -> wordCount _,
     "t02_grep"          -> grep _,
     "t03_reverse_graph" -> reverseGraph _,
@@ -723,6 +764,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t00_exe_wordcount" -> wordCountSql,
     "t01_wordcount"     -> wordCountSql,
     "t02_grep"          -> grepSql,
     "t03_reverse_graph" -> reverseGraphSql,

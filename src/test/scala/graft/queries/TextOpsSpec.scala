@@ -5,6 +5,17 @@ import graft.SparkSpec
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("t00 exe-pipe wordcount equals t01's codegen'd wordcount") {
+    // same tokenizer through a real process boundary (tr/awk exes via
+    // RDD.pipe) must produce the identical (word, cnt) relation
+    val viaExe = TextOps.exeWordCount(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val native = TextOps.wordCount(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(viaExe === native)
+    assert(viaExe.nonEmpty)
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     // "common" appears in every doc (idf = ln(1) = 0); each doc's
     // unique term carries all the weight
