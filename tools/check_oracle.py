@@ -67,8 +67,15 @@ def compare(got, want):
                 if math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9):
                     approx += 1; continue
             return False, f"row {i} col {cname}: spark={gv!r} duckdb={wv!r}"
+    # approx-equal is a HARD FAIL: the driver hashes exact cell values,
+    # so a float that differs in the last bits fails its compare even
+    # though it is "close". Treating it as a local pass is exactly how
+    # the s05 divergence survived two rounds (local gate green, driver
+    # red) — the local gate must be at least as strict as the driver's.
+    if approx:
+        return False, (f"{approx} float cells only approx-equal "
+                       "(driver hash compare would fail)")
     notes = []
-    if approx: notes.append(f"{approx} float cells only approx-equal (DANGER for hash compare)")
     if type_notes: notes.append("TYPE MISMATCH " + "; ".join(type_notes))
     return True, "; ".join(notes)
 
