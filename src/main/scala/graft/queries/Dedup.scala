@@ -347,15 +347,22 @@ object Dedup {
   def embeddingCosine(s: SparkSession, dir: String): DataFrame =
     embeddingCosineDf(t(s, dir, "embeddings"))
 
-  def embeddingCosineDf(embs: DataFrame): DataFrame = {
+  /** `planes`/`bands` default to the oracle-locked contract values;
+    * callers at larger corpora raise them (bucket count per band is
+    * 2^(planes/bands), so occupancy — and the candidate join's
+    * quadratic-per-bucket cost — is tuned here, measured in
+    * VERIFY_sf1.md). */
+  def embeddingCosineDf(embs: DataFrame, nPlanes: Int = cosPlanes,
+      nBands: Int = cosBands): DataFrame = {
+    val rowsPerBand = nPlanes / nBands
     val e = embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
     val sig = e.withColumn("sig",
-      concat((0 until cosPlanes).map(Similarity.planeBit): _*))
-    val bandCols = (0 until cosBands).map(b =>
+      concat((0 until nPlanes).map(Similarity.planeBit): _*))
+    val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        substring(col("sig"), b * cosRowsPerBand + 1, cosRowsPerBand).as("bsig"))
+        substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bsig"))
         .as(s"b$b"))
     // Slim (vec_id, band, bsig) relation — candidates shuffle signatures
     // only; vectors re-join by key afterwards.
