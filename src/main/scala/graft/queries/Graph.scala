@@ -138,7 +138,12 @@ object Graph {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
 
-  def trianglesDf(lineitem: DataFrame): DataFrame = {
+  /** Degree-oriented edge list (u = smaller-(degree, id) endpoint) —
+    * shared by [[trianglesDf]] and the wedge-skew probe
+    * ([[graft.tools.SkewProbe]]), which measures the Σdeg⁺² mass this
+    * orientation leaves per shuffle partition. NOT persisted here;
+    * callers that consume it more than once persist it themselves. */
+  private[graft] def orientedEdgesDf(lineitem: DataFrame): DataFrame = {
     val edges = coPairsDf(lineitem)
     val deg = edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
@@ -146,12 +151,15 @@ object Graph {
     val da = deg.select(col("n").as("na"), col("d").as("dega"))
     val db = deg.select(col("n").as("nb"), col("d").as("degb"))
     // ties break toward (a,b), which is already canonical (a < b)
-    val oriented = edges
+    edges
       .join(da, col("a") === col("na")).join(db, col("b") === col("nb"))
       .select(
         when(col("dega") <= col("degb"), col("a")).otherwise(col("b")).as("u"),
         when(col("dega") <= col("degb"), col("b")).otherwise(col("a")).as("v"))
-      .persist()
+  }
+
+  def trianglesDf(lineitem: DataFrame): DataFrame = {
+    val oriented = orientedEdgesDf(lineitem).persist()
     // wedge enumeration stays a STREAMED self-join on u: an array
     // expansion (collect_set per center + O(deg²) pair array, the
     // coPairsDf trick) was measured 9× SLOWER here (82 s vs 9 s at
