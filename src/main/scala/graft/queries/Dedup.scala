@@ -123,14 +123,18 @@ object Dedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
     }.mkString("\nUNION ALL\n")
+    // sigs is referenced by all band branches AND the final pair scoring
+    // (6 sites), bands by both join sides — MATERIALIZED (the g03/d07
+    // lesson) or DuckDB re-inlines the whole shingle DISTINCT + minhash
+    // agg per site (disk-exhausted at sf1 before the hint)
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |toks AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 1)),
        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tok
        |  FROM d),
-       |sigs AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
-       |bands AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |$bandRows)""".stripMargin
   }
 
@@ -387,13 +391,16 @@ object Dedup {
     val bandRows = (0 until cosBands).map(b =>
       s"SELECT vec_id, $b AS band, substring(sig, ${b * cosRowsPerBand + 1}, $cosRowsPerBand) AS bsig FROM bits")
       .mkString("\nUNION ALL\n")
-    s"""WITH x AS (
+    // x feeds n, bits, and both dot-product sides; bits feeds every band
+    // branch; n both norm joins — MATERIALIZED so DuckDB computes the
+    // unnest/plane aggregates once instead of once per reference
+    s"""WITH x AS MATERIALIZED (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
-       |bits AS (SELECT vec_id, $sigExpr AS sig FROM x GROUP BY vec_id),
-       |bands AS (
+       |n AS MATERIALIZED (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |bits AS MATERIALIZED (SELECT vec_id, $sigExpr AS sig FROM x GROUP BY vec_id),
+       |bands AS MATERIALIZED (
        |$bandRows),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -178,17 +178,21 @@ object Graph {
       .limit(triTopN)
   }
 
-  /** DuckDB twin: identical orientation rule and wedge-close join. */
+  /** DuckDB twin: identical orientation rule and wedge-close join.
+    * pairs/deg/o are MATERIALIZED (the g03/d07 lesson): o is referenced
+    * three times (both wedge sides + the closing probe) and each inline
+    * copy re-runs the lineitem self-join + DISTINCT — disk-exhausted at
+    * sf1 before the hint. */
   private val trianglesSql =
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |deg AS (
+       |deg AS MATERIALIZED (
        |  SELECT n, COUNT(*) AS d FROM (
        |    SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
        |  GROUP BY n),
-       |o AS (
+       |o AS MATERIALIZED (
        |  SELECT CASE WHEN da.d <= db.d THEN a ELSE b END AS u,
        |         CASE WHEN da.d <= db.d THEN b ELSE a END AS v
        |  FROM pairs JOIN deg da ON pairs.a = da.n
