@@ -159,6 +159,7 @@ object Graph {
   }
 
   def trianglesDf(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
     val oriented = orientedEdgesDf(lineitem).persist()
     // wedge enumeration stays a STREAMED self-join on u: an array
     // expansion (collect_set per center + O(deg²) pair array, the
@@ -169,7 +170,28 @@ object Graph {
     // ever holding a center's wedge set in memory.
     val o2 = oriented.select(col("u").as("u2"), col("v").as("w"))
     val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
-    val tri = oriented.join(o2, col("u") === col("u2") && col("v") =!= col("w"))
+    // Bloom-prune the wedge stream BEFORE the closing join's exchange:
+    // Σdeg⁺² wedges (834 M at sf1) vastly outnumber the m oriented
+    // edges that can close them, and Spark's own runtime bloom never
+    // fires here (the creation side carries no selective predicate).
+    // A driver-built sketch over the packed (u,v) edge keys — sketch
+    // bytes only, the same driver traffic class as a broadcast build —
+    // drops non-closing wedges map-side, so the exchange moves
+    // ~(triangles + fpp·wedges) rows instead of every wedge. False
+    // positives are removed by the exact closing join; the result is
+    // bit-identical. Key packing is exact: partkeys < 2³² by data
+    // contract (and the fallback path is merely a weaker filter).
+    val packed = shiftleft(col("u").cast("long"), 32) + col("v").cast("long")
+    val m = oriented.count()
+    val wedges = oriented.join(o2, col("u") === col("u2") && col("v") =!= col("w"))
+    val pruned = if (m == 0) wedges else {
+      val bf = oriented.stat.bloomFilter(packed, m.max(1000L), 0.02)
+      val bc = spark.sparkContext.broadcast(bf)
+      val mightClose = udf((vw: Long) => bc.value.mightContainLong(vw))
+      wedges.filter(mightClose(
+        shiftleft(col("v").cast("long"), 32) + col("w").cast("long")))
+    }
+    val tri = pruned
       .join(closing, col("v") === col("cv") && col("w") === col("cw"))
       .select(col("u"), col("v"), col("w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
