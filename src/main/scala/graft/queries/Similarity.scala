@@ -218,27 +218,32 @@ object Similarity {
   /** Deterministic raw seed relation `(cell, sv)`: the first
     * [[numCells]] vectors (the IVF seed convention — portable because
     * it is a plain filter, not a sample). */
-  private def rawSeeds(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < numCells)
+  private def rawSeeds(e: DataFrame, n: Int = numCells): DataFrame =
+    e.filter(col("vec_id") < n)
       .select(col("vec_id").as("cell"), col("v").as("sv"))
 
   /** Trained seed vectors `(cell, sv)`: the [[lloydCells]] centroids
     * re-assembled into dense arrays (8 rows — the collect_list runs
     * over cells × dim mean cells, never corpus vectors). */
-  private def trainedSeeds(e: DataFrame): DataFrame =
-    lloydCells(e)
+  private def trainedSeeds(e: DataFrame, n: Int = numCells): DataFrame =
+    lloydCells(e, n)
       .groupBy(col("cell"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, centroid))), p -> p.centroid)")
         .as("sv"))
 
-  def ivfTopKDf(embs: DataFrame): DataFrame = {
+  /** `nCells`/`nProbes` default to the oracle-locked contract values;
+    * callers tune them per corpus (recall rises with probed volume
+    * nProbes/nCells, candidate work falls with cell count — the curve
+    * is measured by [[graft.tools.RecallProbe]], see SCALING.md). */
+  def ivfTopKDf(embs: DataFrame, nCells: Int = numCells,
+      nProbes: Int = numProbes): DataFrame = {
     val e = emb(embs)
-    // 8-row trained quantizer, persisted so the corpus-side and
+    // trained quantizer (nCells rows), persisted so the corpus-side and
     // query-side broadcasts share one Lloyd-step computation
-    val seeds = trainedSeeds(e).persist()
+    val seeds = trainedSeeds(e, nCells).persist()
     val corpus = assignCells(seeds, e, 1, "cell")
-    val queries = assignCells(seeds, e.filter(isQuery), numProbes, "cell")
+    val queries = assignCells(seeds, e.filter(isQuery), nProbes, "cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     queries.as("q")
@@ -337,8 +342,8 @@ object Similarity {
   /** The Lloyd-step body shared by s05 and the s03/s07 trained
     * quantizer: integer-assign every vector to its nearest raw seed,
     * recompute exact fixed-point centroid means per (cell, pos). */
-  private def lloydCells(e: DataFrame): DataFrame =
-    assignCells(rawSeeds(e), e, 1, "cell")
+  private def lloydCells(e: DataFrame, n: Int = numCells): DataFrame =
+    assignCells(rawSeeds(e, n), e, 1, "cell")
       .select(col("cell"), posexplode(col("v")))
       .toDF("cell", "pos", "x")
       .groupBy(col("cell"), col("pos").cast("long").as("pos"))
