@@ -185,7 +185,12 @@ object Graph {
     val m = oriented.count()
     val wedges = oriented.join(o2, col("u") === col("u2") && col("v") =!= col("w"))
     val pruned = if (m == 0) wedges else {
-      val bf = oriented.stat.bloomFilter(packed, m.max(1000L), 0.02)
+      // expectedNumItems is capped so the sketch never exceeds ~1.2 GB
+      // of driver/broadcast memory even on a 10¹⁰-edge graph; beyond
+      // the cap the fpp degrades gracefully (weaker prune, same exact
+      // result) instead of the build failing
+      val bf = oriented.stat.bloomFilter(
+        packed, m.max(1000L).min(1000000000L), 0.02)
       val bc = spark.sparkContext.broadcast(bf)
       val mightClose = udf((vw: Long) => bc.value.mightContainLong(vw))
       wedges.filter(mightClose(
