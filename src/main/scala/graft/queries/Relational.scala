@@ -1430,6 +1430,57 @@ object Relational {
       |FROM md JOIN qt ON md.o_orderstatus = qt.o_orderstatus
       |ORDER BY md.o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** q48: recursive CTE (Spark 4 `WITH RECURSIVE` → `UnionLoop`) —
+    * hierarchy traversal, the one relational operator class the suite
+    * lacked. The part "hierarchy" is the deterministic binary tree
+    * parent(p) = p DIV 2 rooted at partkey 1, derived from data every
+    * engine shares; each seed part (every 101st key) walks its ancestor
+    * chain to the root and rolls up chain length, ancestor-key sum, and
+    * ancestor retail price (DECIMAL — order-independent money sum).
+    *
+    * Scale: recursion depth is log₂(maxkey) (~18 at sf1; iteration
+    * count, not data volume), each level is one narrow self-map plus a
+    * final broadcast-sized join against part on the chain nodes —
+    * no step ever holds more than seeds × depth rows. The DuckDB twin
+    * is the identical recursion (`//` is DuckDB's integer DIV). */
+  def q48RecursiveAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("g48_part")
+    s.sql("""
+      |WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+      |  FROM g48_part WHERE p_partkey % 101 = 0
+      |  UNION ALL
+      |  SELECT part, node DIV 2 AS node, depth + 1 AS depth
+      |  FROM anc WHERE node > 1
+      |)
+      |SELECT a.part,
+      |  CAST(COUNT(*) AS BIGINT) AS chain_len,
+      |  CAST(MAX(a.depth) AS BIGINT) AS levels,
+      |  CAST(SUM(a.node) AS BIGINT) AS anc_key_sum,
+      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS anc_price
+      |FROM anc a JOIN g48_part p ON a.node = p.p_partkey
+      |GROUP BY a.part
+      |ORDER BY a.part""".stripMargin)
+  }
+
+  private val q48Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+      |  FROM part WHERE p_partkey % 101 = 0
+      |  UNION ALL
+      |  SELECT part, node // 2 AS node, depth + 1 AS depth
+      |  FROM anc WHERE node > 1
+      |)
+      |SELECT a.part,
+      |  CAST(COUNT(*) AS BIGINT) AS chain_len,
+      |  CAST(MAX(a.depth) AS BIGINT) AS levels,
+      |  CAST(SUM(a.node) AS BIGINT) AS anc_key_sum,
+      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS anc_price
+      |FROM anc a JOIN part p ON a.node = p.p_partkey
+      |GROUP BY a.part
+      |ORDER BY a.part""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1478,7 +1529,8 @@ object Relational {
     "q44_calendar_fill"   -> q44CalendarFill _,
     "q45_latest_state"    -> q45LatestState _,
     "q46_window_distinct" -> q46WindowDistinct _,
-    "q47_dist_scalars"    -> q47DistScalars _)
+    "q47_dist_scalars"    -> q47DistScalars _,
+    "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1527,5 +1579,6 @@ object Relational {
     "q44_calendar_fill"   -> q44Sql,
     "q45_latest_state"    -> q45Sql,
     "q46_window_distinct" -> q46Sql,
-    "q47_dist_scalars"    -> q47Sql)
+    "q47_dist_scalars"    -> q47Sql,
+    "q48_recursive_agg"   -> q48Sql)
 }
