@@ -253,4 +253,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "decomposition re-introduced a join:\n" + p)
     assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined, p)
   }
+
+  test("g02: the wedge stream is bloom-filtered before the closing join") {
+    val p = plan(graft.queries.Graph.triangles(spark, sf))
+    // the prune is the only scala UDF in this plan; losing it silently
+    // re-grows the closing join's exchange to Σdeg⁺² rows
+    assert(p.contains("UDF"), "wedge bloom prune missing from plan:\n" + p)
+  }
+
+  test("q48: WITH RECURSIVE plans a UnionLoop, not an unrolled union") {
+    val p = graft.queries.Relational.q48RecursiveAgg(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"), p)
+  }
 }
