@@ -102,13 +102,18 @@ object DistinctWindowRewrite extends Rule[LogicalPlan] {
           // in view, so counts stay within the original plan's
           // achievable range; for unique order keys the extra key is
           // inert.
+          // the extended order must go on the Window NODE, not only the
+          // expression's spec: WindowExec derives requiredChildOrdering
+          // from the node-level orderSpec (the spec inside the
+          // expression only contributes the frame), so a tiebreaker
+          // placed solely in the spec never reaches the child sort
+          val order2 = order :+ SortOrder(flag.toAttribute, Descending)
           val sumA = Alias(WindowExpression(
             AggregateExpression(Sum(flag.toAttribute), aggregate.Complete,
               isDistinct = false),
-            WindowSpecDefinition(parts,
-              order :+ SortOrder(flag.toAttribute, Descending), frame)),
+            WindowSpecDefinition(parts, order2, frame)),
             "__graft_dw_sum")()
-          val w2 = Window(Seq(sumA), parts, order, proj1, None)
+          val w2 = Window(Seq(sumA), parts, order2, proj1, None)
           val finalList = replaced.map(_.transform {
             case UnresolvedSizePlaceholder =>
               Cast(sumA.toAttribute, IntegerType)

@@ -178,17 +178,29 @@ object Graph {
     // bytes only, the same driver traffic class as a broadcast build —
     // drops non-closing wedges map-side, so the exchange moves
     // ~(triangles + fpp·wedges) rows instead of every wedge. False
-    // positives are removed by the exact closing join; the result is
-    // bit-identical. Key packing is exact: partkeys < 2³² by data
-    // contract (and the fallback path is merely a weaker filter).
+    // positives are removed by the exact closing join, and packing is
+    // deterministic on both sides, so the result is bit-identical even
+    // if keys ever overflowed the 32-bit split (a collision only
+    // weakens the prune, never drops a real wedge).
+    //
+    // Two jobs run at construction time (count + sketch build) — a
+    // deliberate, measured trade. The lazy alternative (catalyst
+    // BloomFilterAggregate fed through a ScalarSubquery, the
+    // InjectRuntimeFilter construction) was implemented and BENCHED
+    // 3.4× SLOWER at sf1 (102.9 s vs 30.2 s): its sketch is hard-capped
+    // by spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64 Mbit
+    // default, conf-checked at analysis), which at 12 M edges means
+    // ~22 % fpp and a 6× bigger surviving wedge shuffle. stat
+    // .bloomFilter sizes the sketch from the true edge count with no
+    // conf ceiling; the count reuses the persisted relation the query
+    // materializes anyway, so total work is unchanged.
     val packed = shiftleft(col("u").cast("long"), 32) + col("v").cast("long")
     val m = oriented.count()
     val wedges = oriented.join(o2, col("u") === col("u2") && col("v") =!= col("w"))
     val pruned = if (m == 0) wedges else {
-      // expectedNumItems is capped so the sketch never exceeds ~1.2 GB
-      // of driver/broadcast memory even on a 10¹⁰-edge graph; beyond
-      // the cap the fpp degrades gracefully (weaker prune, same exact
-      // result) instead of the build failing
+      // expectedNumItems capped so the sketch never exceeds ~1.2 GB of
+      // driver/broadcast memory even on a 10¹⁰-edge graph; beyond the
+      // cap fpp degrades gracefully (weaker prune, same exact result)
       val bf = oriented.stat.bloomFilter(
         packed, m.max(1000L).min(1000000000L), 0.02)
       val bc = spark.sparkContext.broadcast(bf)

@@ -364,11 +364,14 @@ object Similarity {
     * integer distances to the raw first-[[numCells]] seeds `sd0`, the
     * Lloyd assignment `seed_assign` (argmin, cell-id tiebreak). */
   private def kmeansChainSql: String =
-    s"""x AS (
+    // x is referenced up to 7× downstream (sd0 twice, ct, cd, n, the
+    // dot-product join twice) — MATERIALIZED per the g03/d07 lesson or
+    // DuckDB re-runs the unnest per reference at scale
+    s"""x AS MATERIALIZED (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
-       |sd0 AS (
+       |sd0 AS MATERIALIZED (
        |  SELECT c.vec_id, s.vec_id AS cell, ${sqDistSumSql("c.v", "s.v")} AS d
        |  FROM x c JOIN x s ON c.i = s.i
        |  WHERE s.vec_id < $numCells GROUP BY 1, 2),

@@ -62,9 +62,15 @@ object TextOps {
   def exeWordCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exeDir = java.nio.file.Files.createTempDirectory("graft_exe")
-    exeDir.toFile.deleteOnExit()
     val mapSh = exeDir.resolve("wc_map.sh")
     val redSh = exeDir.resolve("wc_reduce.sh")
+    // children registered AFTER the dir: deleteOnExit runs in reverse
+    // registration order, and File.delete on a non-empty dir is a
+    // silent no-op — dir-only registration leaked a graft_exe* dir
+    // (plus both scripts) per JVM
+    exeDir.toFile.deleteOnExit()
+    mapSh.toFile.deleteOnExit()
+    redSh.toFile.deleteOnExit()
     java.nio.file.Files.writeString(mapSh,
       "#!/bin/sh\nLC_ALL=C tr -cs 'A-Za-z0-9-' '\\n' " +
         "| awk 'length($0) > 0 { print $0 \" 1\" }'\n")

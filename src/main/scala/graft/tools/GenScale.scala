@@ -65,6 +65,18 @@ object GenScale {
       writeOne((0 until reps).map(r => f(base, r)).reduce(_ unionByName _), name)
     }
 
+    // the per-replica id shifts below assume source key ranges fit
+    // under them — fail fast instead of silently colliding replicas
+    // (e.g. generating sf10 FROM sf1 would need bigger shifts)
+    def assertFits(name: String, idCol: String, shift: Long): Unit = {
+      val mx = read(name).agg(max(col(idCol))).collect()(0).getLong(0)
+      require(mx < shift,
+        s"$name.$idCol max $mx >= replica shift $shift - raise the shift")
+    }
+    assertFits("documents", "doc_id", 10000L)
+    assertFits("embeddings", "vec_id", 10000L)
+    assertFits("orders", "o_orderkey", 1000000L)
+
     replicate("documents") { (d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
         .withColumn("text",
@@ -75,7 +87,7 @@ object GenScale {
       d.withColumn("vec_id", col("vec_id") + lit(r * 10000L))
         .withColumn("embedding",
           if (r == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
+          else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
             s"slice(embedding, 1, $r))"))
     }
     replicate("lineitem") { (d, r) =>

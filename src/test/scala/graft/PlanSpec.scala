@@ -256,8 +256,10 @@ class PlanSpec extends SparkSpec {
 
   test("g02: the wedge stream is bloom-filtered before the closing join") {
     val p = plan(graft.queries.Graph.triangles(spark, sf))
-    // the prune is the only scala UDF in this plan; losing it silently
-    // re-grows the closing join's exchange to Σdeg⁺² rows
+    // the prune is the only scala UDF in this plan (the conf-capped
+    // catalyst might_contain alternative measured 3.4x slower — see
+    // trianglesDf); losing the filter silently re-grows the closing
+    // join's exchange to wedge-mass rows
     assert(p.contains("UDF"), "wedge bloom prune missing from plan:\n" + p)
   }
 

@@ -70,6 +70,31 @@ class DistinctWindowRewriteSpec extends SparkSpec {
     assert(byP("b").map(_._3).max === 1)
   }
 
+  test("tied keys at shuffle scale: non-null rows never see count 0") {
+    // large fully-tied groups across many input partitions: windows 1
+    // and 2 are separate shuffles whose tie resolution genuinely
+    // diverges at this size, so this catches a tiebreaker that exists
+    // only in the expression's spec (execution sorts by the NODE-level
+    // orderSpec — a spec-only tiebreaker is a silent no-op)
+    val rows = (0 until 5000).map { i =>
+      (i % 8, 1L, i.toLong, if (i % 11 == 0) None else Some((i % 10).toString))
+    }
+    val big = rows.toDF("p", "o", "id", "x").repartition(17)
+    val wTied = Window.partitionBy($"p").orderBy($"o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = big.select($"p", $"x",
+      size(collect_set($"x").over(wTied)).as("nd"))
+    out.collect()
+    assert(!out.queryExecution.executedPlan.toString.contains("collect_set"))
+    val got = out.as[(Int, Option[String], Int)].collect()
+    val distinctPerP = rows.groupBy(_._1).view
+      .mapValues(_.flatMap(_._4).distinct.size).toMap
+    got.foreach { case (p, x, nd) =>
+      if (x.isDefined) assert(nd >= 1, s"count 0 for non-null x in p=$p")
+      assert(nd <= distinctPerP(p), s"count $nd exceeds distinct in p=$p")
+    }
+  }
+
   test("no rewrite when the set itself escapes or the frame is RANGE") {
     // set escapes: array itself selected
     val escape = df.select($"p", $"id",
