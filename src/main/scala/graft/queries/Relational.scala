@@ -1481,8 +1481,141 @@ object Relational {
       |GROUP BY a.part
       |ORDER BY a.part""".stripMargin
 
+  // ------------------------------------------------------------- q49
+  /** Z-order (Morton) layout keys — the multi-dimensional clustering
+    * key behind data-layout optimization (the `OPTIMIZE ZORDER BY`
+    * family): the low 16 bits of `l_partkey` and `l_suppkey` are
+    * bit-interleaved into one BIGINT, and the query reports, per
+    * `zkey >> 12` bucket, the row count and BOTH key ranges. Those
+    * per-bucket min/max spans are exactly the parquet column stats a
+    * scan prunes on — writing files in zkey order bounds the span of
+    * EVERY interleaved column per file (a 1-D sort bounds only its
+    * leading column), which is what makes two-predicate scans skip
+    * files at 100 TB.
+    *
+    * The interleave is the classic shift-or-mask bit spread — pure
+    * integer arithmetic, codegen'd, map-side, no expansion, and
+    * bit-identical on any engine (the same textual expression tree
+    * runs in both dialects). Only the bucket aggregate shuffles, and
+    * it partial-aggregates to the bucket count first. */
+  private def mortonSpread(x: String, shl: (String, Int) => String): String = {
+    // 16-bit value spread to even bit positions of a 32-bit result:
+    // x = (x | x<<8) & 0x00FF00FF; (|x<<4) & 0x0F0F0F0F;
+    // (|x<<2) & 0x33333333; (|x<<1) & 0x55555555
+    val s0 = s"($x & 65535)"
+    val s1 = s"(($s0 | ${shl(s0, 8)}) & 16711935)"
+    val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
+    val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
+    s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+  }
+
+  private def mortonZ(a: String, b: String,
+      shl: (String, Int) => String): String =
+    s"(${mortonSpread(a, shl)} | ${shl(mortonSpread(b, shl), 1)})"
+
+  def q49ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val sparkShl = (e: String, n: Int) => s"shiftleft($e, $n)"
+    t(s, dir, "lineitem")
+      .select(expr(mortonZ("l_partkey", "l_suppkey", sparkShl))
+        .cast("long").as("zkey"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftright(col("zkey"), 12).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .select(col("bucket"), col("n_rows"),
+        col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+        (col("pk_max") - col("pk_min")).as("pk_span"),
+        (col("sk_max") - col("sk_min")).as("sk_span"))
+      .orderBy("bucket")
+  }
+
+  private val q49Sql = {
+    val duckShl = (e: String, n: Int) => s"($e << $n)"
+    s"""WITH z AS (
+       |  SELECT ${mortonZ("l_partkey", "l_suppkey", duckShl)} AS zkey,
+       |    l_partkey, l_suppkey
+       |  FROM lineitem)
+       |SELECT zkey >> 12 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
+       |  MAX(l_partkey) - MIN(l_partkey) AS pk_span,
+       |  MAX(l_suppkey) - MIN(l_suppkey) AS sk_span
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  // ------------------------------------------------------------- q50
+  /** Association rules over order baskets (market-basket co-occurrence):
+    * each order's distinct part BRANDS form a basket; brand pairs that
+    * co-occur get support, confidence (P(b|a) in exact ppm) and lift
+    * (×10⁶), top [[assocTopK]] by support. The classic affinity mining
+    * shape — and, in an LLM pipeline, the same co-occurrence template
+    * as t09's PMI collocations, lifted from token bigrams to basket
+    * items.
+    *
+    * Scale: the brand dimension broadcasts into the fact scan; baskets
+    * are `(order, brand)` DISTINCT pairs (never full line items); the
+    * pair expansion self-joins on the basket key so per-order work is
+    * `C(basket, 2)` — bounded by basket size exactly like g02's
+    * wedge bound, not by corpus size; item supports (25 rows) and the
+    * basket total (1 row) broadcast back. All ratios are integer div
+    * of exact counts (lift's `supp_ab·n_orders·10⁶` stays under 2⁶³
+    * up to ~10⁸ baskets; beyond that, drop to a 10³ lift scale). */
+  val assocTopK = 30
+
+  def q50AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val supp = items.groupBy(col("brand")).agg(count(lit(1)).as("supp"))
+    val nOrders = items.agg(
+      countDistinct(col("ok")).cast("long").as("n_orders"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .join(broadcast(supp.select(col("brand").as("brand_a"),
+        col("supp").as("supp_a"))), "brand_a")
+      .join(broadcast(supp.select(col("brand").as("brand_b"),
+        col("supp").as("supp_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("supp_ab"),
+        expr("supp_ab * 1000000L div supp_a").as("conf_ppm"),
+        expr("supp_ab * n_orders * 1000000L div (supp_a * supp_b)")
+          .as("lift_ppm"))
+      .orderBy(col("supp_ab").desc, col("brand_a"), col("brand_b"))
+      .limit(assocTopK)
+  }
+
+  private val q50Sql =
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |supp AS (
+       |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS supp
+       |  FROM items GROUP BY brand),
+       |n AS (
+       |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+       |pairs AS (
+       |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+       |    CAST(COUNT(*) AS BIGINT) AS supp_ab
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+       |  GROUP BY 1, 2)
+       |SELECT brand_a, brand_b, supp_ab,
+       |  supp_ab * 1000000 // sa.supp AS conf_ppm,
+       |  supp_ab * n.n_orders * 1000000 // (sa.supp * sb.supp) AS lift_ppm
+       |FROM pairs
+       |JOIN supp sa ON pairs.brand_a = sa.brand
+       |JOIN supp sb ON pairs.brand_b = sb.brand, n
+       |ORDER BY supp_ab DESC, brand_a, brand_b LIMIT $assocTopK""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_zorder_layout"   -> q49ZorderLayout _,
+    "q50_assoc_rules"     -> q50AssocRules _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_revenue"  -> q02FilterRevenue _,
     "q03_top_unshipped"   -> q03TopUnshipped _,
@@ -1533,6 +1666,8 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q49_zorder_layout"   -> q49Sql,
+    "q50_assoc_rules"     -> q50Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_revenue"  -> q02Sql,
     "q03_top_unshipped"   -> q03Sql,

@@ -649,8 +649,74 @@ object Similarity {
        |SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------- s08 quantize
+  /** Per-dimension uniform int8 quantization — the storage-compression
+    * pass an embedding corpus goes through before indexing (float32 →
+    * 1-byte codes: 4× smaller scans, and the shape scalar quantizers
+    * in production vector stores use). Per dimension, corpus min/max
+    * define 256 uniform levels; each value maps to its level and the
+    * query emits, per vector, a dimension-weighted code checksum and
+    * the total fixed-point reconstruction error (how much the corpus
+    * loses to 8-bit rounding).
+    *
+    * Every discrete choice is integer: values enter as exact
+    * fixed-point BIGINTs (`floor(v·2²⁰)` — float→double multiply by a
+    * power of two is exact, the s05/s06 pattern), min/max are exact
+    * selections, and the code is an all-BIGINT `(vi-mn)·255 div
+    * (mx-mn)` — no float boundary anywhere, so codes are bit-identical
+    * on any engine.
+    *
+    * Scale: the per-dimension stats aggregate is dims-sized (64 rows —
+    * partial-agged map-side, broadcast back), so quantization itself
+    * is a map-side projection over the corpus; nothing data-sized
+    * shuffles but the ordered output. A degenerate dimension
+    * (mx = mn) quantizes to code 0 with zero error rather than
+    * dividing by zero. */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    embeddingQuantizeDf(t(s, dir, "embeddings"))
+
+  def embeddingQuantizeDf(embs: DataFrame): DataFrame = {
+    val cells = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x") * fpScale).cast("long").as("vi"))
+    val stats = cells.groupBy(col("dim"))
+      .agg(min(col("vi")).as("mn"), max(col("vi")).as("mx"))
+    cells.join(broadcast(stats), "dim")
+      .withColumn("code", when(col("mx") === col("mn"), 0L)
+        .otherwise(expr("(vi - mn) * 255L div (mx - mn)")))
+      .withColumn("recon", col("mn") + expr("code * (mx - mn) div 255"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code") * col("dim")).as("code_sum"),
+        sum(abs(col("vi") - col("recon"))).as("err_fp"))
+      .orderBy("vec_id")
+  }
+
+  private val quantizeSql =
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * $fpScale)
+       |      AS BIGINT) AS vi
+       |  FROM embeddings),
+       |stats AS (
+       |  SELECT dim, MIN(vi) AS mn, MAX(vi) AS mx FROM cells GROUP BY dim),
+       |q AS (
+       |  SELECT c.vec_id, c.dim, c.vi, s.mn, s.mx,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |         ELSE (c.vi - s.mn) * 255 // (s.mx - s.mn) END AS code
+       |  FROM cells c JOIN stats s ON c.dim = s.dim)
+       |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       |  CAST(SUM(code * dim) AS BIGINT) AS code_sum,
+       |  CAST(SUM(abs(vi - (mn + code * (mx - mn) // 255))) AS BIGINT)
+       |    AS err_fp
+       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_embedding_quantize" -> embeddingQuantize _,
     "s01_topk_bruteforce" -> bruteForceTopK _,
     "s02_topk_lsh"        -> lshTopK _,
     "s03_topk_ivf"        -> ivfTopK _,
@@ -660,6 +726,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s08_embedding_quantize" -> quantizeSql,
     "s01_topk_bruteforce" -> bruteForceSql,
     "s02_topk_lsh"        -> lshSql,
     "s03_topk_ivf"        -> ivfSql,

@@ -750,7 +750,196 @@ object TextOps {
        |JOIN head ON dp.source = head.source
        |ORDER BY dp.source""".stripMargin
 
+  // ------------------------------------------------------------- t17
+  /** Fixed-size overlapping chunking — the RAG / context-window prep
+    * step: each document split into [[chunkTokens]]-token windows with
+    * stride [[chunkStride]] (so consecutive chunks overlap by
+    * `chunkTokens - chunkStride` tokens), each chunk carrying full
+    * provenance (doc_id, chunk index, 1-based start token, actual
+    * length) and a content md5 so downstream stages can dedup or join
+    * chunks back to sources without re-reading text.
+    *
+    * Chunk count per doc is `1 + ceil(max(n-W, 0) / S)` — every token
+    * is covered, the last chunk may be short, and a doc shorter than
+    * one window still yields exactly one chunk.
+    *
+    * Scale: pure map-side projection (split → sequence → slice —
+    * all codegen'd; the only shuffle is the ordered output). At 100 TB
+    * the expansion factor is `~n/S` rows per doc but each output row
+    * carries only the chunk, not the document, so output volume is
+    * `(1 + overlap/S)×` the corpus — the expected cost of overlap,
+    * not a join or window anywhere. */
+  val chunkTokens = 40
+  val chunkStride = 30
+
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    chunkOverlapDf(t(s, dir, "documents"))
+
+  def chunkOverlapDf(docs: DataFrame): DataFrame = {
+    val (w, st) = (chunkTokens, chunkStride)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k", explode(sequence(lit(0),
+        expr(s"cast((greatest(n - $w, 0) + ${st - 1}) div $st as int)"))))
+      .withColumn("start_tok", (col("k") * st + 1).cast("long"))
+      .withColumn("chunk",
+        array_join(slice(col("toks"), col("k") * st + 1, lit(w)), " "))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(w), col("n") - col("start_tok") + 1).cast("long")
+          .as("n_tok"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val chunkOverlapSql = {
+    val (w, st) = (chunkTokens, chunkStride)
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, n, toks, unnest(generate_series(0,
+       |    CAST((greatest(n - $w, 0) + ${st - 1}) // $st AS INT))) AS k
+       |  FROM d)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |  CAST(k * $st + 1 AS BIGINT) AS start_tok,
+       |  CAST(least($w, n - (k * $st + 1) + 1) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(
+       |    list_slice(toks, k * $st + 1, k * $st + $w), ' ')) AS chunk_md5
+       |FROM k ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ------------------------------------------------------------- t18
+  /** Inverted-index build — term → bounded posting list. Terms are
+    * 3-token shingles (phrase terms — single tokens of this corpus are
+    * all stopword-frequency, exactly like natural-language unigrams,
+    * and a selective retrieval index keys on phrases); terms whose
+    * document frequency lies in `[dfLo, dfHi]` (boilerplate and hapax
+    * noise excluded, posting length hard-bounded by dfHi) get a sorted
+    * `doc:count` posting string; the head [[indexTopK]] terms by
+    * (df DESC, term) are emitted — the retrieval-index shape behind
+    * every sparse-search / BM25 stage of a data pipeline.
+    *
+    * Determinism: postings sort on a zero-padded doc_id prefix, so
+    * lexicographic order IS numeric order and the aggregated string is
+    * identical on any engine and any partitioning.
+    *
+    * Scale: (term, doc) counts partial-agg map-side; the posting agg
+    * shuffles vocabulary-sized keys with ≤ dfHi entries each — the df
+    * band is what keeps any single posting (and thus any reducer key)
+    * bounded no matter how skewed the term distribution; the final
+    * top-K is a TakeOrdered, never a global sort materialization. */
+  val indexDfLo = 3
+  val indexDfHi = 50
+  val indexTopK = 200
+
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexDf(t(s, dir, "documents"))
+
+  def invertedIndexDf(docs: DataFrame): DataFrame = {
+    val td = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    td.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total_occ"),
+        array_sort(collect_list(concat(
+          lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(":"), col("c")))).as("plist"))
+      .filter(col("df").between(indexDfLo, indexDfHi))
+      .select(col("tok"), col("df"), col("total_occ"),
+        array_join(col("plist"), " ").as("postings"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(indexTopK)
+  }
+
+  private val invertedIndexSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |td AS (
+       |  SELECT tok, doc_id, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(toks) - 2, 1)),
+       |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS tok
+       |    FROM d)
+       |  GROUP BY tok, doc_id),
+       |ix AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(c) AS BIGINT) AS total_occ,
+       |    string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0') ||
+       |      ':' || CAST(c AS VARCHAR), ' ' ORDER BY doc_id) AS postings
+       |  FROM td GROUP BY tok)
+       |SELECT tok, df, total_occ, postings FROM ix
+       |WHERE df BETWEEN $indexDfLo AND $indexDfHi
+       |ORDER BY df DESC, tok LIMIT $indexTopK""".stripMargin
+
+  // ------------------------------------------------------------- t19
+  /** Corpus drift between snapshots — the distribution-shift monitor a
+    * recurring ingest runs before retraining: token frequencies (in
+    * exact integer ppm of each snapshot's token mass) compared between
+    * an "old" and a "new" snapshot (deterministic doc_id parity split
+    * here; in production, two partition dates), emitting the
+    * [[driftTopK]] largest absolute ppm movers. A token surging from
+    * 0 → thousands of ppm is how template spam, a new crawl source, or
+    * an encoding bug shows up before it poisons a training run.
+    *
+    * Scale: ONE shuffle on token with conditional partial aggs (no
+    * self-join of two snapshot aggregates — the case/sum form keeps it
+    * a single vocabulary-sized pass); snapshot totals are a broadcast
+    * one-row aggregate; all ratios are integer div of exact counts, so
+    * the drift ranking is engine- and partitioning-invariant. */
+  val driftTopK = 30
+
+  def snapshotDrift(s: SparkSession, dir: String): DataFrame =
+    snapshotDriftDf(t(s, dir, "documents"))
+
+  def snapshotDriftDf(docs: DataFrame): DataFrame = {
+    val tok = docs.select((col("doc_id") % 2).as("snap"),
+      explode(split(col("text"), " ")).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(
+      sum(when(col("snap") === 0, 1L).otherwise(0L)).as("cnt_old"),
+      sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cnt_new"))
+    val totals = cnt.agg(sum(col("cnt_old")).as("tot_old"),
+      sum(col("cnt_new")).as("tot_new"))
+    cnt.crossJoin(broadcast(totals))
+      .select(col("tok"), col("cnt_old"), col("cnt_new"),
+        expr("cnt_old * 1000000L div tot_old").as("ppm_old"),
+        expr("cnt_new * 1000000L div tot_new").as("ppm_new"))
+      .withColumn("drift_ppm", abs(col("ppm_new") - col("ppm_old")))
+      .orderBy(col("drift_ppm").desc, col("tok"))
+      .limit(driftTopK)
+  }
+
+  private val snapshotDriftSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT tok,
+       |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_old,
+       |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_new
+       |  FROM tok GROUP BY tok),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt_old) AS BIGINT) AS tot_old,
+       |    CAST(SUM(cnt_new) AS BIGINT) AS tot_new
+       |  FROM cnt)
+       |SELECT tok, cnt_old, cnt_new,
+       |  cnt_old * 1000000 // tot_old AS ppm_old,
+       |  cnt_new * 1000000 // tot_new AS ppm_new,
+       |  abs(cnt_new * 1000000 // tot_new -
+       |      cnt_old * 1000000 // tot_old) AS drift_ppm
+       |FROM cnt, tot
+       |ORDER BY drift_ppm DESC, tok LIMIT $driftTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_chunk_overlap" -> chunkOverlap _,
+    "t18_inverted_index" -> invertedIndex _,
+    "t19_snapshot_drift" -> snapshotDrift _,
     "t16_vocab_profile" -> vocabProfile _,
     "t14_pii_redact"    -> piiRedact _,
     "t15_unigram_score" -> unigramScore _,
@@ -770,6 +959,9 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t17_chunk_overlap" -> chunkOverlapSql,
+    "t18_inverted_index" -> invertedIndexSql,
+    "t19_snapshot_drift" -> snapshotDriftSql,
     "t00_exe_wordcount" -> wordCountSql,
     "t01_wordcount"     -> wordCountSql,
     "t02_grep"          -> grepSql,

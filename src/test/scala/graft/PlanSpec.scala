@@ -268,4 +268,29 @@ class PlanSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(p.contains("UnionLoop"), p)
   }
+
+  test("q49: zorder bucket aggregate combines map-side; no join anywhere") {
+    val p = plan(Relational.q49ZorderLayout(spark, sf))
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(!p.contains("Join"), "the layout-key pass must stay join-free:\n" + p)
+  }
+
+  test("q50: brand dim and support lookups broadcast; only the basket " +
+      "self-join shuffles") {
+    val p = plan(Relational.q50AssocRules(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one shuffle join: the items⋈items basket-key pair expansion
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+  }
+
+  test("s08: per-dimension stats broadcast back into the corpus scan") {
+    val p = plan(Similarity.embeddingQuantize(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("t18: the index head is a TakeOrdered, never a global sort") {
+    val p = plan(graft.queries.TextOps.invertedIndex(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -88,4 +88,59 @@ class RelationalSpec extends SparkSpec {
       .filter(col("got") =!= col("want")).count()
     assert(off === 0L)
   }
+
+  test("q49: zorder buckets match an independent morton recompute and " +
+      "bound BOTH key spans") {
+    import spark.implicits._
+    def spread(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").as[(Long, Long)].collect()
+    val exp = li
+      .groupBy { case (pk, sk) => (spread(pk) | (spread(sk) << 1)) >> 12 }
+      .map { case (b, rs) =>
+        (b, rs.length.toLong, rs.map(_._1).min, rs.map(_._1).max,
+          rs.map(_._2).min, rs.map(_._2).max)
+      }.toSet
+    val got = Relational.q49ZorderLayout(spark, sf)
+      .select("bucket", "n_rows", "pk_min", "pk_max", "sk_min", "sk_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet === exp)
+    // the layout property: dropping 12 interleaved bits fixes all but
+    // 6 bits of EACH dimension, so every bucket bounds both spans ≤ 63
+    // (a 1-D sort would bound only its leading column)
+    got.foreach { case (b, _, pkMin, pkMax, skMin, skMax) =>
+      assert(pkMax - pkMin <= 63L, s"bucket $b pk span")
+      assert(skMax - skMin <= 63L, s"bucket $b sk span")
+    }
+  }
+
+  test("q50: support/confidence/lift match an independent recompute") {
+    import spark.implicits._
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .map { case (o, p) => (o, brand(p)) }.distinct
+    val supp = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val pairCnt = items.groupBy(_._1).values.flatMap { its =>
+      val bs = its.map(_._2).sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+    val exp = pairCnt.toSeq.map { case ((a, b), sab) =>
+      (a, b, sab, sab * 1000000L / supp(a),
+        sab * nOrders * 1000000L / (supp(a) * supp(b)))
+    }.sortBy { case (a, b, sab, _, _) => (-sab, a, b) }
+      .take(Relational.assocTopK)
+    val got = Relational.q50AssocRules(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === exp)
+  }
 }

@@ -88,4 +88,28 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("s08: int8 codes and reconstruction error match an exact " +
+      "integer recompute") {
+    // dim 1 spans [0,1] (codes 0/127/255); dim 2 is constant (the
+    // degenerate mx=mn dimension must quantize to 0 with zero error)
+    val embs = Seq(
+      (0L, Array(0.0f, 7.0f), 0),
+      (1L, Array(1.0f, 7.0f), 0),
+      (2L, Array(0.5f, 7.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingQuantizeDf(embs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def fp(x: Double): Long = math.floor(x * Similarity.fpScale).toLong
+    val (mn, mx) = (fp(0.0), fp(1.0))
+    Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.5).foreach { case (id, v) =>
+      val vi = fp(v)
+      val code = (vi - mn) * 255L / (mx - mn)
+      val recon = mn + code * (mx - mn) / 255L
+      // code_sum weights dim 1 by 1; the constant dim contributes 0
+      assert(got(id) === ((id, 2L, code, math.abs(vi - recon))),
+        s"vec $id: code $code recon $recon")
+    }
+    assert(got(1L)._3 === 255L && got(0L)._3 === 0L)
+  }
 }

@@ -101,4 +101,61 @@ class TextOpsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble, 1.0)))
     assert(got("B") === ((1L, 1L, 1L, 1.0, 1.0)))
   }
+
+  test("t17: chunks tile each doc — full coverage, declared overlap") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 3 full windows
+      (2L, (1 to 95).map(i => s"v$i").mkString(" ")),  // short last chunk
+      (3L, "a b c"))                                   // sub-window doc
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkOverlapDf(docs)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4)).toSeq.sorted).toMap
+    assert(got(1L) === Seq((0L, 1L, 40L), (1L, 31L, 40L), (2L, 61L, 40L)))
+    assert(got(2L) === Seq((0L, 1L, 40L), (1L, 31L, 40L), (2L, 61L, 35L)))
+    assert(got(3L) === Seq((0L, 1L, 3L)))
+    // every chunk starts on the stride grid and the last one ends at n
+    got.foreach { case (_, cs) =>
+      cs.foreach { case (k, st, _) =>
+        assert(st === k * TextOps.chunkStride + 1)
+      }
+      val (_, st, n) = cs.last
+      assert(st + n - 1 === cs.map { case (_, s, l) => s + l - 1 }.max)
+    }
+    // content hash is the md5 of exactly the sliced tokens
+    val h = TextOps.chunkOverlapDf(docs.filter($"doc_id" === 3L))
+      .select("chunk_md5").as[String].head()
+    assert(h === spark.sql("SELECT md5('a b c')").as[String].head())
+  }
+
+  test("t18: shingle postings are df-banded, doc-sorted, bounded") {
+    // "x y z" spans docs 1,2,3 (df=3 — inside the [3,50] band);
+    // "p q r" spans only 2,4 (df=2 — excluded); all others are hapax
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z p q r"), (3L, "x y z"), (4L, "p q r"))
+      .toDF("doc_id", "text")
+    val got = TextOps.invertedIndexDf(docs)
+      .as[(String, Long, Long, String)].collect()
+    assert(got.map(_._1).toSeq === Seq("x y z"))
+    val (_, df, occ, postings) = got.head
+    assert(df === 3L && occ === 3L)
+    assert(postings === "000001:1 000002:1 000003:1")
+  }
+
+  test("t19: drift ranks the snapshot-exclusive token first, exact ppm") {
+    // old snapshot (even doc_ids): a×4 b×2; new (odd): a×1 b×1 c×4
+    val docs = Seq(
+      (0L, "a a a b"), (2L, "a b"),
+      (1L, "a b c c"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.snapshotDriftDf(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.head._1 === "c") // 0 → 666666 ppm: the top mover
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("c") === (("c", 0L, 4L, 0L, 666666L, 666666L)))
+    assert(m("a") === (("a", 4L, 1L, 666666L, 166666L, 500000L)))
+    assert(m("b") === (("b", 2L, 1L, 333333L, 166666L, 166667L)))
+  }
 }
