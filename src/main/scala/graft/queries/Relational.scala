@@ -1564,6 +1564,12 @@ object Relational {
   val assocTopK = 30
 
   def q50AssocRules(s: SparkSession, dir: String): DataFrame = {
+    // items feeds FOUR subtrees (supports, the basket total, and both
+    // sides of the pair self-join) but is deliberately NOT persisted:
+    // the four consumers share the distinct's shuffle via
+    // ReusedExchange, and a .persist() here measured 3× SLOWER at
+    // sf0.1 (9.4 s vs 3.2 s min-of-3) — the cache materialization
+    // barrier breaks stage pipelining (the Dedup.scala d03 lesson)
     val items = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")),
         col("l_partkey") === col("p_partkey"))

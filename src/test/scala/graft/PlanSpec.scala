@@ -281,6 +281,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     // exactly one shuffle join: the items⋈items basket-key pair expansion
     assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+    // the four consumers of the basket relation share its distinct via
+    // ReusedExchange — a .persist() instead measured 3× slower (the
+    // cache barrier breaks pipelining); losing the reuse means four
+    // full fact-scan+distinct subtrees
+    assert(p.contains("ReusedExchange"), p)
   }
 
   test("s08: per-dimension stats broadcast back into the corpus scan") {
