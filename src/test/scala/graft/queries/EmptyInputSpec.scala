@@ -37,6 +37,10 @@ class EmptyInputSpec extends SparkSpec {
   test("text ops yield zero rows on an empty corpus") {
     assert(TextOps.tfidfDf(noDocs).count() === 0)
     assert(TextOps.qualityGateDf(noDocs).count() === 0)
+    assert(TextOps.chunkOverlapDf(noDocs).count() === 0)
+    assert(TextOps.invertedIndexDf(noDocs).count() === 0)
+    assert(TextOps.snapshotDriftDf(noDocs).count() === 0)
+    assert(Similarity.embeddingQuantizeDf(noEmbs).count() === 0)
   }
 
   test("centroids / k-means / multi-signal yield zero rows on empty input") {
