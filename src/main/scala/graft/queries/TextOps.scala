@@ -849,7 +849,7 @@ object TextOps {
     td.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("c")).as("total_occ"),
         array_sort(collect_list(concat(
-          lpad(col("doc_id").cast("string"), 6, "0"),
+          lpad(col("doc_id").cast("string"), 12, "0"),
           lit(":"), col("c")))).as("plist"))
       .filter(col("df").between(indexDfLo, indexDfHi))
       .select(col("tok"), col("df"), col("total_occ"),
@@ -871,7 +871,7 @@ object TextOps {
        |ix AS (
        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
        |    CAST(SUM(c) AS BIGINT) AS total_occ,
-       |    string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0') ||
+       |    string_agg(lpad(CAST(doc_id AS VARCHAR), 12, '0') ||
        |      ':' || CAST(c AS VARCHAR), ' ' ORDER BY doc_id) AS postings
        |  FROM td GROUP BY tok)
        |SELECT tok, df, total_occ, postings FROM ix

@@ -154,4 +154,93 @@ class PropertySpec extends SparkSpec {
       assert(got === refPageRank(pairs), s"seed $s")
     }
   }
+
+  test("t17 chunks cover every token exactly once per stride window") {
+    import graft.queries.TextOps
+    val lenGen = Gen.choose(1, 130)
+    for (s <- 1 to 8) {
+      val n = sample(lenGen, s + 500)
+      val docs = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = TextOps.chunkOverlapDf(docs)
+        .select("chunk_idx", "start_tok", "n_tok")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val (w, st) = (TextOps.chunkTokens, TextOps.chunkStride)
+      // expected count: 1 + ceil(max(n-W,0)/S)
+      assert(chunks.length === 1 + (math.max(n - w, 0) + st - 1) / st,
+        s"n=$n")
+      // full coverage: union of [start, start+len) is exactly [1, n]
+      val covered = chunks.flatMap { case (_, a, l) => a until (a + l) }.toSet
+      assert(covered === (1 to n).map(_.toLong).toSet, s"n=$n")
+      // every chunk is as long as the window or ends at n
+      chunks.foreach { case (_, a, l) =>
+        assert(l === w.toLong || a + l - 1 === n.toLong, s"n=$n start=$a")
+      }
+    }
+  }
+
+  test("morton spread is a bijection on 16-bit inputs (zorder keys " +
+      "never collide)") {
+    def spread(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    val pairGen = Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))
+    val seen = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (s <- 1 to 200) {
+      val (a, b) = sample(pairGen, s)
+      val z = spread(a) | (spread(b) << 1)
+      // invertible: de-interleaving recovers the inputs
+      def unspread(v: Long): Long = {
+        var x = v & 0x55555555L
+        x = (x | (x >> 1)) & 0x33333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FFL
+        x = (x | (x >> 8)) & 0x0000FFFFL
+        x
+      }
+      assert(unspread(z) === a && unspread(z >> 1) === b, s"($a,$b)")
+      seen.get(z).foreach(p => assert(p === ((a, b)), s"collision at $z"))
+      seen(z) = (a, b)
+    }
+  }
+
+  test("s08 codes are bounded in [0,255] and order-preserving per dim") {
+    import graft.queries.Similarity
+    val vecGen = Gen.listOfN(6,
+      Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 250.0f)))
+    for (s <- 1 to 5) {
+      val vs = sample(vecGen, s + 900)
+      val embs = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray, 0) }
+        .toDF("vec_id", "embedding", "label")
+      // recompute codes the slow way from raw values
+      val fp = vs.map(_.map(x => math.floor(x * 1048576.0).toLong))
+      val dims = fp.head.indices
+      val codes = dims.map { d =>
+        val col = fp.map(_(d))
+        val (mn, mx) = (col.min, col.max)
+        col.map(v => if (mx == mn) 0L else (v - mn) * 255L / (mx - mn))
+      }
+      codes.foreach(_.foreach(c => assert(c >= 0L && c <= 255L)))
+      // per dimension, larger raw value never gets a smaller code
+      dims.foreach { d =>
+        fp.map(_(d)).zip(codes(d)).sortBy(_._1).map(_._2)
+          .sliding(2).foreach {
+            case Seq(a, b) => assert(a <= b, s"seed $s dim $d")
+            case _         =>
+          }
+      }
+      // and the engine's weighted checksum matches this recompute
+      val expSum = vs.indices.map(i =>
+        i.toLong -> dims.map(d => codes(d)(i) * (d + 1)).sum).toMap
+      val got = Similarity.embeddingQuantizeDf(embs)
+        .select("vec_id", "code_sum").as[(Long, Long)].collect().toMap
+      assert(got === expSum, s"seed $s")
+    }
+  }
 }

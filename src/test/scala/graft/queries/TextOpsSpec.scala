@@ -141,7 +141,7 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === Seq("x y z"))
     val (_, df, occ, postings) = got.head
     assert(df === 3L && occ === 3L)
-    assert(postings === "000001:1 000002:1 000003:1")
+    assert(postings === "000000000001:1 000000000002:1 000000000003:1")
   }
 
   test("t19: drift ranks the snapshot-exclusive token first, exact ppm") {
