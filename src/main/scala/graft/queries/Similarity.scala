@@ -38,12 +38,12 @@ object Similarity {
     col("vec_id") % queryStride === 0 &&
       col("vec_id") < queryStride * maxQueries
 
-  private def emb(embs: DataFrame): DataFrame =
+  private[queries] def emb(embs: DataFrame): DataFrame =
     embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
 
-  private def cosCol: Column = round(
+  private[queries] def cosCol: Column = round(
     dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm")), 4)
 
   // ------------------------------------------------- brute-force top-k
@@ -204,7 +204,7 @@ object Similarity {
     * oracles. (The previous ROUND(cos, 4) argmax was not: a vector on
     * a 4-dp boundary flipped cells between engines — the r2/r3 s05
     * hash mismatch.) */
-  private def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
+  private[queries] def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
       out: String): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cell"))
@@ -225,7 +225,7 @@ object Similarity {
   /** Trained seed vectors `(cell, sv)`: the [[lloydCells]] centroids
     * re-assembled into dense arrays (8 rows — the collect_list runs
     * over cells × dim mean cells, never corpus vectors). */
-  private def trainedSeeds(e: DataFrame, n: Int = numCells): DataFrame =
+  private[queries] def trainedSeeds(e: DataFrame, n: Int = numCells): DataFrame =
     lloydCells(e, n)
       .groupBy(col("cell"))
       .agg(expr(

@@ -53,4 +53,41 @@ class IvfSpec extends SparkSpec {
       assert(g.map(_._4).sorted.toSeq === (1L to g.length).toSeq)
     }
   }
+
+  test("index lifecycle: build → save → load → probe equals inline s03") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf")
+    try {
+      val idx = VectorIndex.build(clustered)
+      VectorIndex.save(idx, dir.toString)
+      val loaded = VectorIndex.load(spark, dir.toString)
+      // the saved quantizer has exactly nCells centroids, and every
+      // corpus vector is filed in exactly one cell
+      assert(loaded.centroids.count() === Similarity.numCells.toLong)
+      assert(loaded.postings.count() === 200L)
+      assert(loaded.postings.select("vec_id").distinct().count() === 200L)
+      // probing the persisted index with the contract query set must
+      // reproduce the single-plan s03 result exactly — the round-trip
+      // through parquet (incl. the partitionBy cell layout) loses
+      // nothing
+      val got = VectorIndex
+        .probe(loaded, clustered.filter(Similarity.isQuery))
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val inline = Similarity.ivfTopKDf(clustered)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(got === inline)
+      assert(got.nonEmpty)
+      // probe-side pruning is physical: the postings scan carries the
+      // cell join as a partition filter (directory layout), so a probe
+      // reads nProbes/nCells of the corpus by LAYOUT
+      val probePlan = VectorIndex
+        .probe(loaded, clustered.filter(Similarity.isQuery))
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("PartitionFilters") ||
+        probePlan.contains("dynamicpruning"), probePlan)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
