@@ -24,6 +24,9 @@ object EventStreams {
 
   case class BloomState(words: Array[Long])
 
+  /** A document arriving on the ingest stream (driftMonitor input). */
+  case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
   /** Tumbling event-time window aggregation with a watermark. Works on
     * both batch and streaming DataFrames with (ts, event_type, value). */
   def tumbling(events: DataFrame, width: String = "15 minutes",
@@ -75,6 +78,55 @@ object EventStreams {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("window_start", "event_type")
           .parquet(outDir)
+      }
+      .start()
+
+  /** Streaming corpus drift monitor — the streaming deployment of the
+    * t19 batch op ([[graft.queries.TextOps.snapshotDriftDf]] computes
+    * the BASELINE; this watches live ingest against it): tumbling
+    * event-time windows of token counts, each finalized window's
+    * per-token ppm compared to the static baseline ppm table, alert
+    * rows (drift ≥ `alertPpm`) appended to a parquet sink. A token
+    * surging in live ingest (template spam, a new crawl source, an
+    * encoding bug) raises an alert one watermark delay after its
+    * window closes — before the corpus ships to training.
+    *
+    * Mechanics that make it scale:
+    *  - append output mode ⇒ a window's (tok, cnt) rows emit exactly
+    *    once, when the watermark passes the window end. Each
+    *    foreachBatch therefore sees only COMPLETE windows, so the
+    *    batch-side window totals (and thus ppm) are exact, and the
+    *    emitted alerts are micro-batch-boundary-invariant.
+    *  - state is bounded by (vocab × open windows) — the watermark
+    *    evicts closed windows; no per-token history accumulates.
+    *  - the baseline joins broadcast (vocabulary-of-interest sized, the
+    *    t19 output shape `(tok, base_ppm)`); unseen tokens compare
+    *    against base 0 via the left join, so NEW tokens alert too.
+    *  - integer-ppm arithmetic end to end — alerts are deterministic
+    *    and engine-portable, same as t19. */
+  def driftMonitor(docs: DataFrame, baselinePpm: DataFrame, outDir: String,
+      checkpoint: String, width: String = "15 minutes",
+      watermark: String = "30 minutes", alertPpm: Long = 100000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ts"), width).as("w"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tot = batch.groupBy(col("w"))
+          .agg(sum(col("cnt")).as("win_total"))
+        batch.join(tot, "w")
+          .join(broadcast(baselinePpm), Seq("tok"), "left")
+          .select(col("w.start").cast("long").as("window_start"),
+            col("tok"), col("cnt"),
+            expr("cnt * 1000000L div win_total").as("win_ppm"),
+            coalesce(col("base_ppm"), lit(0L)).as("base_ppm"))
+          .withColumn("drift_ppm", abs(col("win_ppm") - col("base_ppm")))
+          .filter(col("drift_ppm") >= alertPpm)
+          .write.mode("append").parquet(outDir)
       }
       .start()
 

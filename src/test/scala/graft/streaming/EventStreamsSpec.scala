@@ -234,4 +234,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("drift monitor alerts on finalized windows with exact ppm vs " +
+      "the static baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift")
+    val (outDir, ckpt) = (s"$tmp/alerts", s"$tmp/ckpt")
+    // baseline (the t19 batch output shape): a and b each 50% of mass
+    val baseline = Seq(("a", 500000L), ("b", 500000L))
+      .toDF("tok", "base_ppm")
+    val mem = MemoryStream[DocEvent]
+    val q = driftMonitor(mem.toDF(), baseline, outDir, ckpt,
+      width = "15 minutes", watermark = "30 minutes", alertPpm = 300000L)
+    try {
+      // window [0,15): a=2 b=1 spam=3 of 6 tokens
+      mem.addData(
+        DocEvent(1L, new Timestamp(1 * 60000L), "a b"),
+        DocEvent(2L, new Timestamp(5 * 60000L), "spam spam spam a"))
+      q.processAllAvailable()
+      // advance the watermark past the window end + horizon so the
+      // first window finalizes and emits (append mode)
+      mem.addData(DocEvent(3L, new Timestamp(50 * 60000L), "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.read.parquet(outDir)
+      .select("window_start", "tok", "cnt", "win_ppm", "base_ppm",
+        "drift_ppm")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    // spam: 500000 ppm vs base 0 (NEW token) — alert; b: 166666 vs
+    // 500000 → drift 333334 — alert; a: 333333 vs 500000 → 166667,
+    // below the 300000 threshold — no alert. The open [45,60) window
+    // ("x") must NOT emit.
+    assert(alerts === Set(
+      (0L, "spam", 3L, 500000L, 0L, 500000L),
+      (0L, "b", 1L, 166666L, 500000L, 333334L)))
+  }
 }
