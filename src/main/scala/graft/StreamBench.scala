@@ -50,6 +50,7 @@ object StreamBench {
 
     val bloom = benchBloom(spark, rps, runSecs)
     val join = benchIntervalJoin(spark, rps, runSecs)
+    val drift = benchDrift(spark, rps, runSecs)
 
     def js(r: OpResult): String =
       s"""{"rows_per_sec":${r.rowsPerSec.round},"total_rows":${r.totalRows},""" +
@@ -57,7 +58,8 @@ object StreamBench {
         s""""state_bytes":[${r.stateBytes.mkString(",")}]}"""
     val line =
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
-        s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)}}"""
+        s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
+        s""""drift_monitor":${js(drift)}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
@@ -98,6 +100,33 @@ object StreamBench {
       secs)
   }
 
+  /** Rate source → DocEvent-shaped docs: each doc carries one token
+    * from a 997-token rotating vocab plus four constant commons, so
+    * the monitor's windowed-agg state is (vocab ≈ 1001) × open
+    * windows — the bounded-state series across ≥ secs/2 two-second
+    * watermark horizons is the eviction proof. The alert threshold is
+    * set unreachably high so the measured cost is the windowed agg +
+    * finalize + baseline join pipeline, not parquet alert volume. */
+  private def benchDrift(spark: SparkSession, rps: Int, secs: Int): OpResult = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+        concat(lit("tok"), (col("value") % 997).cast("string"),
+          lit(" common the a of")).as("text"))
+    val baseline = (0 until 997).map(i => (s"tok$i", 200L))
+      .toDF("tok", "base_ppm")
+    val tmp = Files.createTempDirectory("graft_driftbench")
+    val q = EventStreams.driftMonitor(docs, baseline,
+      s"$tmp/alerts", s"$tmp/ckpt", width = "2 seconds",
+      watermark = "2 seconds", alertPpm = 10000000L)
+    Thread.sleep(secs * 1000L)
+    q.stop()
+    q.awaitTermination()
+    summarize(q)
+  }
+
   private def runQuery(spark: SparkSession,
       out: org.apache.spark.sql.DataFrame, secs: Int): OpResult = {
     val q = out.writeStream.format("noop").outputMode("append")
@@ -106,6 +135,11 @@ object StreamBench {
     Thread.sleep(secs * 1000L)
     q.stop()
     q.awaitTermination()
+    summarize(q)
+  }
+
+  private def summarize(
+      q: org.apache.spark.sql.streaming.StreamingQuery): OpResult = {
     val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     val rates = progress.map(_.processedRowsPerSecond).sorted
     val median = if (rates.isEmpty) 0.0 else rates(rates.size / 2)
