@@ -1618,8 +1618,76 @@ object Relational {
        |JOIN supp sb ON pairs.brand_b = sb.brand, n
        |ORDER BY supp_ab DESC, brand_a, brand_b LIMIT $assocTopK""".stripMargin
 
+  // ------------------------------------------------------------- q51
+  /** SCD Type-2 dimension build from the event log — the warehouse
+    * history table q45's latest-state CDC only summarizes: each user's
+    * consecutive run of the same event_type becomes one VERSIONED row
+    * with `[valid_from, valid_to)` micros, event count, and a
+    * current-row flag (open valid_to). The run-collapse is the
+    * classic gaps-and-islands decomposition: a change flag via lag,
+    * a running sum to number versions, one aggregate per version,
+    * lead for the interval end.
+    *
+    * Scale: two window passes and one aggregate, all on the SAME
+    * user-partitioned sort (one shuffle, reused ordering); event-time
+    * math in exact integer micros (the q23/q24 discipline), ties
+    * broken by event_id — deterministic under any partitioning. */
+  def q51Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("event_type").as("state"), expr("ts div 1000").as("ep_us"))
+      .withColumn("chg", when(lag(col("state"), 1).over(byUser).isNull ||
+        lag(col("state"), 1).over(byUser) =!= col("state"), 1L)
+        .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .groupBy(col("user_id"), col("version"))
+      .agg(max(col("state")).as("state"), // constant within a version
+        min(col("ep_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private val q51Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type AS state, epoch_us(ts) AS ep_us,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_state
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_state IS NULL OR prev_state <> state
+      |    THEN 1 ELSE 0 END AS chg FROM e),
+      |v AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ep_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM f),
+      |runs AS (
+      |  SELECT user_id, version, MAX(state) AS state,
+      |    MIN(ep_us) AS valid_from_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM v GROUP BY user_id, version)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+      |  valid_from_us,
+      |  LEAD(valid_from_us, 1) OVER (PARTITION BY user_id
+      |    ORDER BY version) AS valid_to_us,
+      |  n_events,
+      |  CAST(CASE WHEN LEAD(valid_from_us, 1) OVER (PARTITION BY user_id
+      |    ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM runs ORDER BY user_id, version""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_scd2_intervals"  -> q51Scd2Intervals _,
     "q49_zorder_layout"   -> q49ZorderLayout _,
     "q50_assoc_rules"     -> q50AssocRules _,
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1672,6 +1740,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q51_scd2_intervals"  -> q51Sql,
     "q49_zorder_layout"   -> q49Sql,
     "q50_assoc_rules"     -> q50Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -121,6 +121,46 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q51: SCD2 intervals tile each user's history without gaps") {
+    import spark.implicits._
+    val out = Relational.q51Scd2Intervals(spark, sf)
+      .select("user_id", "version", "state", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5),
+        r.getLong(6)))
+      .groupBy(_._1)
+    // independent recompute from the raw event log
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as us")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._4, e._2))).toMap
+    out.foreach { case (u, versions) =>
+      val vs = versions.sortBy(_._2)
+      val events = raw(u)
+      // versions are 1..n, exactly one current, intervals abut
+      assert(vs.map(_._2).toSeq === (1L to vs.length).toSeq, s"user $u")
+      assert(vs.count(_._7 == 1L) === 1 && vs.last._7 === 1L, s"user $u")
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u gap at v${a._2}")
+          assert(a._3 !== b._3, s"user $u un-collapsed run at v${a._2}")
+        case _ =>
+      }
+      // event counts per version sum to the user's history; run
+      // boundaries match a direct scan of the sorted log
+      assert(vs.map(_._6).sum === events.length.toLong, s"user $u")
+      val runs = events.foldLeft(List.empty[(String, Long, Long)]) {
+        case (acc, (_, _, st, us)) => acc match {
+          case (s0, from, n) :: rest if s0 == st => (s0, from, n + 1) :: rest
+          case _ => (st, us, 1L) :: acc
+        }
+      }.reverse
+      assert(vs.map(v => (v._3, v._4, v._6)).toSeq === runs, s"user $u")
+    }
+  }
+
   test("q50: support/confidence/lift match an independent recompute") {
     import spark.implicits._
     val brand = spark.read.parquet(s"$sf/part.parquet")
