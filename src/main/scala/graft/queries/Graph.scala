@@ -344,13 +344,101 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+
+  /** g04: k-core decomposition (bounded peeling) of the co-purchase
+    * graph at support ≥ [[coreSupport]] (one notch denser than g03's
+    * cutoff — at g03's support-3 sparsity the k=3 core is empty) — the
+    * community-density primitive next to components (membership) and
+    * triangles (local closure): the k-core
+    * is the maximal subgraph where every node keeps degree ≥ k, found
+    * by repeatedly peeling lower-degree nodes. Rounds are FIXED
+    * ([[coreRounds]], the g01/g03 bounded-round discipline): the
+    * output is "the graph after R peel rounds at k=[[coreK]]" — a
+    * deterministic relation the oracle unrolls identically, and in
+    * practice peeling converges in a few rounds because each pass
+    * removes whole low-degree fringes at once.
+    *
+    * Scale: each round is one partial-agged degree count + two
+    * semi-joins (both endpoints against the survivor set) on the
+    * ids-only edge list; per-round persists stop the two-consumer
+    * lineage doubling (the CC/d07 lesson). Peeling MONOTONICALLY
+    * shrinks the edge list, so rounds get cheaper as they proceed —
+    * the opposite of an expansion — and survivors' degrees are
+    * recomputed, never cached stale. */
+  val coreK = 3
+  val coreRounds = 4
+  val coreSupport = 2
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreDf(t(s, dir, "lineitem"))
+
+  def kcoreDf(lineitem: DataFrame): DataFrame = {
+    val pairCounts = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks,
+           (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                               y -> struct(x AS a, y AS b))))""")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= coreSupport)
+    var und = pairCounts
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairCounts.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    for (_ <- 1 to coreRounds) {
+      val keep = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= coreK).select(col("src").as("id"))
+      und = und
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist()
+    }
+    und.groupBy(col("src").as("part"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("part")
+  }
+
+  /** DuckDB twin: identical support cutoff and R unrolled peel rounds;
+    * every per-round CTE MATERIALIZED (each is referenced twice — the
+    * g03 2^rounds re-expansion lesson). */
+  private val kcoreSql = {
+    val rounds = (1 to coreRounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT src AS id FROM e${r - 1}
+         |  GROUP BY src HAVING COUNT(*) >= $coreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.id
+         |  JOIN k$r b ON e.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pc AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |    COUNT(DISTINCT a.l_orderkey) AS support
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $coreSupport),
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pc
+       |      UNION ALL SELECT b, a FROM pc),
+       |$rounds
+       |SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM e$coreRounds GROUP BY src ORDER BY part""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> pageRank _,
     "g02_triangles" -> triangles _,
-    "g03_components" -> components _)
+    "g03_components" -> components _,
+    "g04_kcore"     -> kcore _)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank"  -> pageRankSql,
     "g02_triangles" -> trianglesSql,
-    "g03_components" -> componentsSql)
+    "g03_components" -> componentsSql,
+    "g04_kcore"     -> kcoreSql)
 }

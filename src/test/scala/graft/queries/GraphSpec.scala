@@ -84,4 +84,39 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.sameElements(again))
   }
+
+  test("g04: bounded k-core peeling matches an independent recompute") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = Graph.kcoreDf(li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recompute: same support-filtered co-purchase graph,
+    // same fixed peel rounds, via plain Scala collections
+    val baskets = li.select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect().distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val support = baskets.toSeq
+      .flatMap(pks => for (i <- pks.indices; j <- i + 1 until pks.size)
+        yield (pks(i), pks(j)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var edges = support.collect {
+      case ((a, b), s0) if s0 >= Graph.coreSupport => Seq((a, b), (b, a))
+    }.flatten.toSet
+    for (_ <- 1 to Graph.coreRounds) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= Graph.coreK).keySet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val want = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(out === want)
+    assert(out.nonEmpty)
+    // at this scale the peel converges within the bounded rounds (a
+    // fifth round changes nothing), so the true k-core invariant holds:
+    // every survivor keeps degree ≥ k
+    val deg5 = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val keep5 = deg5.filter(_._2 >= Graph.coreK).keySet
+    assert(edges.forall { case (a, b) => keep5(a) && keep5(b) },
+      "peel had not converged; raise coreRounds")
+    out.values.foreach(d => assert(d >= Graph.coreK.toLong))
+  }
 }
