@@ -345,88 +345,117 @@ object Graph {
 
   // ------------------------------------------------------------------
 
-  /** g04: k-core decomposition (bounded peeling) of the co-purchase
-    * graph at support ≥ [[coreSupport]] (one notch denser than g03's
-    * cutoff — at g03's support-3 sparsity the k=3 core is empty) — the
-    * community-density primitive next to components (membership) and
-    * triangles (local closure): the k-core
-    * is the maximal subgraph where every node keeps degree ≥ k, found
-    * by repeatedly peeling lower-degree nodes. Rounds are FIXED
-    * ([[coreRounds]], the g01/g03 bounded-round discipline): the
-    * output is "the graph after R peel rounds at k=[[coreK]]" — a
-    * deterministic relation the oracle unrolls identically, and in
-    * practice peeling converges in a few rounds because each pass
-    * removes whole low-degree fringes at once.
+  /** g04: adaptive k-core peeling of the supplier↔customer graph
+    * (g01's graph) — the community-density primitive next to
+    * components (membership), triangles (local closure) and PageRank
+    * (centrality). k is NOT a constant: it is the graph's own
+    * 25th-percentile degree (the exact order statistic at rank
+    * ⌈n/4⌉ = `(n+3) div 4` — all-integer, the q47 percentile_disc
+    * discipline), so the peel stays meaningful at every corpus scale
+    * (a fixed k is degenerate on synthetic data: the co-purchase
+    * support-2 graph's k=3 core has 983 nodes at sf0.01 and ZERO at
+    * sf0.1 — measured; density-relative k peels ~20-23 % of nodes at
+    * sf0.001/0.01/0.1 alike and converges within the bounded rounds
+    * at all three). Rounds are FIXED ([[coreRounds]], the g01/g03
+    * discipline): output is "the graph after R peel rounds at the
+    * quantile k" — a deterministic relation the oracle unrolls
+    * identically.
     *
-    * Scale: each round is one partial-agged degree count + two
-    * semi-joins (both endpoints against the survivor set) on the
-    * ids-only edge list; per-round persists stop the two-consumer
-    * lineage doubling (the CC/d07 lesson). Peeling MONOTONICALLY
-    * shrinks the edge list, so rounds get cheaper as they proceed —
-    * the opposite of an expansion — and survivors' degrees are
-    * recomputed, never cached stale. */
-  val coreK = 3
+    * Scale: the threshold is one node-sized order statistic (same
+    * cost class as q47/a05), persisted and broadcast as a scalar;
+    * each round is TWO WINDOW COUNTS (partition by src, then by dst)
+    * + a filter on the ids-only edge list — an edge survives iff both
+    * endpoint degrees clear k, which is exactly the keep-set
+    * semantics without building a keep set. The window form keeps the
+    * whole peel one linear pipeline (each round references its
+    * predecessor once): measured 6.5 s at sf0.1 vs 15.9 s for
+    * semi-joins with per-round persist barriers and 43 s without them
+    * (lineage doubles per round when the keep subtree references the
+    * previous round too). Peeling MONOTONICALLY shrinks the edge
+    * list, so rounds get cheaper as they proceed, and degrees are
+    * recomputed each round, never cached stale. */
   val coreRounds = 4
-  val coreSupport = 2
 
   def kcore(s: SparkSession, dir: String): DataFrame =
-    kcoreDf(t(s, dir, "lineitem"))
+    kcoreDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
 
-  def kcoreDf(lineitem: DataFrame): DataFrame = {
-    val pairCounts = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+  def kcoreDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + custOffset).as("dst"))
       .distinct()
-      .groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("pks"))
-      .select(explode(expr(
-        """flatten(transform(pks,
-           (x, i) -> transform(slice(pks, i + 2, size(pks)),
-                               y -> struct(x AS a, y AS b))))""")).as("e"))
-      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= coreSupport)
-    var und = pairCounts
-      .select(col("a").as("src"), col("b").as("dst"))
-      .union(pairCounts.select(col("b").as("src"), col("a").as("dst")))
+    var und = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    val deg0 = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // one-row threshold relation, persisted: each round's keep filter
+    // re-broadcasts it, and without the persist every broadcast job
+    // re-runs the degree aggregate + order-statistic window
+    val kVal = deg0
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("d"), col("src"))))
+      .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
+      .filter(expr("rn = (n + 3) div 4"))
+      .select(col("d").as("k"))
+      .persist()
+    // each peel round: an edge survives iff BOTH endpoint degrees
+    // (counted over the current edge set) clear the threshold. The
+    // window form keeps the whole peel ONE linear pipeline — each
+    // round references its predecessor once (no keep-set subtree, so
+    // no per-round materialization barrier and no lineage doubling;
+    // the semi-join formulation measured 15.9 s with per-round
+    // persists and 43 s without — this is 6 s, same rows)
+    var peeled = und.crossJoin(broadcast(kVal))
     for (_ <- 1 to coreRounds) {
-      val keep = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= coreK).select(col("src").as("id"))
-      und = und
-        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .persist()
+      peeled = peeled
+        .withColumn("ds", count(lit(1)).over(
+          Window.partitionBy(col("src"))))
+        .withColumn("dd", count(lit(1)).over(
+          Window.partitionBy(col("dst"))))
+        .filter(col("ds") >= col("k") && col("dd") >= col("k"))
+        .select(col("src"), col("dst"), col("k"))
     }
-    und.groupBy(col("src").as("part"))
+    peeled.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
-      .orderBy("part")
+      .select(col("node"),
+        when(col("node") >= custOffset, lit("customer"))
+          .otherwise(lit("supplier")).as("role"),
+        col("core_degree"))
+      .orderBy("node")
   }
 
-  /** DuckDB twin: identical support cutoff and R unrolled peel rounds;
-    * every per-round CTE MATERIALIZED (each is referenced twice — the
-    * g03 2^rounds re-expansion lesson). */
+  /** DuckDB twin: identical quantile threshold and R unrolled peel
+    * rounds; every per-round CTE MATERIALIZED (each is referenced
+    * twice — the g03 2^rounds re-expansion lesson). */
   private val kcoreSql = {
     val rounds = (1 to coreRounds).map { r =>
       s"""k$r AS MATERIALIZED (
          |  SELECT src AS id FROM e${r - 1}
-         |  GROUP BY src HAVING COUNT(*) >= $coreK),
+         |  GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kv)),
          |e$r AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e${r - 1} e
          |  JOIN k$r a ON e.src = a.id
          |  JOIN k$r b ON e.dst = b.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pc AS MATERIALIZED (
-       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
-       |    COUNT(DISTINCT a.l_orderkey) AS support
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $coreSupport),
-       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pc
-       |      UNION ALL SELECT b, a FROM pc),
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst, src FROM pairs),
+       |d0 AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+       |kv AS MATERIALIZED (
+       |  SELECT d AS k FROM (
+       |    SELECT d, ROW_NUMBER() OVER (ORDER BY d, src) AS rn FROM d0)
+       |  WHERE rn = ((SELECT COUNT(*) FROM d0) + 3) // 4),
        |$rounds
-       |SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
-       |FROM e$coreRounds GROUP BY src ORDER BY part""".stripMargin
+       |SELECT src AS node,
+       |  CASE WHEN src >= $custOffset THEN 'customer'
+       |       ELSE 'supplier' END AS role,
+       |  CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM e$coreRounds GROUP BY src ORDER BY node""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -85,38 +85,40 @@ class GraphSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
-  test("g04: bounded k-core peeling matches an independent recompute") {
+  test("g04: adaptive k-core peeling matches an independent recompute") {
     import spark.implicits._
-    val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val out = Graph.kcoreDf(li).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // independent recompute: same support-filtered co-purchase graph,
-    // same fixed peel rounds, via plain Scala collections
-    val baskets = li.select("l_orderkey", "l_partkey")
+    val out = Graph.kcoreDf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // independent recompute: same graph, same quantile threshold, same
+    // fixed peel rounds, via plain Scala collections
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey") + Graph.custOffset)
       .as[(Long, Long)].collect().distinct
-      .groupBy(_._1).values.map(_.map(_._2).sorted)
-    val support = baskets.toSeq
-      .flatMap(pks => for (i <- pks.indices; j <- i + 1 until pks.size)
-        yield (pks(i), pks(j)))
-      .groupBy(identity).view.mapValues(_.size).toMap
-    var edges = support.collect {
-      case ((a, b), s0) if s0 >= Graph.coreSupport => Seq((a, b), (b, a))
-    }.flatten.toSet
+    var edges = pairs.flatMap { case (s0, c) => Seq((s0, c), (c, s0)) }.toSet
+    val deg0 = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    // k = degree value at rank (n+3)/4 under (d, src) order
+    val k = deg0.toSeq.map { case (s0, d) => (d, s0) }.sorted
+      .apply(((deg0.size + 3) / 4 - 1).toInt)._1
     for (_ <- 1 to Graph.coreRounds) {
       val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
-      val keep = deg.filter(_._2 >= Graph.coreK).keySet
+      val keep = deg.filter(_._2 >= k).keySet
       edges = edges.filter { case (a, b) => keep(a) && keep(b) }
     }
-    val want = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    assert(out === want)
+    val want = edges.groupBy(_._1).map { case (n, es) =>
+      (n, if (n >= Graph.custOffset) "customer" else "supplier",
+        es.size.toLong)
+    }.toSet
+    assert(out.toSet === want)
     assert(out.nonEmpty)
-    // at this scale the peel converges within the bounded rounds (a
-    // fifth round changes nothing), so the true k-core invariant holds:
-    // every survivor keeps degree ≥ k
+    // the quantile threshold must actually peel something at this scale
+    assert(out.length < deg0.size, "adaptive k peeled nothing")
+    // the peel converges within the bounded rounds here (a fifth round
+    // changes nothing), so the true core invariant holds: survivor
+    // degrees ≥ k
     val deg5 = edges.groupBy(_._1).view.mapValues(_.size).toMap
-    val keep5 = deg5.filter(_._2 >= Graph.coreK).keySet
+    val keep5 = deg5.filter(_._2 >= k).keySet
     assert(edges.forall { case (a, b) => keep5(a) && keep5(b) },
       "peel had not converged; raise coreRounds")
-    out.values.foreach(d => assert(d >= Graph.coreK.toLong))
+    out.foreach { case (_, _, d) => assert(d >= k.toLong) }
   }
 }
