@@ -936,7 +936,79 @@ object TextOps {
        |FROM cnt, tot
        |ORDER BY drift_ppm DESC, tok LIMIT $driftTopK""".stripMargin
 
+  // ------------------------------------------------------------- t20
+  /** Span-level exact-substring contamination evidence — the forensic
+    * companion to d10 (which DROPS contaminated docs but shows no
+    * evidence): for every (corpus doc, eval doc) pair sharing at least
+    * one verbatim [[spanWindow]]-token window, report how many windows
+    * match and where the contaminated region sits in the corpus doc
+    * (first/last window position, spanned token count). Long-window
+    * verbatim overlap is the "eval answer pasted into a training doc"
+    * signature — 3-token shingles (d10) catch topical overlap; 8-token
+    * runs catch quotation.
+    *
+    * The eval set is a deterministic slice (doc_id ≡ 0 mod
+    * [[spanEvalStride]]; 1-in-10 — wider than d10's 1-in-50 because
+    * verbatim 8-token reuse is genuinely rare, and the matches that DO
+    * surface are the true near-duplicate pairs).
+    *
+    * Scale: window hashes are md5(8 tokens) — corpus windows never
+    * leave their scan except the matches; the eval window set is
+    * benchmark-sized and BROADCASTS, so detection is a map-side hash
+    * join; per-window join fanout is bounded by the eval-suite size
+    * (each corpus window meets only the eval docs containing it). At
+    * 100 TB add the d03/d10 df cutoff on the window hash to also prune
+    * boilerplate runs map-side. */
+  val spanWindow = 8
+  val spanEvalStride = 10L
+
+  def spanContamination(s: SparkSession, dir: String): DataFrame =
+    spanContaminationDf(t(s, dir, "documents"))
+
+  def spanContaminationDf(docs: DataFrame): DataFrame = {
+    val w = spanWindow
+    val wins = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, greatest(size(toks) - ${w - 1}, 1)),
+            i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, $w))) AS wh))"""))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").cast("long").as("pos"),
+        col("e.wh").as("wh"))
+    val evalW = wins.filter(col("doc_id") % spanEvalStride === 0)
+      .select(col("wh"), col("doc_id").as("eval_id")).distinct()
+    wins.filter(col("doc_id") % spanEvalStride =!= 0)
+      .join(broadcast(evalW), "wh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .withColumn("span_tokens", col("last_pos") - col("first_pos") + w)
+      .orderBy("doc_id", "eval_id")
+  }
+
+  private val spanContaminationSql = {
+    val w = spanWindow
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS wh
+       |  FROM d, unnest(generate_series(1,
+       |    greatest(len(toks) - ${w - 1}, 1))) AS t(i)),
+       |ev AS (
+       |  SELECT DISTINCT wh, doc_id AS eval_id FROM win
+       |  WHERE doc_id % $spanEvalStride = 0)
+       |SELECT win.doc_id, ev.eval_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  MIN(win.pos) AS first_pos, MAX(win.pos) AS last_pos,
+       |  MAX(win.pos) - MIN(win.pos) + $w AS span_tokens
+       |FROM win JOIN ev USING (wh)
+       |WHERE win.doc_id % $spanEvalStride <> 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_span_contamination" -> spanContamination _,
     "t17_chunk_overlap" -> chunkOverlap _,
     "t18_inverted_index" -> invertedIndex _,
     "t19_snapshot_drift" -> snapshotDrift _,
@@ -959,6 +1031,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t20_span_contamination" -> spanContaminationSql,
     "t17_chunk_overlap" -> chunkOverlapSql,
     "t18_inverted_index" -> invertedIndexSql,
     "t19_snapshot_drift" -> snapshotDriftSql,

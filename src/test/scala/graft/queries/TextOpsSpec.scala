@@ -144,6 +144,30 @@ class TextOpsSpec extends SparkSpec {
     assert(postings === "000000000001:1 000000000002:1 000000000003:1")
   }
 
+  test("t20: shared verbatim windows are located exactly; topical " +
+      "overlap is not flagged") {
+    // eval doc 10 has 12 tokens; doc 1 quotes its tokens 3..10 (one
+    // 8-token window); doc 2 shares vocabulary but no 8-token run
+    val evalText = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (10L, evalText),
+      (1L, "x y " + evalText.split(" ").slice(2, 10).mkString(" ") + " z"),
+      (2L, "w1 w2 w3 q w5 w6 w7 q w9 w10 w11 q"))
+      .toDF("doc_id", "text")
+    val got = TextOps.spanContaminationDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: its tokens 3..10 are eval tokens 3..10 — exactly one
+    // matching window starting at corpus position 3, spanning 8 tokens
+    assert(got === Seq((1L, 10L, 1L, 3L, 3L, 8L)))
+    // and a doc quoting a LONGER run yields a window count equal to
+    // run − W + 1 with the span covering the whole run
+    val docs2 = Seq((10L, evalText), (1L, "a " + evalText))
+      .toDF("doc_id", "text")
+    val g2 = TextOps.spanContaminationDf(docs2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 === Seq((1L, 10L, 5L, 2L, 6L, 12L)))
+  }
+
   test("t19: drift ranks the snapshot-exclusive token first, exact ppm") {
     // old snapshot (even doc_ids): a×4 b×2; new (odd): a×1 b×1 c×4
     val docs = Seq(
