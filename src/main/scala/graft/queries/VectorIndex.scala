@@ -62,6 +62,18 @@ object VectorIndex {
       s.read.parquet(s"$dir/centroids"),
       s.read.parquet(s"$dir/postings"))
 
+  /** Steady-state ingestion: file a batch of NEW vectors under the
+    * SAVED quantizer — one map-side assignment pass against the
+    * broadcast centroid table, appended to the postings layout (same
+    * `partitionBy(cell)` directories; parquet append touches only the
+    * cells the batch lands in). No retraining, no touch of existing
+    * postings — the O(batch) daily-crawl shape (d11's incremental-index
+    * twin for the embedding modality). Retrain (rebuild) when the t19
+    * drift monitor says the corpus moved. */
+  def append(idx: IvfIndex, newEmbs: DataFrame, dir: String): Unit =
+    Similarity.assignCells(idx.centroids, Similarity.emb(newEmbs), 1, "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+
   /** Top-k cosine neighbors for `queries` (raw `(vec_id, embedding)`
     * rows) against the index: route each query to its `nProbes`
     * nearest cells (broadcast centroids, integer fixed-point argmin —

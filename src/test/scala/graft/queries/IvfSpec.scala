@@ -84,6 +84,25 @@ class IvfSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(probePlan.contains("PartitionFilters") ||
         probePlan.contains("dynamicpruning"), probePlan)
+      // steady-state append: new vectors file under the SAVED
+      // quantizer without touching existing postings, and a reload
+      // equals a full rebuild over the union corpus (same centroids —
+      // append must not shift cells)
+      import org.apache.spark.sql.functions.col
+      val extra = clustered
+        .select((col("vec_id") + 1000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .limit(20)
+      VectorIndex.append(loaded, extra, dir.toString)
+      val appended = VectorIndex.load(spark, dir.toString)
+      assert(appended.postings.count() === 220L)
+      val rebuilt = Similarity.assignCells(loaded.centroids,
+        Similarity.emb(clustered.unionByName(extra)), 1, "cell")
+      val a = appended.postings.select("vec_id", "cell")
+        .as[(Long, Long)].collect().toMap
+      val b = rebuilt.select("vec_id", "cell")
+        .as[(Long, Long)].collect().toMap
+      assert(a === b)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
