@@ -1007,7 +1007,69 @@ object TextOps {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------------- t21
+  /** Bigram-LM plausibility score — the Markov upgrade of t15's
+    * unigram familiarity: each document's mean and minimum bigram
+    * conditional probability `P(w₂|w₁) = c(w₁,w₂)·10⁶ div c(w₁·)` in
+    * exact integer ppm, where counts come from the corpus itself.
+    * t15 flags docs of RARE TOKENS; this flags docs of rare
+    * TRANSITIONS — shuffled/templated/garbled text whose every word is
+    * common but whose sequence is not (the cheap stand-in for
+    * perplexity filtering, one Markov order up).
+    *
+    * Scale: bigrams come from array transforms (no self-join on
+    * position); the (w₁,w₂) and w₁-prefix count tables are
+    * vocabulary²-sized and deliberately NOT broadcast (the t15/t09
+    * discipline — a 100 TB corpus's bigram table shuffles); all
+    * scores are integer divisions of exact counts, so the ranking is
+    * engine- and partitioning-invariant. Docs with fewer than two
+    * tokens have no transitions and are excluded on both sides. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmDf(t(s, dir, "documents"))
+
+  def bigramLmDf(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+           i -> struct(element_at(toks, i) AS w1,
+                       element_at(toks, i + 1) AS w2))""")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("ppm", expr("c2 * 1000000L div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        min(col("ppm")).as("min_ppm"),
+        sum(col("ppm")).as("ppm_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_ppm"),
+        expr("ppm_sum div n_bigrams").as("mean_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLmSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      |  WHERE len(toks) >= 2),
+      |c2 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |scored AS (
+      |  SELECT bg.doc_id, c2.c2 * 1000000 // c1.c1 AS ppm
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  MIN(ppm) AS min_ppm,
+      |  CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS mean_ppm
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bigram_lm" -> bigramLm _,
     "t20_span_contamination" -> spanContamination _,
     "t17_chunk_overlap" -> chunkOverlap _,
     "t18_inverted_index" -> invertedIndex _,
@@ -1031,6 +1093,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t21_bigram_lm" -> bigramLmSql,
     "t20_span_contamination" -> spanContaminationSql,
     "t17_chunk_overlap" -> chunkOverlapSql,
     "t18_inverted_index" -> invertedIndexSql,

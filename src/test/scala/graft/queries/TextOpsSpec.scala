@@ -168,6 +168,20 @@ class TextOpsSpec extends SparkSpec {
     assert(g2 === Seq((1L, 10L, 5L, 2L, 6L, 12L)))
   }
 
+  test("t21: bigram conditional ppm is exact; sub-2-token docs excluded") {
+    // c2: (a,b)=2 (a,c)=1 (b,a)=2; prefix totals: a=3, b=2
+    // → P(b|a)=666666  P(c|a)=333333  P(a|b)=1000000
+    val docs = Seq(
+      (0L, "a b a c"), (1L, "a b"), (2L, "b a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmDf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 3L, 333333L, 666666L),   // (666666+1000000+333333) div 3
+      (1L, 1L, 666666L, 666666L),
+      (2L, 1L, 1000000L, 1000000L)))
+  }
+
   test("t19: drift ranks the snapshot-exclusive token first, exact ppm") {
     // old snapshot (even doc_ids): a×4 b×2; new (odd): a×1 b×1 c×4
     val docs = Seq(
