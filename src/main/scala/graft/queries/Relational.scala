@@ -1685,8 +1685,74 @@ object Relational {
       |    ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM runs ORDER BY user_id, version""".stripMargin
 
+  // ------------------------------------------------------------- q52
+  /** Winsorized robust statistics per brand — the outlier-resistant
+    * aggregation a metrics pipeline uses when means must not be
+    * dragged by tails: per-brand p10/p90 quantity bounds via EXACT
+    * order statistics (value at rank `⌈n/10⌉` / `⌈9n/10⌉` — the q47
+    * percentile_disc discipline; rank arithmetic all-integer), every
+    * row clamped into [p10, p90], then the winsorized mean (×100,
+    * integer div) and the clamp count. Quantities are integral in
+    * this schema, so the BIGINT cast is exact and every emitted cell
+    * is engine-invariant.
+    *
+    * Scale: one window pass per brand for ranks (value-at-rank is
+    * tie-order-invariant, so the non-unique sort key is safe), a
+    * 25-row bounds table broadcast back, and one partial-agged final
+    * pass — no percentile sketch needed because the bound is an order
+    * statistic the window already yields exactly. */
+  def q52Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        col("l_quantity").cast("long").as("qty"))
+    val wr = Window.partitionBy(col("brand")).orderBy(col("qty"))
+    val wn = Window.partitionBy(col("brand"))
+    val bounds = li
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("brand"))
+      .agg(max(col("n")).as("n_rows"),
+        max(when(expr("rn = (n + 9) div 10"), col("qty"))).as("p10"),
+        max(when(expr("rn = (9 * n + 9) div 10"), col("qty"))).as("p90"))
+    li.join(broadcast(bounds), "brand")
+      .withColumn("wq", greatest(least(col("qty"), col("p90")), col("p10")))
+      .groupBy(col("brand"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("p10")).as("p10"), max(col("p90")).as("p90"),
+        sum(when(col("qty") < col("p10") || col("qty") > col("p90"), 1L)
+          .otherwise(0L)).as("n_clamped"),
+        expr("sum(wq) * 100L div max(n_rows)").as("wins_mean_x100"))
+      .orderBy("brand")
+  }
+
+  private val q52Sql =
+    """WITH li AS (
+      |  SELECT p.p_brand AS brand, CAST(l.l_quantity AS BIGINT) AS qty
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |rk AS (
+      |  SELECT brand, qty,
+      |    ROW_NUMBER() OVER (PARTITION BY brand ORDER BY qty) AS rn,
+      |    COUNT(*) OVER (PARTITION BY brand) AS n
+      |  FROM li),
+      |bounds AS (
+      |  SELECT brand, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |    MAX(CASE WHEN rn = (n + 9) // 10 THEN qty END) AS p10,
+      |    MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS p90
+      |  FROM rk GROUP BY brand)
+      |SELECT li.brand, CAST(MAX(b.n_rows) AS BIGINT) AS n_rows,
+      |  MAX(b.p10) AS p10, MAX(b.p90) AS p90,
+      |  CAST(SUM(CASE WHEN li.qty < b.p10 OR li.qty > b.p90
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+      |  CAST(SUM(greatest(least(li.qty, b.p90), b.p10)) AS BIGINT)
+      |    * 100 // MAX(b.n_rows) AS wins_mean_x100
+      |FROM li JOIN bounds b ON li.brand = b.brand
+      |GROUP BY li.brand ORDER BY li.brand""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_winsorize"       -> q52Winsorize _,
     "q51_scd2_intervals"  -> q51Scd2Intervals _,
     "q49_zorder_layout"   -> q49ZorderLayout _,
     "q50_assoc_rules"     -> q50AssocRules _,
@@ -1740,6 +1806,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q52_winsorize"       -> q52Sql,
     "q51_scd2_intervals"  -> q51Sql,
     "q49_zorder_layout"   -> q49Sql,
     "q50_assoc_rules"     -> q50Sql,

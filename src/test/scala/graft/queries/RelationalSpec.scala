@@ -161,6 +161,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q52: winsorized stats match an independent order-statistic " +
+      "recompute") {
+    import spark.implicits._
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val qtys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_quantity").as[(Long, Double)].collect()
+      .map { case (p, q) => (brand(p), q.toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val exp = qtys.map { case (b, qs) =>
+      val n = qs.length
+      val p10 = qs((n + 9) / 10 - 1)
+      val p90 = qs((9 * n + 9) / 10 - 1)
+      val clamped = qs.map(q => math.max(math.min(q, p90), p10))
+      (b, n.toLong, p10, p90,
+        qs.count(q => q < p10 || q > p90).toLong,
+        clamped.sum * 100L / n)
+    }.toSet
+    val got = Relational.q52Winsorize(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === exp)
+    // the winsorized mean is robust: clamping never widens the range
+    got.foreach { case (_, _, p10, p90, _, m100) =>
+      assert(m100 >= p10 * 100 && m100 <= p90 * 100)
+    }
+  }
+
   test("q50: support/confidence/lift match an independent recompute") {
     import spark.implicits._
     val brand = spark.read.parquet(s"$sf/part.parquet")
