@@ -18,10 +18,21 @@ def load_spark(path):
     # Verify writes a directory with part files
     return pq.read_table(path)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, events_ns_long=False):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
+        if t == "events" and events_ns_long:
+            # GenScale-replicated data (.sfscale/*) writes events.ts as
+            # plain INT64 nanos (the generating Spark session reads
+            # nanos-as-long); restore TIMESTAMP semantics in the view so
+            # every oracle's epoch_us/date math applies unchanged. The
+            # micros truncation matches the Spark side's `ts div 1000`.
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) "
+                f"FROM '{sf_dir}/{t}.parquet'")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
@@ -92,4 +103,5 @@ def sort_key(row):
     return tuple((v is None, str(type(v)), v) for v in row)
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  events_ns_long="--events-ns-long" in sys.argv[3:]))
