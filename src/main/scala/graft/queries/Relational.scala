@@ -59,10 +59,20 @@ object Relational {
         sum(disc).as("sd"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("sq").cast("double").as("sum_qty"),
-        col("sbp").cast("double").as("sum_base_price"),
-        col("sdp").cast("double").as("sum_disc_price"),
-        col("sch").cast("double").as("sum_charge"),
+        // sums stay DECIMAL: a DOUBLE cast is exact only while the
+        // decimal's scaled integer fits 53 bits, and engines convert
+        // differently past that (DuckDB's scaled-int path double-
+        // rounds; Spark's BigDecimal path rounds once) — measured as a
+        // 1-ulp sum_charge (scale 6) divergence at sf1. DECIMAL output
+        // is exact and order-independent at any scale.
+        col("sq").cast("decimal(38,6)").as("sum_qty"),
+        col("sbp").cast("decimal(38,6)").as("sum_base_price"),
+        col("sdp").cast("decimal(38,6)").as("sum_disc_price"),
+        col("sch").cast("decimal(38,6)").as("sum_charge"),
+        // avg operands (scale-2 sums, counts) convert to double
+        // exactly until ~2^53 cents — far past bench scales; the
+        // division itself is IEEE correctly-rounded on identical
+        // operands, so the doubles are engine-invariant here
         (col("sq").cast("double") / col("count_order")).as("avg_qty"),
         (col("sbp").cast("double") / col("count_order")).as("avg_price"),
         (col("sd").cast("double") / col("count_order")).as("avg_disc"),
@@ -71,10 +81,10 @@ object Relational {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
       |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
