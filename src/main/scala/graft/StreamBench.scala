@@ -124,7 +124,14 @@ object StreamBench {
     Thread.sleep(secs * 1000L)
     q.stop()
     q.awaitTermination()
-    summarize(q)
+    val r = summarize(q)
+    // checkpoints are many small files — delete the whole tree or
+    // every bench run leaks a growing /tmp dir (the exeWordCount
+    // deleteOnExit lesson, but recursive)
+    import scala.jdk.CollectionConverters._
+    Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    r
   }
 
   private def runQuery(spark: SparkSession,

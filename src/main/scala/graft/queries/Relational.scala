@@ -1569,8 +1569,10 @@ object Relational {
     * `C(basket, 2)` — bounded by basket size exactly like g02's
     * wedge bound, not by corpus size; item supports (25 rows) and the
     * basket total (1 row) broadcast back. All ratios are integer div
-    * of exact counts (lift's `supp_ab·n_orders·10⁶` stays under 2⁶³
-    * up to ~10⁸ baskets; beyond that, drop to a 10³ lift scale). */
+    * of exact counts; lift uses COMPOSED floors (conf first, then
+    * × baskets div supp_b) mirrored verbatim in the oracle, keeping
+    * every intermediate under 2⁶³ to ~9·10¹² baskets with sub-ppm
+    * bias — the one-shot triple product wrapped silently at ~10⁷. */
   val assocTopK = 30
 
   def q50AssocRules(s: SparkSession, dir: String): DataFrame = {
@@ -1600,7 +1602,17 @@ object Relational {
       .crossJoin(broadcast(nOrders))
       .select(col("brand_a"), col("brand_b"), col("supp_ab"),
         expr("supp_ab * 1000000L div supp_a").as("conf_ppm"),
-        expr("supp_ab * n_orders * 1000000L div (supp_a * supp_b)")
+        // lift as COMPOSED floors: conf first (≤ 10⁶), then × baskets
+        // div supp_b — the one-shot product supp_ab·n_orders·10⁶
+        // silently wraps Long past ~10⁷ baskets on Spark while DuckDB
+        // errors (review catch: engine divergence at exactly the scale
+        // the op targets). The composition keeps every intermediate ≤
+        // 10⁶·n_orders (< 2⁶³ to ~9·10¹² baskets) and is mirrored
+        // verbatim in the oracle, so both engines floor identically;
+        // the composed floor's bias vs the exact ratio is < 1 ppm·
+        // n_orders/supp_a·supp_b — sub-ppm for any pair that clears a
+        // support threshold
+        expr("(supp_ab * 1000000L div supp_a) * n_orders div supp_b")
           .as("lift_ppm"))
       .orderBy(col("supp_ab").desc, col("brand_a"), col("brand_b"))
       .limit(assocTopK)
@@ -1622,7 +1634,7 @@ object Relational {
        |  GROUP BY 1, 2)
        |SELECT brand_a, brand_b, supp_ab,
        |  supp_ab * 1000000 // sa.supp AS conf_ppm,
-       |  supp_ab * n.n_orders * 1000000 // (sa.supp * sb.supp) AS lift_ppm
+       |  (supp_ab * 1000000 // sa.supp) * n.n_orders // sb.supp AS lift_ppm
        |FROM pairs
        |JOIN supp sa ON pairs.brand_a = sa.brand
        |JOIN supp sb ON pairs.brand_b = sb.brand, n

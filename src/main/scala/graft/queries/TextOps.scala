@@ -953,11 +953,14 @@ object TextOps {
     * surface are the true near-duplicate pairs).
     *
     * Scale: window hashes are md5(8 tokens) — corpus windows never
-    * leave their scan except the matches; the eval window set is
-    * benchmark-sized and BROADCASTS, so detection is a map-side hash
-    * join; per-window join fanout is bounded by the eval-suite size
-    * (each corpus window meets only the eval docs containing it). At
-    * 100 TB add the d03/d10 df cutoff on the window hash to also prune
+    * leave their scan except the matches. The join carries NO
+    * broadcast hint: a production eval suite is a small fixed table
+    * the planner broadcasts on its own, but THIS demo eval set is a
+    * corpus slice that grows with the data, so the plan must stay
+    * free to fall back to a shuffle hash join on the window hash.
+    * Per-window join fanout is bounded by the eval-suite size (each
+    * corpus window meets only the eval docs containing it). At 100 TB
+    * add the d03/d10 df cutoff on the window hash to also prune
     * boilerplate runs map-side. */
   val spanWindow = 8
   val spanEvalStride = 10L
@@ -967,18 +970,28 @@ object TextOps {
 
   def spanContaminationDf(docs: DataFrame): DataFrame = {
     val w = spanWindow
+    // docs shorter than one window have NO verbatim-W-token evidence
+    // to offer — emitting a truncated pseudo-window would fabricate
+    // span_tokens = W rows for matching short docs (review catch), so
+    // they are excluded on both sides
     val wins = docs
       .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= w)
       .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, greatest(size(toks) - ${w - 1}, 1)),
+        s"""transform(sequence(1, size(toks) - ${w - 1}),
             i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, $w))) AS wh))"""))
         .as("e"))
       .select(col("doc_id"), col("e.pos").cast("long").as("pos"),
         col("e.wh").as("wh"))
     val evalW = wins.filter(col("doc_id") % spanEvalStride === 0)
       .select(col("wh"), col("doc_id").as("eval_id")).distinct()
+    // no broadcast HINT: this demo eval set is a corpus slice (grows
+    // with the corpus), so the planner must stay free to pick a
+    // shuffle hash join once it outgrows the broadcast threshold; a
+    // production eval suite is a small fixed table and broadcasts on
+    // its own under AQE
     wins.filter(col("doc_id") % spanEvalStride =!= 0)
-      .join(broadcast(evalW), "wh")
+      .join(evalW, "wh")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_windows"),
         min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
@@ -993,8 +1006,8 @@ object TextOps {
        |win AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS wh
-       |  FROM d, unnest(generate_series(1,
-       |    greatest(len(toks) - ${w - 1}, 1))) AS t(i)),
+       |  FROM d, unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
+       |  WHERE len(toks) >= $w),
        |ev AS (
        |  SELECT DISTINCT wh, doc_id AS eval_id FROM win
        |  WHERE doc_id % $spanEvalStride = 0)

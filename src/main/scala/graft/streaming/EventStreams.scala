@@ -86,7 +86,10 @@ object EventStreams {
     * the BASELINE; this watches live ingest against it): tumbling
     * event-time windows of token counts, each finalized window's
     * per-token ppm compared to the static baseline ppm table, alert
-    * rows (drift ≥ `alertPpm`) appended to a parquet sink. A token
+    * rows (drift ≥ `alertPpm`) written to a window_start-partitioned
+    * parquet sink with dynamic partition overwrite (retry-idempotent:
+    * a failed batch's re-run replaces its own windows' partitions
+    * rather than appending duplicates). A token
     * surging in live ingest (template spam, a new crawl source, an
     * encoding bug) raises an alert one watermark delay after its
     * window closes — before the corpus ships to training.
@@ -126,7 +129,15 @@ object EventStreams {
             coalesce(col("base_ppm"), lit(0L)).as("base_ppm"))
           .withColumn("drift_ppm", abs(col("win_ppm") - col("base_ppm")))
           .filter(col("drift_ppm") >= alertPpm)
-          .write.mode("append").parquet(outDir)
+          // retry-idempotent sink (the upsertTumblingParquet rule): a
+          // window finalizes in exactly one batch, so dynamic
+          // partition overwrite on window_start rewrites ONLY this
+          // batch's windows — a re-run of a failed batch replaces its
+          // own partitions instead of appending duplicate alert rows
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("window_start")
+          .parquet(outDir)
       }
       .start()
 

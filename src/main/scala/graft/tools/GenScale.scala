@@ -76,6 +76,9 @@ object GenScale {
     assertFits("documents", "doc_id", 10000L)
     assertFits("embeddings", "vec_id", 10000L)
     assertFits("orders", "o_orderkey", 1000000L)
+    assertFits("part", "p_partkey", 100000L)
+    assertFits("supplier", "s_suppkey", 10000L)
+    assertFits("customer", "c_custkey", 100000L)
 
     replicate("documents") { (d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
@@ -99,9 +102,25 @@ object GenScale {
       d.withColumn("o_orderkey", col("o_orderkey") + lit(r * 1000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(r * 100000L))
     }
-    // dimension/aux tables the spot-check queries don't scale over:
-    // pass through unchanged so every catalog view still binds
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    // dimensions REPLICATE with the same shifts as the fact FKs that
+    // reference them — otherwise replicas r >= 1 carry dangling
+    // l_partkey/l_suppkey/o_custkey values, every dim join silently
+    // drops 90 % of the scaled data, and the "10× data" claim is
+    // false for dim-joining queries (caught by review; the sf1
+    // evidence for q50/q52 was re-run after this fix)
+    replicate("part") { (d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(r * 100000L))
+    }
+    replicate("supplier") { (d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * 10000L))
+    }
+    replicate("customer") { (d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(r * 100000L))
+    }
+    // tiny fixed-cardinality tables and the event stream pass through
+    // unchanged (events' non-scaling is documented in VERIFY_sf1.md —
+    // event-time queries compare at sf0.1 volume)
+    Seq("region", "nation", "events")
       .foreach(n => writeOne(read(n), n))
     spark.stop()
   }

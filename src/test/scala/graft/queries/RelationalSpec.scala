@@ -203,7 +203,8 @@ class RelationalSpec extends SparkSpec {
     }.groupBy(identity).view.mapValues(_.size.toLong)
     val exp = pairCnt.toSeq.map { case ((a, b), sab) =>
       (a, b, sab, sab * 1000000L / supp(a),
-        sab * nOrders * 1000000L / (supp(a) * supp(b)))
+        // the composed-floor lift (overflow-safe form, see q50)
+        (sab * 1000000L / supp(a)) * nOrders / supp(b))
     }.sortBy { case (a, b, sab, _, _) => (-sab, a, b) }
       .take(Relational.assocTopK)
     val got = Relational.q50AssocRules(spark, sf)

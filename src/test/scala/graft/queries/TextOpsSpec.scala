@@ -166,6 +166,11 @@ class TextOpsSpec extends SparkSpec {
     val g2 = TextOps.spanContaminationDf(docs2)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(g2 === Seq((1L, 10L, 5L, 2L, 6L, 12L)))
+    // docs shorter than one window carry no W-token evidence: two
+    // verbatim-equal 2-token docs must NOT pair (a truncated window
+    // would fabricate span_tokens = 8 for a 2-token doc)
+    val short = Seq((10L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    assert(TextOps.spanContaminationDf(short).count() === 0L)
   }
 
   test("t21: bigram conditional ppm is exact; sub-2-token docs excluded") {
