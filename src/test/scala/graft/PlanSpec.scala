@@ -298,4 +298,33 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.queries.TextOps.invertedIndex(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q51: both window passes and the version aggregate share ONE " +
+      "user shuffle") {
+    val p = plan(Relational.q51Scd2Intervals(spark, sf))
+    // the gaps-and-islands chain must reuse the user_id partitioning:
+    // exactly one hash exchange on user_id in the FINAL plan (AQE's
+    // toString appends the pre-adaptive Initial Plan — don't count it)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"expected 1 user_id exchange, got $exchanges:\n$finalPlan")
+  }
+
+  test("q52: the bounds relation broadcasts back into the fact scan") {
+    val p = plan(Relational.q52Winsorize(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the clamp pass must not re-sort: only the bounds derivation may
+    // carry a window sort, and the final agg partial-combines
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("g04: the peel is join-free — windows only, one linear pipeline") {
+    val p = plan(graft.queries.Graph.kcore(spark, sf))
+    // keep-set semi-joins would appear as SortMergeJoin/ShuffledHash;
+    // the measured window form has none (6.5 s vs 15.9/43 s)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
 }
