@@ -209,6 +209,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q51's run collapse tiles random event logs without gaps") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 4L),                 // user
+      Gen.choose(0L, 50L),                // coarse ts (collisions likely)
+      Gen.oneOf("click", "view", "buy"))) // state
+    for (s <- 1 to 5) {
+      val rows = sample(evGen, s + 40).zipWithIndex.map {
+        case ((u, t0, st), i) => (i.toLong, u, st, t0 * 1000000L)
+      }
+      // run the same gaps-and-islands chain q51 uses, against a
+      // driver-side fold over the identically-sorted log
+      val df = rows.toDF("event_id", "user_id", "state", "ep_us")
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ep_us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df
+        .withColumn("chg", expr(
+          """case when lag(state, 1) over (partition by user_id
+             order by ep_us, event_id) is distinct from state
+             then 1L else 0L end"""))
+        .withColumn("version",
+          org.apache.spark.sql.functions.sum(col("chg")).over(cum))
+        .groupBy(col("user_id"), col("version"))
+        .agg(org.apache.spark.sql.functions.max(col("state")).as("state"),
+          org.apache.spark.sql.functions.min(col("ep_us")).as("from_us"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .as[(Long, Long, String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val want = rows.groupBy(_._2).view.mapValues { es =>
+        es.sortBy(e => (e._4, e._1))
+          .foldLeft(List.empty[(String, Long, Long)]) {
+            case ((st0, f, n) :: rest, (_, _, st, us)) if st0 == st =>
+              (st0, f, n + 1) :: rest
+            case (acc, (_, _, st, us)) => (st, us, 1L) :: acc
+          }.reverse
+      }.toMap
+      got.foreach { case (u, vs) =>
+        assert(vs.map(_._2).toSeq === (1L to vs.length).toSeq, s"seed $s")
+        assert(vs.map(v => (v._3, v._4, v._5)).toSeq === want(u),
+          s"seed $s user $u")
+      }
+    }
+  }
+
   test("s08 codes are bounded in [0,255] and order-preserving per dim") {
     import graft.queries.Similarity
     val vecGen = Gen.listOfN(6,
