@@ -24,7 +24,7 @@ object SparkEntry {
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.multimodal.MultimodalQueries.queries ++
       graft.queries.Sketches.queries ++ graft.queries.Graph.queries ++
-      graft.queries.Sampling.queries
+      graft.queries.Sampling.queries ++ graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++ graft.queries.Similarity.oracle ++
       graft.multimodal.MultimodalQueries.oracle ++
       graft.queries.Sketches.oracle ++ graft.queries.Graph.oracle ++
-      graft.queries.Sampling.oracle
+      graft.queries.Sampling.oracle ++ graft.queries.Pipeline.oracle
 }

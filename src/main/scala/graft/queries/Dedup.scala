@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.functions.VectorFunctions.{dot, hamming, norm2}
+import graft.functions.VectorFunctions.{dot, fpSqDist, hamming, norm2}
 
 /** Deduplication suite (LLM-pipeline extension ops): exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup, duplicate-cluster
@@ -782,7 +782,76 @@ object Dedup {
        |WHERE common / LEAST(na, nb) >= $containmentThreshold
        |ORDER BY inner_doc, outer_doc""".stripMargin
 
+  // ------------------------------------------------- semantic dedup
+  /** d13: semantic dedup in embedding space — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with a
+    * coarse quantizer, then prune, WITHIN each cluster, every vector
+    * that sits inside a distance threshold of a kept one. Complements
+    * the text-space family: d02/d03 catch lexical near-dups, d13
+    * catches paraphrases and re-encodings that share no shingles.
+    *
+    * Composition, not new machinery: the clusters are the s03/s05
+    * trained quantizer ([[Similarity.trainedSeeds]] — one Lloyd
+    * refinement over the deterministic seeds), assignment is the same
+    * all-integer [[Similarity.assignCells]] argmin, and the in-cell
+    * prune decision compares the exact fixed-point BIGINT squared
+    * distance ([[graft.functions.FixedPointSqDist]]) against an integer
+    * threshold — no float boundary anywhere, so every keep/prune bit is
+    * engine-portable. Keeper rule: a vector is pruned iff a
+    * smaller-id vector in the SAME cell is within [[semDupThreshold]]
+    * (deterministic stand-in for SemDeDup's keep-closest-to-centroid;
+    * identical pruned-set size, stable under re-partitioning).
+    *
+    * Scale: the candidate generator IS the cell — the self-join key is
+    * the cell id, so pair work is Σ_cells occ², governed by the
+    * quantizer granularity, never the corpus: at 100 TB raise
+    * `numCells` so corpus/cells stays ~10⁴ (SemDeDup's own regime:
+    * 50k clusters over 5B embeddings). Vectors shuffle once per side
+    * into their cell; nothing is broadcast, nothing is all-pairs. */
+  val semDupThreshold = 1300000L // fixed-point 2^20 units ≈ 1.24 in L2²
+
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupDf(t(s, dir, "embeddings"))
+
+  def semDedupDf(embs: DataFrame): DataFrame = {
+    val e = Similarity.emb(embs)
+    val seeds = Similarity.trainedSeeds(e)
+    // (vec_id, v, nrm, cell) — reused by both sides of the in-cell join
+    // and the final labeling, so compute the assignment once
+    val assigned = Similarity.assignCells(seeds, e, 1, "cell").persist()
+    val pruned = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(fpSqDist(col("a.v"), col("b.v")) <= semDupThreshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned.join(pruned.withColumn("pr", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("pr"), lit(0L)).as("pruned"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[semDedupDf]]: the s03 trained-quantizer CTE chain
+    * ([[Similarity.trainedChainSql]]), then the same integer in-cell
+    * prune. */
+  private val semDedupSql =
+    s"""WITH ${Similarity.trainedChainSql},
+       |assigned AS MATERIALIZED (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |pd AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${Similarity.sqDistSumSql("xa.v", "xb.v")} AS d
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN x xa ON xa.vec_id = a.vec_id
+       |  JOIN x xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+       |  GROUP BY 1, 2),
+       |pruned AS (SELECT DISTINCT vb AS vec_id FROM pd WHERE d <= $semDupThreshold)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS pruned
+       |FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_semdedup"        -> semDedup _,
     "d01_dedup_exact"     -> exact _,
     "d02_minhash_lsh"     -> minHashLsh _,
     "d03_ngram_jaccard"   -> ngramJaccard _,
@@ -797,6 +866,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d13_semdedup"        -> semDedupSql,
     "d01_dedup_exact"     -> exactSql,
     "d02_minhash_lsh"     -> minHashLshSql,
     "d03_ngram_jaccard"   -> ngramJaccardSql,

@@ -325,8 +325,123 @@ object Sampling {
        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------- p08 seeded shuffle
+  /** p08: deterministic global training-order shuffle — the "randomize
+    * the corpus once per epoch" step every trainer needs, as a
+    * reproducible manifest instead of an unseeded `rand()`. Shuffle key
+    * = md5(seed ‖ doc_id); shard = first two hex chars (256 shards);
+    * position-in-shard = rank by key. Changing [[shuffleSeed]] is a new
+    * epoch permutation; the same seed always replays the same order on
+    * any engine and any partitioning.
+    *
+    * Scale: md5 keys are uniform, so shards balance to ±√ and the
+    * position window ranks ~corpus/256 rows per shard — and shard width
+    * is a constant to widen (3 hex chars → 4096 shards) as the corpus
+    * grows. In production the manifest order is realized physically with
+    * `repartitionByRange(shard, skey).sortWithinPartitions(skey)` —
+    * written file order IS the shuffle; the explicit rank here is the
+    * oracle-checkable artifact of that order. */
+  val shuffleSeed = "epoch0"
+  val shardHexChars = 2
+
+  def seededShuffle(s: SparkSession, dir: String): DataFrame =
+    seededShuffleDf(t(s, dir, "documents"))
+
+  def seededShuffleDf(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("skey",
+        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, shardHexChars), 16, 10).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+        .cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+
+  private val p08Sql = {
+    val shard = (1 to shardHexChars).map(i =>
+      s"(strpos('0123456789abcdef', substring(skey, $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       |s AS (SELECT doc_id, skey, CAST($shard AS BIGINT) AS shard FROM k)
+       |SELECT shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+       |    AS BIGINT) AS pos,
+       |  doc_id
+       |FROM s ORDER BY shard, pos""".stripMargin
+  }
+
+  // ---------------------------------------------- p09 source interleave
+  /** p09: deterministic source-interleaved curriculum order — pick an
+    * md5-ranked quota of [[interleaveQuota]] docs per source, then
+    * round-robin the sources into one global stream
+    * (`global_pos = (rn−1)·|sources| + source_index`). The position is
+    * a closed-form formula, not a global window: consecutive training
+    * batches see every source once before any source twice — the
+    * "interleave the mix" scheduling step after p04 decides the
+    * mix WEIGHTS.
+    *
+    * Scale: the per-source rank windows see quota-bounded sets after
+    * the p02-style md5 prefilter trick (here the quota itself is the
+    * bound); the source-index relation and the source count are
+    * vocabulary-sized (|sources| rows — the one unpartitioned window
+    * runs over that tiny distinct relation, never the corpus) and
+    * broadcast back. No corpus-sized shuffle except the ordered
+    * output. */
+  val interleaveQuota = 8L
+
+  def interleaveMix(s: SparkSession, dir: String): DataFrame =
+    interleaveMixDf(t(s, dir, "documents"))
+
+  def interleaveMixDf(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("source"))
+      .withColumn("skey", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+    val picked = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rn") <= interleaveQuota)
+    val idx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long"))
+    val nSrc = idx.agg(count(lit(1)).as("n_sources"))
+    picked.join(broadcast(idx), "source")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("global_pos",
+        (col("rn") - 1) * col("n_sources") + col("src_idx"))
+      .select(col("global_pos"), col("doc_id"), col("source"), col("rn"))
+      .orderBy("global_pos")
+  }
+
+  private val p09Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id)
+       |      AS BIGINT) AS rn
+       |  FROM k),
+       |picked AS (SELECT * FROM ranked WHERE rn <= $interleaveQuota),
+       |idx AS (
+       |  SELECT source,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS src_idx
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |n AS (SELECT COUNT(*) AS n_sources FROM idx)
+       |SELECT (p.rn - 1) * n.n_sources + i.src_idx AS global_pos,
+       |  p.doc_id, p.source, p.rn
+       |FROM picked p JOIN idx i ON p.source = i.source CROSS JOIN n
+       |ORDER BY global_pos""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_seeded_shuffle"    -> seededShuffle _,
+    "p09_interleave_mix"    -> interleaveMix _,
     "p01_hash_sample"       -> hashSample _,
     "p02_stratified_sample" -> stratifiedSample _,
     "p03_source_cap"        -> sourceCapReport _,
@@ -336,6 +451,8 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p08_seeded_shuffle"    -> p08Sql,
+    "p09_interleave_mix"    -> p09Sql,
     "p01_hash_sample"       -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
     "p03_source_cap"        -> p03Sql,

@@ -357,7 +357,7 @@ object Similarity {
     * unnested layout. Identical operation order to the Spark side
     * ((a−b)·(a−b)·2²⁰, floor, integer sum) so every term is
     * bit-identical. */
-  private def sqDistSumSql(a: String, b: String): String =
+  private[queries] def sqDistSumSql(a: String, b: String): String =
     s"CAST(SUM(CAST(FLOOR(($a - $b) * ($a - $b) * 1048576) AS BIGINT)) AS BIGINT)"
 
   /** Oracle CTE chain shared by s03/s05/s07: unnested layout `x`,
@@ -385,7 +385,7 @@ object Similarity {
     * assign against: centroids `ct` (MATERIALIZED — referenced per
     * probe side), corpus-vs-centroid integer distances `cd`, and the
     * nearest-cell ranking `rk`. */
-  private def trainedChainSql: String =
+  private[queries] def trainedChainSql: String =
     s"""$kmeansChainSql,
        |ct AS MATERIALIZED (
        |  SELECT a.cell, x.i - 1 AS pos, ${fpMeanSql("x.v")} AS centroid
@@ -714,9 +714,60 @@ object Similarity {
        |    AS err_fp
        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------- s09 ANN recall
+  /** s09: recall\@k audit of the LSH ANN path against the exact
+    * brute-force ranking — index quality as a first-class QUERY rather
+    * than a number in a doc. A production vector index is only as good
+    * as its measured recall, and the measurement itself must scale: this
+    * runs the two paths (s01 exact, s02 LSH) over the same bounded query
+    * set and joins their top-k lists, so its cost is s01 + s02 + one
+    * (query_id, neighbor_id)-keyed join of two k·|queries| relations —
+    * tiny next to either input. Counts are exact integers; `recall` is
+    * one output-only division of exact counts (n_exact is never 0 — bf
+    * emits a row only when a neighbor exists), so every cell is
+    * engine-portable.
+    *
+    * At 100 TB the same query audits any ANN variant (swap s02 for
+    * s03/s07's candidate stage) on a held-out query sample; recall
+    * drift after re-tuning planes/cells shows up as a diffable table.
+    * (The RecallProbe tool measures the tuning curve offline; this is
+    * the online, oracle-checked artifact.) */
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    annRecallDf(t(s, dir, "embeddings"))
+
+  def annRecallDf(embs: DataFrame): DataFrame = {
+    val bf = bruteForceTopKDf(embs).select(col("query_id"), col("neighbor_id"))
+    val lsh = lshTopKDf(embs).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(lsh, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[annRecallDf]]: the s01 and s02 statements verbatim
+    * as CTEs, joined on (query_id, neighbor_id). */
+  private val annRecallSql =
+    s"""WITH bf AS MATERIALIZED ($bruteForceSql),
+       |lsh AS MATERIALIZED ($lshSql),
+       |hits AS (
+       |  SELECT bf.query_id, COUNT(*) AS n_hit
+       |  FROM bf JOIN lsh ON bf.query_id = lsh.query_id
+       |    AND bf.neighbor_id = lsh.neighbor_id
+       |  GROUP BY 1),
+       |base AS (SELECT query_id, COUNT(*) AS n_exact FROM bf GROUP BY 1)
+       |SELECT base.query_id, n_exact, COALESCE(n_hit, 0) AS n_hit,
+       |  ROUND(COALESCE(n_hit, 0) / n_exact, 4) AS recall
+       |FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+       |ORDER BY base.query_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s08_embedding_quantize" -> embeddingQuantize _,
+    "s09_ann_recall"      -> annRecall _,
     "s01_topk_bruteforce" -> bruteForceTopK _,
     "s02_topk_lsh"        -> lshTopK _,
     "s03_topk_ivf"        -> ivfTopK _,
@@ -727,6 +778,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s08_embedding_quantize" -> quantizeSql,
+    "s09_ann_recall"      -> annRecallSql,
     "s01_topk_bruteforce" -> bruteForceSql,
     "s02_topk_lsh"        -> lshSql,
     "s03_topk_ivf"        -> ivfSql,

@@ -306,7 +306,11 @@ object TextOps {
   def qualityGate(s: SparkSession, dir: String): DataFrame =
     qualityGateDf(t(s, dir, "documents"))
 
-  def qualityGateDf(docs: DataFrame): DataFrame =
+  /** The gate-decision relation (input columns + `n_tokens` + `reason`),
+    * UNSORTED and un-projected — the form [[Pipeline]]'s e01 composes
+    * on (the t08 query proper projects + sorts it for its oracle).
+    * One map-side projection; no shuffle. */
+  private[queries] def gateScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -319,6 +323,9 @@ object TextOps {
           .when(col("n_distinct") * 2 < col("n_tokens"), "low_diversity")
           .when(col("n_stop") === 0, "no_stopwords")
           .otherwise("ok"))
+
+  def qualityGateDf(docs: DataFrame): DataFrame =
+    gateScored(docs)
       .select(col("doc_id"), col("n_tokens"),
         when(col("reason") === "ok", 1L).otherwise(0L).as("keep"),
         col("reason"))

@@ -80,6 +80,36 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 4L)) && got((0L, 4L)) > 0.99)
   }
 
+  test("d13 semdedup prunes in-cell near-identical vectors, keeps the min id") {
+    // seeds 0..7 are distinct well-separated directions (the quantizer
+    // trains one cell each); 8/9 are near-identical to seed 0
+    // (pairwise L2² ≤ 0.01 ≪ threshold) so they land in 0's cell and
+    // must prune against it
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 5f, 0f, 0f)),
+      (2L, Array(0f, 0f, 5f, 0f)),
+      (3L, Array(0f, 0f, 0f, 5f)),
+      (4L, Array(5f, 5f, 0f, 0f)),
+      (5L, Array(0f, 5f, 5f, 0f)),
+      (6L, Array(5f, 0f, 5f, 0f)),
+      (7L, Array(0f, 5f, 0f, 5f)),
+      (8L, Array(1f, 0.1f, 0f, 0f)),
+      (9L, Array(1f, 0.05f, 0f, 0f)))
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.semDedupDf(embs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(8L) === 1L && got(9L) === 1L, "near-dups of 0 must prune")
+    (0L to 7L).foreach { id =>
+      assert(got(id) === 0L, s"vec $id wrongly pruned")
+    }
+    // pruning decisions are partition-invariant (integer distances)
+    val again = Dedup.semDedupDf(embs.repartition(5))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === got)
+  }
+
   test("dup clusters: near-dup pairs resolve to components with one keeper each") {
     val got = Dedup.dupClustersDf(docs)
       .as[(Long, Long, Long, Long)].collect()

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** e01 end-to-end corpus build: the gate drops low-quality docs, the
+  * dedup stage keeps one copy per content hash, and the shard manifest
+  * accounts for every survivor exactly once. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over a lazy dog near the river", "srcA"),
+    (1L, "the quick brown fox jumps over a lazy dog near the river", "srcA"),
+    (2L, "a b c", "srcB"), // too_short
+    (3L, "in the beginning there was a single tiny spark of light", "srcB"),
+    (4L, "the the the the the the the the the the the the", "srcC"), // low_diversity
+    (5L, "un deux trois quatre cinq six sept huit neuf dix", "srcC")) // no_stopwords
+    .toDF("doc_id", "text", "source")
+
+  test("e01 manifest accounts for exactly the gated+deduped survivors") {
+    val out = Pipeline.corpusBuildDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // survivors: doc 0 (doc 1 is its exact copy), doc 3
+    assert(out.map(_._2).sum === 2L, s"n_docs ${out.toSeq}")
+    val expectedTokens = Seq(
+      "the quick brown fox jumps over a lazy dog near the river",
+      "in the beginning there was a single tiny spark of light")
+      .map(_.split(" ").length.toLong).sum
+    assert(out.map(_._3).sum === expectedTokens)
+    out.foreach { case (shard, nDocs, totTok, nSrc) =>
+      assert(shard >= 0 && shard < 256)
+      assert(nSrc <= nDocs)
+      assert(totTok > 0 && nDocs > 0)
+    }
+    // deterministic under re-partitioning
+    val again = Pipeline.corpusBuildDf(docs.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sameElements(again))
+  }
+
+  test("e01 at sf0.001: manifest totals bounded by the corpus, shards disjoint") {
+    val table = graft.Tables.t(spark, sf, "documents")
+    val out = Pipeline.corpusBuildDf(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "duplicate shard rows")
+    assert(out.map(_._2).sum <= table.count())
+  }
+}

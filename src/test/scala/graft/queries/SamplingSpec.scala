@@ -85,4 +85,39 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rep.sameElements(again))
   }
+
+  test("p08 seeded shuffle is a permutation: every doc once, dense shard positions") {
+    val out = Sampling.seededShuffleDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length.toLong === docs.count())
+    assert(out.map(_._3).distinct.length === out.length, "a doc repeated")
+    out.foreach { case (shard, _, _) => assert(shard >= 0 && shard < 256) }
+    // positions are 1..n within each shard, no gaps
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length.toLong))
+    }
+    // the epoch permutation replays identically on any partitioning
+    val again = Sampling.seededShuffleDf(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(again))
+  }
+
+  test("p09 interleave: per-source quota, unique positions, round-robin blocks") {
+    val out = Sampling.interleaveMixDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val nSources = docs.select("source").distinct().count()
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quota respected, exact for sources with enough docs
+    out.groupBy(_._3).foreach { case (src, rows) =>
+      assert(rows.length.toLong ===
+        math.min(Sampling.interleaveQuota, sizes(src)))
+    }
+    // one global position per row
+    assert(out.map(_._1).distinct.length === out.length)
+    // each round-robin block of |sources| positions sees a source at most once
+    out.groupBy(t => (t._1 - 1) / nSources).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === rows.length)
+    }
+  }
 }

@@ -51,6 +51,28 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("s09 ann recall reproduces the measured bf∩lsh intersection per query") {
+    val out = Similarity.annRecallDf(clustered).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // independent recomputation of the intersection
+    val exact = Similarity.bruteForceTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopKDf(clustered)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.map(_._1).toSet === exact.keySet)
+    out.foreach { case (q, nExact, nHit, recall) =>
+      assert(nExact === exact(q).size.toLong)
+      assert(nHit ===
+        (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong)
+      assert(nHit <= nExact)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-3)
+    }
+  }
+
   test("PQ top-k is bit-exact under re-partitioning; distances rank monotonically") {
     val a = Similarity.pqTopKDf(clustered).collect().toSeq
     val b = Similarity.pqTopKDf(clustered.repartition(7)).collect().toSeq
