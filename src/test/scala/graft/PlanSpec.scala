@@ -327,4 +327,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("d13: in-cell pair join keys on the cell id and reuses the one " +
+    "persisted assignment") {
+    val p = plan(Dedup.semDedup(spark, sf))
+    // candidate generation must be the cell-keyed equi-join — a missing
+    // key would plan an unkeyed product over the corpus. (The plan's
+    // BroadcastNestedLoopJoins are assignCells' intended 8-row seed
+    // broadcasts, not corpus-sized sides.)
+    assert(!p.contains("CartesianProduct"),
+      "in-cell join degenerated to all-pairs:\n" + p)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell"
+      .r.findFirstIn(p).isDefined,
+      "pair join is not keyed on the cell id:\n" + p)
+    // the assignment (seed crossJoin + argmin window) computes once and
+    // both join sides read the persisted copy
+    assert(p.contains("InMemoryTableScan"),
+      "cell assignment recomputed per join side:\n" + p)
+  }
+
+  test("e01: the shard manifest aggregate combines map-side and the " +
+    "dedup join carries no text payload") {
+    val p = plan(graft.queries.Pipeline.corpusBuild(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // keeper join must move (hash, id)-shaped rows, never the document
+    // body: no Exchange may carry the text column
+    val exchanges = "Exchange[^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text")),
+      "a shuffle carries the document body:\n" + exchanges.mkString("\n"))
+  }
 }
