@@ -813,7 +813,11 @@ object Dedup {
   def semDedup(s: SparkSession, dir: String): DataFrame =
     semDedupDf(t(s, dir, "embeddings"))
 
-  def semDedupDf(embs: DataFrame): DataFrame = {
+  /** `threshold` defaults to the oracle-locked contract value; callers
+    * tune it per corpus against the retention curve measured by
+    * [[graft.tools.SemDedupProbe]] (SCALING.md numbers). */
+  def semDedupDf(embs: DataFrame,
+      threshold: Long = semDupThreshold): DataFrame = {
     val e = Similarity.emb(embs)
     val seeds = Similarity.trainedSeeds(e)
     // (vec_id, v, nrm, cell) — reused by both sides of the in-cell join
@@ -821,7 +825,7 @@ object Dedup {
     val assigned = Similarity.assignCells(seeds, e, 1, "cell").persist()
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(fpSqDist(col("a.v"), col("b.v")) <= semDupThreshold)
+      .filter(fpSqDist(col("a.v"), col("b.v")) <= threshold)
       .select(col("b.vec_id").as("vec_id"))
       .distinct()
     assigned.join(pruned.withColumn("pr", lit(1L)), Seq("vec_id"), "left")

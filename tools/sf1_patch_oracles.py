@@ -32,14 +32,60 @@ NEW = """d AS (
   JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings) eb ON vec_b = eb.vec_id)"""
 
+# d13's in-cell pair distance: same unnest-join blowup shape as d06 at
+# sf1 (25M in-cell pairs x 64 dims). The list form floors per element
+# and sums BIGINTs — integer sums are order-independent, so this is
+# bit-identical to the contract CTE, not merely ROUND-equal.
+OLD_D13 = """pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    CAST(SUM(CAST(FLOOR((xa.v - xb.v) * (xa.v - xb.v) * 1048576) AS BIGINT)) AS BIGINT) AS d
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN x xa ON xa.vec_id = a.vec_id
+  JOIN x xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+  GROUP BY 1, 2)"""
+NEW_D13 = """pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    CAST(list_sum(list_transform(generate_series(1, len(ea.emb)),
+      i -> CAST(FLOOR((ea.emb[i] - eb.emb[i]) * (ea.emb[i] - eb.emb[i])
+        * 1048576) AS BIGINT))) AS BIGINT) AS d
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings) ea ON ea.vec_id = a.vec_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings) eb ON eb.vec_id = b.vec_id)"""
+
+# s01/s09 brute-force dot: 400 queries x 20k corpus x 64 dims unnest
+# join at sf1 — list_dot_product over the raw arrays, same sum of the
+# same products, every compared cell passes ROUND(.,4) (d06 treatment).
+OLD_BF = """d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0 AND q.vec_id < 50000
+  GROUP BY 1, 2)"""
+NEW_BF = """d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.emb, c.emb) AS dot
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings) q
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings) c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0 AND q.vec_id < 50000)"""
+
+REWRITES = [(OLD, NEW), (OLD_D13, NEW_D13), (OLD_BF, NEW_BF)]
+
 def main(out_dir):
     p = f"{out_dir}/oracle_sql.json"
     j = json.load(open(p))
     patched = []
     for name, sql in j.items():
-        if OLD in sql:
-            j[name] = sql.replace(OLD, NEW)
-            patched.append(name)
+        for old, new in REWRITES:
+            if old in sql:
+                sql = sql.replace(old, new)
+                if name not in patched:
+                    patched.append(name)
+        j[name] = sql
     json.dump(j, open(p, "w"))
     print("patched:", sorted(patched))
 
