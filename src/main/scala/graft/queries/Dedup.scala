@@ -854,8 +854,98 @@ object Dedup {
        |FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ------------------------------------- exact repeated-span dedup (d14)
+  /** Exact substring (repeated-span) dedup — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" shape:
+    * find every maximal token span that also occurs verbatim in ANOTHER
+    * document, so a cleaner can cut the span instead of dropping the
+    * whole doc (d01/d02 drop docs; d14 is the span-level complement).
+    *
+    * Reference scope: the reference has no span-level op; this extends
+    * the dedup family the same way d10 decontamination does
+    * (`MapleJuice.cpp` has only whole-record identity).
+    *
+    * Algorithm, all integer/md5 (portable per the fixed-point rule):
+    *  1. k-gram inventory: one row per (doc, pos) with g = md5 of the
+    *     k tokens at pos — positions 1-based, k = [[spanGramK]].
+    *  2. duplicated grams: groupBy(g) keeping min(doc)≠max(doc) — a
+    *     partial-aggregable min/max pair instead of count(distinct),
+    *     so the agg is map-side combinable and the dup test exact.
+    *  3. hit positions: semi-join inventory→dups on g (shuffle reuses
+    *     the gram-hash partitioning from step 2; never a pair join).
+    *  4. maximal spans: per-doc islands — new island iff the gap to the
+    *     previous hit exceeds k (spans of length k overlap or touch);
+    *     island id = running sum; span = [min(pos), max(pos)+k−1].
+    *
+    * Scale: work is linear in corpus tokens — the inventory shuffles
+    * once on g (narrow: doc_id+pos+32-hex), the island merge shuffles
+    * once on doc_id, and nothing is all-pairs or broadcast-unbounded.
+    * At 100 TB raise k (real corpora use ~50-token spans; the synthetic
+    * ~30-word vocabulary makes k=4 the collision-equivalent regime) and
+    * the dup-gram set shrinks to true duplication mass. */
+  val spanGramK = 4
+
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupDf(t(s, dir, "documents"))
+
+  def spanDedupDf(docs: DataFrame): DataFrame = {
+    val k = spanGramK
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)   // sequence(1, n<1) would descend
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+            i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, $k))) AS g))"""
+        )).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))  // ≥2 distinct docs, no distinct-agg
+      .select(col("g"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, "g")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("ni",
+        when(col("pos") - lag("pos", 1).over(w) > k, lit(1L)).otherwise(lit(0L)))
+      .withColumn("island", sum(col("ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val spanDedupSql = {
+    val k = spanGramK
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g2 AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(toks) - ${k - 1})) AS pos,
+       |    unnest(list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |      i -> md5(array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')))) AS g
+       |  FROM d WHERE len(toks) >= $k),
+       |dup AS (SELECT g FROM g2 GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |h AS (SELECT doc_id, pos FROM g2 JOIN dup USING (g)),
+       |fl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+       |       THEN 1 ELSE 0 END AS ni
+       |  FROM h),
+       |isl AS (SELECT doc_id, pos, SUM(ni) OVER
+       |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM fl)
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) + ${k - 1} AS BIGINT) AS span_end,
+       |  CAST(MAX(pos) + ${k - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_semdedup"        -> semDedup _,
+    "d14_span_dedup"      -> spanDedup _,
     "d01_dedup_exact"     -> exact _,
     "d02_minhash_lsh"     -> minHashLsh _,
     "d03_ngram_jaccard"   -> ngramJaccard _,
@@ -871,6 +961,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d13_semdedup"        -> semDedupSql,
+    "d14_span_dedup"      -> spanDedupSql,
     "d01_dedup_exact"     -> exactSql,
     "d02_minhash_lsh"     -> minHashLshSql,
     "d03_ngram_jaccard"   -> ngramJaccardSql,

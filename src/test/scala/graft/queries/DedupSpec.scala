@@ -110,6 +110,29 @@ class DedupSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("d14 span dedup finds maximal cross-doc spans and merges islands") {
+    // 10/11 share the 6-token run "c d e f g h" at positions 3-8;
+    // 13/14 share two separated runs (positions 1-4 and 8-12) that must
+    // stay two islands (gap 7 > k=4); 12 shares nothing.
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "x y c d e f g h w v"),
+      (12L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (13L, "p1 p2 p3 p4 m1 m2 m3 q1 q2 q3 q4 q5"),
+      (14L, "p1 p2 p3 p4 n1 n2 n3 q1 q2 q3 q4 q5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupDf(corpus)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (10L, 3L, 8L, 6L), (11L, 3L, 8L, 6L),
+      (13L, 1L, 4L, 4L), (13L, 8L, 12L, 5L),
+      (14L, 1L, 4L, 4L), (14L, 8L, 12L, 5L)))
+    // span decisions are integer/md5-only → partition-invariant
+    val again = Dedup.spanDedupDf(corpus.repartition(7))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
   test("dup clusters: near-dup pairs resolve to components with one keeper each") {
     val got = Dedup.dupClustersDf(docs)
       .as[(Long, Long, Long, Long)].collect()
