@@ -459,15 +459,104 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+
+  /** g05: bounded multi-source BFS — hop distance from the graph's
+    * [[bfsSeeds]] highest-degree hubs over the g01 supplier↔customer
+    * graph. The reachability/shortest-path primitive the family still
+    * lacked next to centrality (g01), closure (g02), membership (g03)
+    * and density (g04); in a data pipeline it is "how far is every
+    * node from the hubs" (influence radius, crawl frontier, cache-tier
+    * assignment).
+    *
+    * Determinism: seeds are an exact integer order statistic (degree
+    * DESC, node id ASC, LIMIT [[bfsSeeds]] — a TakeOrdered, never a
+    * global sort); hops are small integers; the per-round min-hop
+    * combine is order-invariant. Rounds are FIXED ([[bfsRounds]], the
+    * g01/g03/g04 discipline) so the DAG depth is static and the oracle
+    * unrolls the same rounds as MATERIALIZED CTEs (each round is
+    * referenced twice — union + frontier join — the inline-doubling
+    * lesson from g03).
+    *
+    * Scale shape: the undirected edge list is ids-only and persisted
+    * once; each round is ONE hash join (frontier ⋈ edges on src) + one
+    * partial-agged min-hop groupBy. The frontier relation is
+    * (node, hop) = 16 B rows, monotonically growing to |V| at most —
+    * never edge-sized. Per-round persist truncates lineage exactly as
+    * g03's label rounds do (reliable-checkpoint switch applies there;
+    * 3 rounds × slim relation keeps memory bounded here). */
+  val bfsRounds = 3
+  val bfsSeeds = 5
+
+  def bfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsHopsDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def bfsHopsDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + custOffset).as("dst"))
+      .distinct()
+    val und = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val seeds = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node"))
+      .limit(bfsSeeds)
+    var dist = seeds.select(col("node"), lit(0L).as("hop")).persist()
+    for (r <- 1 to bfsRounds) {
+      val next = dist.as("f").join(und.as("u"), col("f.node") === col("u.src"))
+        .select(col("u.dst").as("node"), lit(r.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .persist()
+    }
+    dist.select(col("node"), col("hop"),
+      when(col("node") >= custOffset, "customer")
+        .otherwise("supplier").as("role"))
+      .orderBy("node")
+  }
+
+  private val bfsHopsSql = {
+    val rounds = (1 to bfsRounds).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |  SELECT node, MIN(hop) AS hop FROM (
+         |    SELECT node, hop FROM h${r - 1}
+         |    UNION ALL
+         |    SELECT u.dst AS node, CAST($r AS BIGINT) AS hop
+         |    FROM h${r - 1} f JOIN u ON u.src = f.node) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |u AS MATERIALIZED (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst, src FROM pairs),
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS node FROM u GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT $bfsSeeds),
+       |h0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds),
+       |$rounds
+       |SELECT node, hop,
+       |  CASE WHEN node >= $custOffset THEN 'customer'
+       |       ELSE 'supplier' END AS role
+       |FROM h$bfsRounds ORDER BY node""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> pageRank _,
     "g02_triangles" -> triangles _,
     "g03_components" -> components _,
-    "g04_kcore"     -> kcore _)
+    "g04_kcore"     -> kcore _,
+    "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank"  -> pageRankSql,
     "g02_triangles" -> trianglesSql,
     "g03_components" -> componentsSql,
-    "g04_kcore"     -> kcoreSql)
+    "g04_kcore"     -> kcoreSql,
+    "g05_bfs_hops"  -> bfsHopsSql)
 }

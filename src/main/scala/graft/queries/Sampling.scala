@@ -438,8 +438,103 @@ object Sampling {
        |FROM picked p JOIN idx i ON p.source = i.source CROSS JOIN n
        |ORDER BY global_pos""".stripMargin
 
+  // ---------------------------------------------------- p10 curriculum
+  /** p10: curriculum schedule — order the corpus easy→hard before
+    * training. Difficulty is the t15 familiarity score (mean corpus-
+    * relative token frequency, exact integer ppm; high = common
+    * vocabulary = easy); each source is banded into quartiles with
+    * `ntile(4)` ordered by (familiarity DESC, doc_id), so band 1 is
+    * the easiest quarter OF EACH SOURCE (per-source banding keeps a
+    * hard source from monopolizing late phases). Crossed with the p07
+    * split so the schedule never leaks val/test into a training phase.
+    * Output: per (band, split) doc/token mass and familiarity range —
+    * the table a curriculum sampler consumes directly.
+    *
+    * Determinism: scores are integer ppm; ntile over a UNIQUE order
+    * (score, doc_id) assigns identical bands in Spark and DuckDB
+    * (⌈n/4⌉-first semantics are SQL-standard); the split is the p07
+    * md5 bucket. No float enters any decision.
+    *
+    * Scale: scoring is t15's shape (vocabulary joins shuffle, total
+    * broadcasts); the banding window partitions by source — the q52/
+    * p02 posture: per-source partitions can be wide at 100 TB, and the
+    * production hatch is the same two-pass form (exact per-source
+    * quartile BOUNDS via order statistics, broadcast back as a range
+    * lookup) which this report's semantics are deliberately identical
+    * to. Final agg is 12 groups — KBs on the wire. */
+  def curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumDf(t(s, dir, "documents"))
+
+  def curriculumDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    val scored = toks.join(freq, "tok")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("freq_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("(freq_sum * 1000000L) div (n_tokens * total)").as("fam_ppm"))
+    scored
+      .withColumn("band", ntile(4).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("fam_ppm").desc, col("doc_id"))).cast("long"))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < valLo, "train")
+          .when(col("bucket") < testLo, "val")
+          .otherwise("test"))
+      .groupBy(col("band"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("fam_ppm")).as("min_fam_ppm"),
+        sum(col("fam_ppm")).as("fs"))
+      .select(col("band"), col("split"), col("n_docs"),
+        col("total_tokens"), col("min_fam_ppm"),
+        expr("fs div n_docs").as("mean_fam_ppm"))
+      .orderBy("band", "split")
+  }
+
+  private val p10Sql = {
+    val u = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+       |total AS (SELECT SUM(freq) AS total FROM freq),
+       |scored AS (
+       |  SELECT t.doc_id, t.source, COUNT(*) AS n_tokens,
+       |    CAST((SUM(f.freq) * 1000000) // (COUNT(*) * MIN(total.total))
+       |      AS BIGINT) AS fam_ppm
+       |  FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
+       |  GROUP BY t.doc_id, t.source),
+       |banded AS (
+       |  SELECT doc_id, n_tokens, fam_ppm,
+       |    CAST(NTILE(4) OVER (PARTITION BY source
+       |      ORDER BY fam_ppm DESC, doc_id) AS BIGINT) AS band,
+       |    ($u) % 100 AS bucket
+       |  FROM scored),
+       |sp AS (
+       |  SELECT band, n_tokens, fam_ppm,
+       |    CASE WHEN bucket < $valLo THEN 'train'
+       |         WHEN bucket < $testLo THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM banded)
+       |SELECT band, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(fam_ppm) AS min_fam_ppm,
+       |  CAST(SUM(fam_ppm) // COUNT(*) AS BIGINT) AS mean_fam_ppm
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_curriculum"        -> curriculum _,
     "p08_seeded_shuffle"    -> seededShuffle _,
     "p09_interleave_mix"    -> interleaveMix _,
     "p01_hash_sample"       -> hashSample _,
@@ -451,6 +546,7 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p10_curriculum"        -> p10Sql,
     "p08_seeded_shuffle"    -> p08Sql,
     "p09_interleave_mix"    -> p09Sql,
     "p01_hash_sample"       -> p01Sql,

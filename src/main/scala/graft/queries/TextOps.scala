@@ -1088,7 +1088,114 @@ object TextOps {
       |  CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS mean_ppm
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t22
+  /** Gopher-style composite repetition/quality rules — the published
+    * web-corpus filters (Rae et al. 2021 "Scaling Language Models",
+    * table A1) the t08 gate doesn't cover: dominance of the single most
+    * frequent token, dominance of the most frequent bigram, mean token
+    * length bounds, and the short-token fraction. The reference has no
+    * quality surface at all; this is the pipeline-extension family.
+    *
+    * Every signal is an exact integer ppm (×10⁶ integer division) and
+    * every rule an integer comparison, so both engines decide
+    * identically (the t08/verify-skill rule: no discrete choice on a
+    * float). First failing rule is the drop reason, in fixed order.
+    *
+    * Scale shape: top-token / top-bigram dominance come from exploded
+    * (doc_id, term) partial-agged counts — two shuffles keyed on
+    * (doc_id, term) carrying 8+~20 B rows, never the payload — then a
+    * per-doc max. The length signals are one map-side higher-order-
+    * function pass. Reassembly is three id-keyed joins. Per-doc
+    * in-memory alternatives (HOF distinct+filter) are O(n·distinct)
+    * per doc and were rejected: a 100 TB corpus has million-token
+    * outlier docs; the agg form is linear and spill-safe. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesDf(t(s, dir, "documents"))
+
+  def gopherRulesDf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"))
+    val topu = d.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("n_tokens"))
+    val topb = d.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("topbc"), sum(col("c")).as("nb"))
+    val lens = d.select(col("doc_id"),
+      expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sumlen"),
+      expr("size(filter(toks, x -> length(x) <= 2))").cast("long")
+        .as("nshort"))
+    topu.join(topb, "doc_id").join(lens, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("topc * 1000000L div n_tokens").as("top_tok_ppm"),
+        expr("topbc * 1000000L div nb").as("top_bigram_ppm"),
+        expr("sumlen * 100L div n_tokens").as("mean_len_x100"),
+        expr("nshort * 1000000L div n_tokens").as("short_ppm"))
+      .withColumn("reason",
+        when(col("top_tok_ppm") >= 120000, "high_top_token")
+          .when(col("top_bigram_ppm") >= 60000, "high_top_bigram")
+          .when(col("mean_len_x100") < 420, "short_tokens")
+          .when(col("mean_len_x100") > 470, "long_tokens")
+          .when(col("short_ppm") >= 60000, "fragmented")
+          .otherwise("ok"))
+      .withColumn("keep", when(col("reason") === "ok", 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (
+      |  SELECT doc_id, toks[i] AS w
+      |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+      |uc AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+      |topu AS (
+      |  SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  FROM uc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+      |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |topb AS (
+      |  SELECT doc_id, MAX(c) AS topbc, CAST(SUM(c) AS BIGINT) AS nb
+      |  FROM bc GROUP BY 1),
+      |lens AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+      |      AS sumlen,
+      |    CAST(len(list_filter(toks, t -> len(t) <= 2)) AS BIGINT)
+      |      AS nshort
+      |  FROM d),
+      |sig AS (
+      |  SELECT topu.doc_id AS doc_id, n_tokens,
+      |    topc * 1000000 // n_tokens AS top_tok_ppm,
+      |    topbc * 1000000 // nb AS top_bigram_ppm,
+      |    sumlen * 100 // n_tokens AS mean_len_x100,
+      |    nshort * 1000000 // n_tokens AS short_ppm
+      |  FROM topu JOIN topb USING (doc_id) JOIN lens USING (doc_id))
+      |SELECT doc_id, n_tokens, top_tok_ppm, top_bigram_ppm,
+      |  mean_len_x100, short_ppm,
+      |  CASE WHEN top_tok_ppm >= 120000 THEN 'high_top_token'
+      |       WHEN top_bigram_ppm >= 60000 THEN 'high_top_bigram'
+      |       WHEN mean_len_x100 < 420 THEN 'short_tokens'
+      |       WHEN mean_len_x100 > 470 THEN 'long_tokens'
+      |       WHEN short_ppm >= 60000 THEN 'fragmented'
+      |       ELSE 'ok' END AS reason,
+      |  CAST(CASE WHEN top_tok_ppm < 120000 AND top_bigram_ppm < 60000
+      |    AND mean_len_x100 BETWEEN 420 AND 470 AND short_ppm < 60000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_gopher_rules" -> gopherRules _,
     "t21_bigram_lm" -> bigramLm _,
     "t20_span_contamination" -> spanContamination _,
     "t17_chunk_overlap" -> chunkOverlap _,
@@ -1113,6 +1220,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t22_gopher_rules" -> gopherRulesSql,
     "t21_bigram_lm" -> bigramLmSql,
     "t20_span_contamination" -> spanContaminationSql,
     "t17_chunk_overlap" -> chunkOverlapSql,

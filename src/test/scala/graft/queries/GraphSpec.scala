@@ -121,4 +121,30 @@ class GraphSpec extends SparkSpec {
       "peel had not converged; raise coreRounds")
     out.foreach { case (_, _, d) => assert(d >= k.toLong) }
   }
+
+  test("g05: BFS hops match an independent frontier expansion") {
+    import spark.implicits._
+    val out = Graph.bfsHopsDf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey") + Graph.custOffset)
+      .as[(Long, Long)].collect().distinct
+    val adj = pairs.flatMap { case (s0, c) => Seq((s0, c), (c, s0)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.toSeq.map { case (n, nb) => (n, nb.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(Graph.bfsSeeds).map(_._1)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (r <- 1 to Graph.bfsRounds) {
+      val frontier = dist.collect { case (n, h) if h == r - 1 => n }
+      val nxt = frontier.toSet.flatMap(adj.getOrElse(_: Long, Set.empty[Long]))
+      dist = nxt.filterNot(dist.contains).map(_ -> r.toLong).toMap ++ dist
+    }
+    val want = dist.map { case (n, h) =>
+      (n, h, if (n >= Graph.custOffset) "customer" else "supplier")
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.count(_._2 == 0L) === Graph.bfsSeeds)
+    // the bounded horizon is meaningful: more than one hop level present
+    assert(out.map(_._2).distinct.length > 1)
+  }
 }

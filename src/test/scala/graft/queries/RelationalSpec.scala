@@ -132,7 +132,7 @@ class RelationalSpec extends SparkSpec {
         r.getLong(6)))
       .groupBy(_._1)
     // independent recompute from the raw event log
-    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val raw = graft.Tables.t(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as us")
       .as[(Long, Long, String, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(e => (e._4, e._2))).toMap

@@ -120,4 +120,28 @@ class SamplingSpec extends SparkSpec {
       assert(rows.map(_._3).distinct.length === rows.length)
     }
   }
+
+  test("p10: curriculum covers every doc, bands quarter each source, " +
+    "and is invariant under input partitioning") {
+    val out = Sampling.curriculumDf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._3).sum === docs.count())
+    assert(out.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    out.foreach { case (_, _, _, _, minF, meanF) =>
+      assert(meanF >= minF)
+    }
+    // ntile(4) per source: band totals differ from n/4 by at most the
+    // number of sources (one remainder row each)
+    val nSources = docs.select("source").distinct().count()
+    val total = out.map(_._3).sum
+    out.groupBy(_._1).foreach { case (band, rows) =>
+      val got = rows.map(_._3).sum
+      assert(math.abs(got - total / 4) <= nSources, s"band $band: $got")
+    }
+    val b = Sampling.curriculumDf(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === b.toSeq)
+  }
 }

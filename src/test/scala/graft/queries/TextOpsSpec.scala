@@ -201,4 +201,34 @@ class TextOpsSpec extends SparkSpec {
     assert(m("a") === (("a", 4L, 1L, 666666L, 166666L, 500000L)))
     assert(m("b") === (("b", 2L, 1L, 333333L, 166666L, 166667L)))
   }
+
+  test("t22: gopher signals match an in-memory recompute; keep iff ok") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val out = TextOps.gopherRulesDf(docs).collect()
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ").length >= 2)
+    assert(out.length === raw.length)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    raw.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val n = toks.length.toLong
+      val topc = toks.groupBy(identity).values.map(_.size).max.toLong
+      val topb = toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+      val sumlen = toks.map(_.length.toLong).sum
+      val nshort = toks.count(_.length <= 2).toLong
+      val r = byId(id)
+      assert(r.getLong(1) === n, s"doc $id n_tokens")
+      assert(r.getLong(2) === topc * 1000000L / n, s"doc $id top_tok")
+      assert(r.getLong(3) === topb * 1000000L / (n - 1), s"doc $id top_bigram")
+      assert(r.getLong(4) === sumlen * 100L / n, s"doc $id mean_len")
+      assert(r.getLong(5) === nshort * 1000000L / n, s"doc $id short")
+    }
+    out.foreach { r =>
+      assert((r.getLong(7) == 1L) === (r.getString(6) == "ok"))
+    }
+    // the rule set discriminates on real data: keeps AND drops exist
+    assert(out.exists(_.getLong(7) == 1L) && out.exists(_.getLong(7) == 0L))
+  }
 }
