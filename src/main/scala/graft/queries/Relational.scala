@@ -1772,8 +1772,90 @@ object Relational {
       |FROM li JOIN bounds b ON li.brand = b.brand
       |GROUP BY li.brand ORDER BY li.brand""".stripMargin
 
+  // ------------------------------------------------------------- q53
+  /** CDC / MERGE-INTO apply: fold a change batch into a base snapshot —
+    * the table-maintenance primitive (Delta/Iceberg MERGE) expressed as
+    * one declarative plan on stock Spark. The change feed is the event
+    * log: per key, the LATEST event wins (ts DESC, event_id DESC — the
+    * q45 compaction), 'click' means DELETE, anything else UPSERT. The
+    * post-merge snapshot classifies every key: unchanged / updated /
+    * inserted / deleted (deletes surface as evidence rows with NULL
+    * balance; a second filter materializes the clean table).
+    *
+    * Determinism: the winner per key is an integer-ordered row_number
+    * (TopKRewrite turns it into a bounded heap — compacting a 100 TB
+    * feed never sorts a partition); the upserted balance is one IEEE
+    * division of an exact integer (single-op, bit-identical on both
+    * engines); unchanged balances pass the base doubles through
+    * untouched (the q41 raw-cell rule).
+    *
+    * Scale: the merge is ONE outer join, base shuffled on its key
+    * once — with a bucketed base table it is shuffle-free on that
+    * side; the compacted change relation is orders smaller than the
+    * feed (one row per touched key) and broadcastable when the batch
+    * is small. This is exactly how a MERGE executes under Delta;
+    * expressing it as a plain plan keeps Catalyst free to pick the
+    * join strategy. Change keys are strided (×[[cdcKeyStride]]) so the
+    * batch exercises update, insert, AND delete against the base at
+    * EVERY scale factor: the event key space is 10× narrower than the
+    * customer key space in this data, so stride 11 keeps ~90 % of
+    * changes on existing keys and pushes the top ~10 % past the base
+    * maximum (inserts), at sf0.001 and sf1 alike. */
+  val cdcKeyStride = 11L
+
+  def q53CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = t(s, dir, "events")
+      .select((col("user_id") * cdcKeyStride).as("key"),
+        col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("key"),
+        when(col("event_type") === "click", "delete")
+          .otherwise("upsert").as("op"),
+        (expr("event_id % 100000L").cast("double") / 100).as("new_bal"))
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_acctbal"))
+    base.join(latest, Seq("key"), "full_outer")
+      .filter(!(col("c_acctbal").isNull && col("op") === "delete"))
+      .select(col("key").as("custkey"),
+        when(col("op").isNull, "unchanged")
+          .when(col("op") === "delete", "deleted")
+          .when(col("c_acctbal").isNull, "inserted")
+          .otherwise("updated").as("change"),
+        when(col("op").isNull, col("c_acctbal"))
+          .when(col("op") === "delete", lit(null).cast("double"))
+          .otherwise(col("new_bal")).as("bal"))
+      .orderBy("custkey")
+  }
+
+  private val q53Sql =
+    s"""WITH latest AS (
+       |  SELECT key, op, new_bal FROM (
+       |    SELECT user_id * $cdcKeyStride AS key,
+       |      CASE WHEN event_type = 'click' THEN 'delete'
+       |           ELSE 'upsert' END AS op,
+       |      CAST(event_id % 100000 AS DOUBLE) / 100 AS new_bal,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rk
+       |    FROM events) WHERE rk = 1),
+       |base AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+       |SELECT key AS custkey,
+       |  CASE WHEN op IS NULL THEN 'unchanged'
+       |       WHEN op = 'delete' THEN 'deleted'
+       |       WHEN c_acctbal IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS change,
+       |  CASE WHEN op IS NULL THEN c_acctbal
+       |       WHEN op = 'delete' THEN NULL
+       |       ELSE new_bal END AS bal
+       |FROM base FULL OUTER JOIN latest USING (key)
+       |WHERE NOT (c_acctbal IS NULL AND op = 'delete')
+       |ORDER BY custkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_cdc_apply"       -> q53CdcApply _,
     "q52_winsorize"       -> q52Winsorize _,
     "q51_scd2_intervals"  -> q51Scd2Intervals _,
     "q49_zorder_layout"   -> q49ZorderLayout _,
@@ -1828,6 +1910,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q53_cdc_apply"       -> q53Sql,
     "q52_winsorize"       -> q52Sql,
     "q51_scd2_intervals"  -> q51Sql,
     "q49_zorder_layout"   -> q49Sql,

@@ -188,6 +188,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q53: CDC apply matches an independent merge recompute") {
+    import spark.implicits._
+    val out = Relational.q53CdcApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val base = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").as[(Long, Double)].collect().toMap
+    val latest = graft.Tables.t(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1 * Relational.cdcKeyStride).view.mapValues(
+        _.maxBy(e => (e._3, e._2))).toMap
+    val exp = (base.keySet ++ latest.keySet).toSeq.sorted.flatMap { k =>
+      (base.get(k), latest.get(k)) match {
+        case (Some(b), None) => Some((k, "unchanged", Some(b)))
+        case (Some(_), Some(e)) if e._4 == "click" =>
+          Some((k, "deleted", None))
+        case (Some(_), Some(e)) =>
+          Some((k, "updated", Some((e._2 % 100000L).toDouble / 100)))
+        case (None, Some(e)) if e._4 != "click" =>
+          Some((k, "inserted", Some((e._2 % 100000L).toDouble / 100)))
+        case _ => None
+      }
+    }
+    assert(out.toSeq === exp)
+    // the batch exercises every merge branch against this base
+    val kinds = out.map(_._2).toSet
+    assert(kinds === Set("unchanged", "updated", "inserted", "deleted"))
+  }
+
   test("q50: support/confidence/lift match an independent recompute") {
     import spark.implicits._
     val brand = spark.read.parquet(s"$sf/part.parquet")
