@@ -1803,10 +1803,13 @@ object Relational {
     * maximum (inserts), at sf0.001 and sf1 alike. */
   val cdcKeyStride = 11L
 
-  def q53CdcApply(s: SparkSession, dir: String): DataFrame = {
+  def q53CdcApply(s: SparkSession, dir: String): DataFrame =
+    q53CdcApplyDf(t(s, dir, "events"), t(s, dir, "customer"))
+
+  def q53CdcApplyDf(events: DataFrame, customer: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val latest = t(s, dir, "events")
+    val latest = events
       .select((col("user_id") * cdcKeyStride).as("key"),
         col("event_id"), col("ts"), col("event_type"))
       .withColumn("rk", row_number().over(w))
@@ -1815,7 +1818,7 @@ object Relational {
         when(col("event_type") === "click", "delete")
           .otherwise("upsert").as("op"),
         (expr("event_id % 100000L").cast("double") / 100).as("new_bal"))
-    val base = t(s, dir, "customer")
+    val base = customer
       .select(col("c_custkey").as("key"), col("c_acctbal"))
     base.join(latest, Seq("key"), "full_outer")
       .filter(!(col("c_acctbal").isNull && col("op") === "delete"))

@@ -1104,8 +1104,11 @@ object TextOps {
     * Scale shape: top-token / top-bigram dominance come from exploded
     * (doc_id, term) partial-agged counts — two shuffles keyed on
     * (doc_id, term) carrying 8+~20 B rows, never the payload — then a
-    * per-doc max. The length signals are one map-side higher-order-
-    * function pass. Reassembly is three id-keyed joins. Per-doc
+    * per-doc max. The length signals ride the SAME unigram-count
+    * relation (Σ len(w)·c and the short-token mass are functions of the
+    * per-doc vocabulary rows), so they cost zero extra passes and stay
+    * inside whole-stage codegen where a higher-order-function pass
+    * would be interpreted. Reassembly is one id-keyed join. Per-doc
     * in-memory alternatives (HOF distinct+filter) are O(n·distinct)
     * per doc and were rejected: a 100 TB corpus has million-token
     * outlier docs; the agg form is linear and spill-safe. */
@@ -1120,7 +1123,10 @@ object TextOps {
     val topu = d.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("topc"), sum(col("c")).as("n_tokens"))
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("n_tokens"),
+        sum(expr("length(w) * c")).as("sumlen"),
+        sum(expr("CASE WHEN length(w) <= 2 THEN c ELSE 0L END"))
+          .as("nshort"))
     val topb = d.select(col("doc_id"), explode(expr(
       """transform(sequence(1, size(toks) - 1),
          i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
@@ -1128,11 +1134,7 @@ object TextOps {
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("topbc"), sum(col("c")).as("nb"))
-    val lens = d.select(col("doc_id"),
-      expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sumlen"),
-      expr("size(filter(toks, x -> length(x) <= 2))").cast("long")
-        .as("nshort"))
-    topu.join(topb, "doc_id").join(lens, "doc_id")
+    topu.join(topb, "doc_id")
       .select(col("doc_id"), col("n_tokens"),
         expr("topc * 1000000L div n_tokens").as("top_tok_ppm"),
         expr("topbc * 1000000L div nb").as("top_bigram_ppm"),
@@ -1158,7 +1160,10 @@ object TextOps {
       |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
       |uc AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY 1, 2),
       |topu AS (
-      |  SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(len(w) * c) AS BIGINT) AS sumlen,
+      |    CAST(SUM(CASE WHEN len(w) <= 2 THEN c ELSE 0 END) AS BIGINT)
+      |      AS nshort
       |  FROM uc GROUP BY 1),
       |bg AS (
       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
@@ -1167,20 +1172,13 @@ object TextOps {
       |topb AS (
       |  SELECT doc_id, MAX(c) AS topbc, CAST(SUM(c) AS BIGINT) AS nb
       |  FROM bc GROUP BY 1),
-      |lens AS (
-      |  SELECT doc_id,
-      |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
-      |      AS sumlen,
-      |    CAST(len(list_filter(toks, t -> len(t) <= 2)) AS BIGINT)
-      |      AS nshort
-      |  FROM d),
       |sig AS (
       |  SELECT topu.doc_id AS doc_id, n_tokens,
       |    topc * 1000000 // n_tokens AS top_tok_ppm,
       |    topbc * 1000000 // nb AS top_bigram_ppm,
       |    sumlen * 100 // n_tokens AS mean_len_x100,
       |    nshort * 1000000 // n_tokens AS short_ppm
-      |  FROM topu JOIN topb USING (doc_id) JOIN lens USING (doc_id))
+      |  FROM topu JOIN topb USING (doc_id))
       |SELECT doc_id, n_tokens, top_tok_ppm, top_bigram_ppm,
       |  mean_len_x100, short_ppm,
       |  CASE WHEN top_tok_ppm >= 120000 THEN 'high_top_token'

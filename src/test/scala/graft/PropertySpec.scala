@@ -256,6 +256,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q53 CDC apply is idempotent on the clean table for random batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Relational
+    val baseGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 99999)))
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 3L),                   // user (keys = user * stride)
+      Gen.choose(0L, 50L),                  // coarse ts (ties likely)
+      Gen.oneOf("click", "view", "buy")))   // click = delete
+    for (s <- 1 to 5) {
+      val base = sample(baseGen, s).distinctBy(_._1)
+        .map { case (k, c) => (k, c.toDouble / 100) }
+      val evs = sample(evGen, s + 7).zipWithIndex.map {
+        case ((u, t0, ty), i) => (i.toLong, t0 * 1000000000L, u, ty)
+      }
+      val evDf = evs.toDF("event_id", "ts", "user_id", "event_type")
+      def clean(customer: org.apache.spark.sql.DataFrame) =
+        Relational.q53CdcApplyDf(evDf, customer)
+          .filter(col("change") =!= "deleted")
+          .select(col("custkey").as("c_custkey"), col("bal").as("c_acctbal"))
+      val once = clean(base.toDF("c_custkey", "c_acctbal"))
+      val onceRows = once.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val twiceRows = clean(once).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(onceRows.toSeq === twiceRows.toSeq, s"seed $s")
+    }
+  }
+
   test("s08 codes are bounded in [0,255] and order-preserving per dim") {
     import graft.queries.Similarity
     val vecGen = Gen.listOfN(6,

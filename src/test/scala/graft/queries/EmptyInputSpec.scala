@@ -85,4 +85,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.unigramScoreDf(noFull).count() === 0)
     assert(graft.multimodal.MultimodalQueries.phashPairsDf(noFull).count() === 0)
   }
+
+  test("round-5 ops yield zero rows on empty input") {
+    val noFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val noEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val noCust = Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")
+    assert(TextOps.gopherRulesDf(noFull).count() === 0)
+    assert(Sampling.curriculumDf(noFull).count() === 0)
+    assert(Graph.bfsHopsDf(noLi, noOrd).count() === 0)
+    assert(Relational.q53CdcApplyDf(noEv, noCust).count() === 0)
+  }
 }
