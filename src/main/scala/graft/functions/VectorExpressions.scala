@@ -148,6 +148,53 @@ case class FixedPointSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer fixed-point inner product: Σ floor(aᵢ·bᵢ·2²⁰) as BIGINT —
+  * the relevance twin of [[FixedPointSqDist]]. Each term is one IEEE
+  * multiply, an exact ×2²⁰ exponent shift, and an unambiguous FLOOR;
+  * the sum is integer, so rankings built on it are bit-identical
+  * under any accumulation order, partitioning, or engine (unlike a
+  * rounded-cosine score, which can flip at a representability
+  * boundary between engines). Iterates min(len) like [[DotProduct]]. */
+case class FixedPointDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_fp_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getDouble(i) * y.getDouble(i) * 1048576.0).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.floor(
+         |    $x.getDouble($i) * $y.getDouble($i) * 1048576.0);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FixedPointDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Character-level hamming distance between two equal-length strings
   * (bitstring fingerprints) — replaces an N-term substring-comparison
   * expression chain with one fused loop over the UTF8 bytes. ASCII
@@ -202,6 +249,10 @@ object VectorFunctions {
   def fpSqDist(a: Column, b: Column): Column =
     ColumnBridge.column(
       FixedPointSqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def fpDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FixedPointDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(

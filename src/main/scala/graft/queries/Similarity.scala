@@ -764,8 +764,152 @@ object Similarity {
        |FROM base LEFT JOIN hits ON base.query_id = hits.query_id
        |ORDER BY base.query_id""".stripMargin
 
+  // ------------------------------------------------- s10 MMR rerank
+  /** s10: MMR-diversified retrieval — rerank each query's candidate
+    * pool with Maximal Marginal Relevance (Carbonell & Goldstein '98):
+    * pick [[mmrK]] results greedily, each round maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`. The
+    * dedup-at-retrieval-time operator: a RAG/nearest-neighbor stack
+    * serves k DIVERSE contexts, not k near-copies of the same passage
+    * (the retrieval-side complement of d06/d13's corpus-side dedup).
+    *
+    * Determinism: relevance and inter-candidate similarity are both
+    * [[graft.functions.FixedPointDot]] — Σ floor(aᵢbᵢ·2²⁰) BIGINT, the
+    * s05/s06 discipline — and λ is the integer percent [[mmrLam]], so
+    * every greedy argmax orders on exact integers with an id tiebreak;
+    * no ROUND boundary exists for engines to disagree about. Rounds
+    * are FIXED ([[mmrK]]), so the oracle unrolls them as MATERIALIZED
+    * CTEs (sel₁ → p₂ → sel₂ → …, the g03/g05 pattern).
+    *
+    * Scale: the pool is [[mmrPool]] per query (row_number over the
+    * capped-broadcast candidate join — s01's posture; production swaps
+    * the generator for the s03 IVF path with one join change), so the
+    * pairwise-similarity relation is ≤ pool² rows per query and every
+    * greedy round joins relations of k·|queries| rows — the whole
+    * rerank costs O(|queries|·pool²) integer dots regardless of corpus
+    * size. */
+  val mmrLam = 70L
+  val mmrPool = 8
+  val mmrK = 3
+
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame =
+    mmrDiversifyDf(t(s, dir, "embeddings"))
+
+  def mmrDiversifyDf(embs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.fpDot
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qs = e.filter(isQuery)
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = broadcast(qs).as("q")
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cid"),
+        fpDot(col("q.v"), col("c.v")).as("rel"), col("c.v").as("cv"))
+      .withColumn("rk", row_number().over(wPool))
+      .filter(col("rk") <= mmrPool)
+      .persist()
+    val sim = cand.as("a")
+      .join(cand.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id").as("query_id"), col("a.cid").as("cid"),
+        col("b.cid").as("sid"), fpDot(col("a.cv"), col("b.cv")).as("sim"))
+    val slim = cand.select(col("query_id"), col("cid"), col("rel"))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cid"))
+    var selected = slim
+      .withColumn("score", col("rel") * mmrLam)
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cid"), lit(1L).as("pick"), col("score"))
+    for (r <- 2 to mmrK) {
+      val remaining = slim.join(
+        selected.select(col("query_id"), col("cid")), Seq("query_id", "cid"),
+        "left_anti")
+      val scored = remaining.as("c")
+        .join(sim.as("m"), Seq("query_id", "cid"))
+        .join(selected.select(col("query_id"), col("cid").as("sid")).as("s"),
+          Seq("query_id", "sid"), "left_semi")
+        .groupBy(col("query_id"), col("cid"), col("rel"))
+        .agg(max(col("sim")).as("mx"))
+        .withColumn("score",
+          col("rel") * mmrLam - col("mx") * (100L - mmrLam))
+      val next = scored
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cid"), lit(r.toLong).as("pick"),
+          col("score"))
+      selected = selected.union(next)
+    }
+    selected
+      .select(col("query_id"), col("pick").as("pick_rank"),
+        col("cid").as("neighbor_id"), col("score").as("mmr_score"))
+      .orderBy("query_id", "pick_rank")
+  }
+
+  private val mmrSql = {
+    val pickSel = (2 to mmrK).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.cid, c.rel,
+         |    CAST(c.rel * $mmrLam - MAX(m.sim) * ${100L - mmrLam} AS BIGINT)
+         |      AS score
+         |  FROM cand c
+         |  JOIN sim m ON m.query_id = c.query_id AND m.cid = c.cid
+         |  JOIN sel${r - 1} s ON s.query_id = c.query_id AND m.sid = s.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} e
+         |    WHERE e.query_id = c.query_id AND e.cid = c.cid)
+         |  GROUP BY c.query_id, c.cid, c.rel),
+         |s$r AS MATERIALIZED (
+         |  SELECT query_id, cid, CAST($r AS BIGINT) AS pick, score FROM (
+         |    SELECT query_id, cid, score, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, cid) AS rk
+         |    FROM p$r) WHERE rk = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |rel AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+       |    CAST(SUM(CAST(FLOOR(q.v * c.v * 1048576) AS BIGINT)) AS BIGINT)
+       |      AS rel
+       |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, cid, rel FROM (
+       |    SELECT query_id, cid, rel, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+       |    FROM rel) WHERE rk <= $mmrPool),
+       |sim AS MATERIALIZED (
+       |  SELECT a.query_id, a.cid AS cid, b.cid AS sid,
+       |    CAST(SUM(CAST(FLOOR(xa.v * xb.v * 1048576) AS BIGINT)) AS BIGINT)
+       |      AS sim
+       |  FROM cand a
+       |  JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+       |  JOIN x xa ON xa.vec_id = a.cid
+       |  JOIN x xb ON xb.vec_id = b.cid AND xa.i = xb.i
+       |  GROUP BY 1, 2, 3),
+       |s1 AS MATERIALIZED (
+       |  SELECT query_id, cid, CAST(1 AS BIGINT) AS pick,
+       |    CAST(rel * $mmrLam AS BIGINT) AS score FROM (
+       |    SELECT query_id, cid, rel, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+       |    FROM cand) WHERE rk = 1),
+       |sel1 AS MATERIALIZED (SELECT * FROM s1),
+       |$pickSel
+       |SELECT query_id, pick AS pick_rank, cid AS neighbor_id,
+       |  score AS mmr_score
+       |FROM sel$mmrK ORDER BY query_id, pick_rank""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_mmr_diversify"   -> mmrDiversify _,
     "s08_embedding_quantize" -> embeddingQuantize _,
     "s09_ann_recall"      -> annRecall _,
     "s01_topk_bruteforce" -> bruteForceTopK _,
@@ -777,6 +921,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s10_mmr_diversify"   -> mmrSql,
     "s08_embedding_quantize" -> quantizeSql,
     "s09_ann_recall"      -> annRecallSql,
     "s01_topk_bruteforce" -> bruteForceSql,

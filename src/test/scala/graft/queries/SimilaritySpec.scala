@@ -134,4 +134,41 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got(1L)._3 === 255L && got(0L)._3 === 0L)
   }
+
+  test("s10: MMR picks match an in-memory greedy recompute") {
+    val out = Similarity.mmrDiversifyDf(clustered).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def fp(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => math.floor(x * y * 1048576.0).toLong }.sum
+    val queries = vecs.keys.filter(id =>
+      id % Similarity.queryStride == 0 &&
+        id < Similarity.queryStride.toLong * Similarity.maxQueries).toSeq.sorted
+    val exp = queries.flatMap { q =>
+      val pool = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, fp(vecs(q), vecs(c))))
+        .sortBy { case (c, rel) => (-rel, c) }.take(Similarity.mmrPool)
+      var sel = List.empty[(Long, Long, Long)] // (cid, pick, score)
+      for (r <- 1 to Similarity.mmrK) {
+        val pick =
+          if (r == 1) pool.map { case (c, rel) =>
+            (c, rel * Similarity.mmrLam)
+          }.minBy { case (c, s0) => (-s0, c) }
+          else pool.filterNot(p => sel.exists(_._1 == p._1))
+            .map { case (c, rel) =>
+              val mx = sel.map(s0 => fp(vecs(c), vecs(s0._1))).max
+              (c, rel * Similarity.mmrLam - mx * (100L - Similarity.mmrLam))
+            }.minBy { case (c, s0) => (-s0, c) }
+        sel = sel :+ ((pick._1, r.toLong, pick._2))
+      }
+      sel.map { case (c, p, s0) => (q, p, c, s0) }
+    }
+    assert(out.toSeq === exp)
+    // diversity holds: picks within a query are distinct
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === rows.length)
+    }
+  }
 }
