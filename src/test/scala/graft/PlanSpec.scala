@@ -357,4 +357,39 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text")),
       "a shuffle carries the document body:\n" + exchanges.mkString("\n"))
   }
+
+  test("t22: dominance signals partial-aggregate map-side; no HOF in " +
+    "the agg path") {
+    val p = plan(graft.queries.TextOps.gopherRules(spark, sf))
+    assert(p.contains("partial_"), p)
+    // the length signals must ride the unigram agg, not an interpreted
+    // aggregate()/filter() lambda pass over the token arrays
+    assert(!p.contains("aggregate(") && !p.contains("ArrayAggregate"),
+      "interpreted HOF pass in the hot path:\n" + p)
+  }
+
+  test("g05: seeds are a TakeOrdered; rounds probe the persisted edges") {
+    val p = plan(graft.queries.Graph.bfsHops(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "seed selection global-sorts:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "edge list recomputed per round:\n" + p)
+  }
+
+  test("q53: change compaction is a bounded heap (TopKPerKey), and the " +
+    "merge is one full-outer join") {
+    val p = plan(Relational.q53CdcApply(spark, sf))
+    assert(p.contains("TopKPerKey"),
+      "rank=1 compaction was not rewritten to the bounded heap:\n" + p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("s10: greedy rounds rank on the codegen'd fixed-point dot; the " +
+    "pool join reads the persisted candidates") {
+    val p = plan(Similarity.mmrDiversify(spark, sf))
+    assert(p.contains("graft_fp_dot"),
+      "fixed-point dot expression missing from the plan:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "candidate pool recomputed per round:\n" + p)
+  }
 }
