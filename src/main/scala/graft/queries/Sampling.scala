@@ -532,8 +532,94 @@ object Sampling {
        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------ p11 water-filling
+  /** p11: budget-constrained source caps by water-filling — the mix
+    * designer's dual of p03's fixed cap: given a global token budget
+    * ([[budgetPct]]% of the corpus), find the per-source cap `c` with
+    * Σ min(tokens_s, c) ≈ budget. Sources below the water line keep
+    * everything (saturated); sources above it are cut to the common
+    * cap — the allocation that maximizes the minimum kept fraction.
+    *
+    * The fixed [[capRounds]] rounds (g01 discipline) iterate the
+    * closed form: cap = (budget − Σ saturated) div |unsaturated|,
+    * re-classifying after each round; it converges in at most
+    * |distinct masses| rounds and monotonically, so "after R rounds"
+    * is a well-defined deterministic relation both engines compute
+    * identically (all-integer; the n_unsat=0 guard keeps it total).
+    *
+    * Scale: the ONLY corpus-sized work is the per-source token mass
+    * aggregate (map-side partial). Every round then operates on the
+    * |sources|-row relation with two one-row broadcast aggregates —
+    * the iteration costs KBs regardless of corpus size, which is why
+    * it can run as a pre-flight before every mix build. */
+  val budgetPct = 90L
+  val capRounds = 4
+
+  def budgetCaps(s: SparkSession, dir: String): DataFrame =
+    budgetCapsDf(t(s, dir, "documents"))
+
+  def budgetCapsDf(docs: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    val tot = m.agg(sum(col("tokens")).as("total"))
+      .select(expr(s"total * $budgetPct div 100").as("budget"))
+    var cur = m.crossJoin(broadcast(tot)).withColumn("sat", lit(false))
+    for (_ <- 1 to capRounds) {
+      val stats = cur.agg(
+        sum(when(col("sat"), col("tokens")).otherwise(0L)).as("sat_sum"),
+        sum(when(col("sat"), 0L).otherwise(1L)).as("n_unsat"))
+      cur = cur.crossJoin(broadcast(stats))
+        .withColumn("cap",
+          when(col("n_unsat") === 0, lit(Long.MaxValue / 4))
+            .otherwise(expr("(budget - sat_sum) div n_unsat")))
+        .withColumn("sat", col("tokens") <= col("cap"))
+        .select(col("source"), col("tokens"), col("budget"),
+          col("cap"), col("sat"))
+    }
+    cur.select(col("source"), col("tokens"), col("cap"),
+        least(col("tokens"), col("cap")).as("alloc"),
+        when(col("sat"), 1L).otherwise(0L).as("saturated"))
+      .orderBy("source")
+  }
+
+  private val p11Sql = {
+    val bigM = Long.MaxValue / 4
+    val rounds = (1 to capRounds).map { r =>
+      s"""st$r AS (
+         |  SELECT CAST(SUM(CASE WHEN sat THEN tokens ELSE 0 END) AS BIGINT)
+         |      AS sat_sum,
+         |    CAST(SUM(CASE WHEN sat THEN 0 ELSE 1 END) AS BIGINT) AS n_unsat
+         |  FROM r${r - 1}),
+         |r$r AS (
+         |  SELECT source, tokens, budget, cap, tokens <= cap AS sat FROM (
+         |    SELECT source, tokens, budget,
+         |      CASE WHEN n_unsat = 0 THEN $bigM
+         |           ELSE (budget - sat_sum) // n_unsat END AS cap
+         |    FROM r${r - 1} CROSS JOIN st$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(tokens) * $budgetPct // 100 AS BIGINT) AS budget
+       |  FROM m),
+       |r0 AS (
+       |  SELECT source, tokens, budget, CAST(0 AS BIGINT) AS cap,
+       |    FALSE AS sat
+       |  FROM m CROSS JOIN tot),
+       |$rounds
+       |SELECT source, tokens, cap,
+       |  least(tokens, cap) AS alloc,
+       |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS BIGINT) AS saturated
+       |FROM r$capRounds ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_budget_caps"       -> budgetCaps _,
     "p10_curriculum"        -> curriculum _,
     "p08_seeded_shuffle"    -> seededShuffle _,
     "p09_interleave_mix"    -> interleaveMix _,
@@ -546,6 +632,7 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p11_budget_caps"       -> p11Sql,
     "p10_curriculum"        -> p10Sql,
     "p08_seeded_shuffle"    -> p08Sql,
     "p09_interleave_mix"    -> p09Sql,

@@ -144,4 +144,38 @@ class SamplingSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))
     assert(out.toSeq === b.toSeq)
   }
+
+  test("p11: water-filling saturates small sources, caps big ones, and " +
+    "fills the budget to within the integer remainder") {
+    import spark.implicits._
+    // skewed masses: 100/200/1000/5000 tokens (one doc per source)
+    val skewed = Seq(
+      (0L, ("w " * 100).trim, "en", "tiny", 0L),
+      (1L, ("w " * 200).trim, "en", "small", 0L),
+      (2L, ("w " * 1000).trim, "en", "mid", 0L),
+      (3L, ("w " * 5000).trim, "en", "huge", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.budgetCapsDf(skewed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val budget = 6300L * Sampling.budgetPct / 100 // = 5670
+    val m = out.map(r => r._1 -> r).toMap
+    // the three under-the-water-line sources keep everything
+    Seq("tiny" -> 100L, "small" -> 200L, "mid" -> 1000L).foreach {
+      case (s0, tk) =>
+        assert(m(s0)._5 === 1L && m(s0)._4 === tk, s0)
+    }
+    // the big source is cut to the remaining budget
+    assert(m("huge")._5 === 0L && m("huge")._4 === budget - 1300L)
+    // allocation fills the budget up to the division remainder
+    val alloc = out.map(_._4).sum
+    val nUnsat = out.count(_._5 == 0L)
+    assert(alloc <= budget && budget - alloc < math.max(nUnsat, 1).toLong)
+    // real corpus: allocation never exceeds the budget, all sources out
+    val real = Sampling.budgetCapsDf(docs).collect()
+    assert(real.length === docs.select("source").distinct().count())
+    val totTok = docs.selectExpr("sum(size(split(text, ' ')))")
+      .collect()(0).getLong(0)
+    assert(real.map(_.getLong(3)).sum <= totTok * Sampling.budgetPct / 100)
+  }
 }
