@@ -51,6 +51,7 @@ object StreamBench {
     val bloom = benchBloom(spark, rps, runSecs)
     val join = benchIntervalJoin(spark, rps, runSecs)
     val drift = benchDrift(spark, rps, runSecs)
+    val sess = benchSessionize(spark, rps, runSecs)
 
     def js(r: OpResult): String =
       s"""{"rows_per_sec":${r.rowsPerSec.round},"total_rows":${r.totalRows},""" +
@@ -59,7 +60,7 @@ object StreamBench {
     val line =
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
         s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
-        s""""drift_monitor":${js(drift)}}"""
+        s""""drift_monitor":${js(drift)},"sessionize":${js(sess)}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
@@ -132,6 +133,28 @@ object StreamBench {
     Files.walk(tmp).iterator().asScala.toSeq.reverse
       .foreach(p => Files.deleteIfExists(p))
     r
+  }
+
+  /** Rate source → 4096 user key-groups with a 200 ms session gap:
+    * sessions close every few events, so the
+    * `flatMapGroupsWithState` state is one open-session row per
+    * ACTIVE user — bounded by key cardinality (≤ 4096 rows) no matter
+    * how long the stream runs, while emitted sessions stream out in
+    * append mode. The custom-state analogue of the session-window
+    * path, measured instead of asserted. */
+  private def benchSessionize(spark: SparkSession, rps: Int, secs: Int): OpResult = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 4096).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"))
+      .as[EventStreams.Event]
+    runQuery(spark,
+      EventStreams.sessionizeStateful(events, gapMs = 200L).toDF(), secs)
   }
 
   private def runQuery(spark: SparkSession,
