@@ -135,13 +135,15 @@ object StreamBench {
     r
   }
 
-  /** Rate source → 4096 user key-groups with a 200 ms session gap:
-    * sessions close every few events, so the
-    * `flatMapGroupsWithState` state is one open-session row per
+  /** Rate source → 4096 user key-groups with a 10 ms session gap. At
+    * 200k rows/s a user's events arrive ~20 ms apart — ABOVE the gap,
+    * so (almost) every event closes the previous session and a
+    * session row is emitted downstream: the bench exercises the full
+    * state-update + emission path, not just state writes. The
+    * `flatMapGroupsWithState` state stays one open-session row per
     * ACTIVE user — bounded by key cardinality (≤ 4096 rows) no matter
-    * how long the stream runs, while emitted sessions stream out in
-    * append mode. The custom-state analogue of the session-window
-    * path, measured instead of asserted. */
+    * how long the stream runs. The custom-state analogue of the
+    * session-window path, measured instead of asserted. */
   private def benchSessionize(spark: SparkSession, rps: Int, secs: Int): OpResult = {
     import spark.implicits._
     import graft.streaming.EventStreams
@@ -154,7 +156,7 @@ object StreamBench {
         lit(1.0).as("value"))
       .as[EventStreams.Event]
     runQuery(spark,
-      EventStreams.sessionizeStateful(events, gapMs = 200L).toDF(), secs)
+      EventStreams.sessionizeStateful(events, gapMs = 10L).toDF(), secs)
   }
 
   private def runQuery(spark: SparkSession,

@@ -506,7 +506,13 @@ object Graph {
       .limit(bfsSeeds)
     var dist = seeds.select(col("node"), lit(0L).as("hop")).persist()
     for (r <- 1 to bfsRounds) {
-      val next = dist.as("f").join(und.as("u"), col("f.node") === col("u.src"))
+      // expand ONLY the hop-(r-1) frontier: nodes settled earlier already
+      // contributed their neighbors in earlier rounds, so re-joining the
+      // whole accumulated relation would regrow with the closure, not
+      // the frontier (min-hop would discard the duplicates — at full
+      // cost)
+      val next = dist.filter(col("hop") === (r - 1)).as("f")
+        .join(und.as("u"), col("f.node") === col("u.src"))
         .select(col("u.dst").as("node"), lit(r.toLong).as("hop"))
       dist = dist.union(next)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
@@ -525,7 +531,8 @@ object Graph {
          |    SELECT node, hop FROM h${r - 1}
          |    UNION ALL
          |    SELECT u.dst AS node, CAST($r AS BIGINT) AS hop
-         |    FROM h${r - 1} f JOIN u ON u.src = f.node) GROUP BY node)"""
+         |    FROM (SELECT node FROM h${r - 1} WHERE hop = ${r - 1}) f
+         |    JOIN u ON u.src = f.node) GROUP BY node)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (

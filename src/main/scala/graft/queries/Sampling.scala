@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
@@ -155,9 +155,7 @@ object Sampling {
         floor(lit(mixScale.toDouble) * (sqrt(col("n_total")) / sqrt(col("n_max")))))
       .select(col("source"), col("n_total"), col("mix_threshold"))
     val kept = docs
-      .withColumn("u",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long"))
+      .withColumn("u", md5U16)
       .join(broadcast(thr.select("source", "mix_threshold")), "source")
       .filter(col("u") < col("mix_threshold"))
       .groupBy(col("source"))
@@ -170,10 +168,7 @@ object Sampling {
   }
 
   private val p04Sql = {
-    // 16-bit integer from the first 4 md5 hex chars, strpos-built
-    val u = (1 to 4).map(i =>
-      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
+    val u = md5U16Sql
     s"""WITH sizes AS (
        |  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
        |mx AS (SELECT MAX(n_total) AS n_max FROM sizes),
@@ -292,38 +287,55 @@ object Sampling {
   val valLo = 90L
   val testLo = 95L
 
+  /** The one doc-id hash every threshold/bucket decision derives from:
+    * a 16-bit integer from the first 4 hex chars of md5(doc_id).
+    * Shared by p04 (temperature thresholds), p07 and p10 (split
+    * buckets) — the leak-free-split contract lives in exactly one
+    * expression on each engine. */
+  private[queries] def md5U16: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+
+  // lazy: referenced by SQL-twin vals declared EARLIER in the object
+  // (p04Sql); a strict val would interpolate null during object init
+  private[queries] lazy val md5U16Sql: String = (1 to 4).map(i =>
+    s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+    .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  /** Split assignment from a 0–99 bucket (p07's contract, reused by
+    * p10 so curriculum phases can never disagree with the split
+    * manifest). */
+  private[queries] def splitOf(bucket: Column): Column =
+    when(bucket < valLo, "train")
+      .when(bucket < testLo, "val")
+      .otherwise("test")
+
+  private[queries] lazy val splitOfSql: String =
+    s"""CASE WHEN bucket < $valLo THEN 'train'
+       |     WHEN bucket < $testLo THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   def datasetSplit(s: SparkSession, dir: String): DataFrame =
     datasetSplitDf(t(s, dir, "documents"))
 
   def datasetSplitDf(documents: DataFrame): DataFrame =
     documents
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < valLo, "train")
-          .when(col("bucket") < testLo, "val")
-          .otherwise("test"))
+      .withColumn("bucket", md5U16 % 100)
+      .withColumn("split", splitOf(col("bucket")))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("split", "source")
 
-  private val p07Sql = {
-    val u = (1 to 4).map(i =>
-      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
+  private val p07Sql =
     s"""WITH b AS (
-       |  SELECT source, n_chars, ($u) % 100 AS bucket FROM documents),
+       |  SELECT source, n_chars, ($md5U16Sql) % 100 AS bucket
+       |  FROM documents),
        |sp AS (
-       |  SELECT source, n_chars,
-       |    CASE WHEN bucket < $valLo THEN 'train'
-       |         WHEN bucket < $testLo THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT source, n_chars, $splitOfSql AS split
        |  FROM b)
        |SELECT split, source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
 
   // ------------------------------------------------- p08 seeded shuffle
   /** p08: deterministic global training-order shuffle — the "randomize
@@ -465,28 +477,14 @@ object Sampling {
   def curriculum(s: SparkSession, dir: String): DataFrame =
     curriculumDf(t(s, dir, "documents"))
 
-  def curriculumDf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("source"),
-      explode(split(col("text"), " ")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val total = freq.agg(sum(col("freq")).as("total"))
-    val scored = toks.join(freq, "tok")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("freq_sum"))
-      .crossJoin(broadcast(total))
+  def curriculumDf(docs: DataFrame): DataFrame =
+    TextOps.familiarityScored(docs)
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        expr("(freq_sum * 1000000L) div (n_tokens * total)").as("fam_ppm"))
-    scored
+        col("familiarity_ppm").as("fam_ppm"))
       .withColumn("band", ntile(4).over(
         Window.partitionBy(col("source"))
           .orderBy(col("fam_ppm").desc, col("doc_id"))).cast("long"))
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < valLo, "train")
-          .when(col("bucket") < testLo, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(md5U16 % 100))
       .groupBy(col("band"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -496,41 +494,23 @@ object Sampling {
         col("total_tokens"), col("min_fam_ppm"),
         expr("fs div n_docs").as("mean_fam_ppm"))
       .orderBy("band", "split")
-  }
 
-  private val p10Sql = {
-    val u = (1 to 4).map(i =>
-      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
-    s"""WITH toks AS (
-       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
-       |freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
-       |total AS (SELECT SUM(freq) AS total FROM freq),
-       |scored AS (
-       |  SELECT t.doc_id, t.source, COUNT(*) AS n_tokens,
-       |    CAST((SUM(f.freq) * 1000000) // (COUNT(*) * MIN(total.total))
-       |      AS BIGINT) AS fam_ppm
-       |  FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
-       |  GROUP BY t.doc_id, t.source),
+  private val p10Sql =
+    s"""WITH ${TextOps.familiaritySqlCtes},
        |banded AS (
-       |  SELECT doc_id, n_tokens, fam_ppm,
+       |  SELECT doc_id, n_tokens, familiarity_ppm AS fam_ppm,
        |    CAST(NTILE(4) OVER (PARTITION BY source
-       |      ORDER BY fam_ppm DESC, doc_id) AS BIGINT) AS band,
-       |    ($u) % 100 AS bucket
+       |      ORDER BY familiarity_ppm DESC, doc_id) AS BIGINT) AS band,
+       |    ($md5U16Sql) % 100 AS bucket
        |  FROM scored),
        |sp AS (
-       |  SELECT band, n_tokens, fam_ppm,
-       |    CASE WHEN bucket < $valLo THEN 'train'
-       |         WHEN bucket < $testLo THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT band, n_tokens, fam_ppm, $splitOfSql AS split
        |  FROM banded)
        |SELECT band, split, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  MIN(fam_ppm) AS min_fam_ppm,
        |  CAST(SUM(fam_ppm) // COUNT(*) AS BIGINT) AS mean_fam_ppm
        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
 
   // ------------------------------------------------ p11 water-filling
   /** p11: budget-constrained source caps by water-filling — the mix
@@ -542,10 +522,19 @@ object Sampling {
     *
     * The fixed [[capRounds]] rounds (g01 discipline) iterate the
     * closed form: cap = (budget − Σ saturated) div |unsaturated|,
-    * re-classifying after each round; it converges in at most
-    * |distinct masses| rounds and monotonically, so "after R rounds"
-    * is a well-defined deterministic relation both engines compute
-    * identically (all-integer; the n_unsat=0 guard keeps it total).
+    * re-classifying after each round. The water line rises
+    * monotonically, and the recurrence reaches its fixed point once a
+    * round newly saturates nobody — in at most |distinct masses|
+    * rounds in the worst case, and within 2–3 on any realistic mass
+    * profile (each round must saturate at least one NEW source to
+    * change anything, so 8 rounds cover any chain through 8
+    * saturation steps; the spec proves fixed-point convergence on the
+    * contract corpus against an exact in-memory recompute). "After R
+    * rounds" is a well-defined deterministic relation both engines
+    * compute identically (all-integer; the n_unsat=0 guard keeps it
+    * total); if a pathological profile needed more rounds, the
+    * un-redistributed slack of the last round's new saturants is the
+    * only deviation, and alloc ≤ budget always holds.
     *
     * Scale: the ONLY corpus-sized work is the per-source token mass
     * aggregate (map-side partial). Every round then operates on the
@@ -553,7 +542,7 @@ object Sampling {
     * the iteration costs KBs regardless of corpus size, which is why
     * it can run as a pre-flight before every mix build. */
   val budgetPct = 90L
-  val capRounds = 4
+  val capRounds = 8
 
   def budgetCaps(s: SparkSession, dir: String): DataFrame =
     budgetCapsDf(t(s, dir, "documents"))

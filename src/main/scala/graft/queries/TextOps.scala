@@ -667,36 +667,67 @@ object TextOps {
   def unigramScore(s: SparkSession, dir: String): DataFrame =
     unigramScoreDf(t(s, dir, "documents"))
 
-  def unigramScoreDf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  /** The ONE familiarity-scoring definition (per (doc_id, source) so
+    * p10 can band within sources; source is functionally dependent on
+    * doc_id, so t15's per-doc semantics are unchanged). Shared by t15
+    * and p10 — a drift in the formula would silently desynchronize
+    * the curriculum bands from the scores they claim to band on, so
+    * it lives in exactly one place (Scala here, SQL in
+    * [[familiaritySqlCtes]]). */
+  private[queries] def familiarityScored(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).as("total"))
     toks.join(freq, "tok")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("freq")).as("freq_sum"),
         min(col("freq")).as("min_freq"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tokens"), col("min_freq"),
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("min_freq"),
         expr("(freq_sum * 1000000L) div (n_tokens * total)")
           .as("familiarity_ppm"))
+  }
+
+  /** DuckDB twin of [[familiarityScored]] as a WITH-clause fragment
+    * ending in a `scored` CTE — spliced into both the t15 and p10
+    * oracles so the two engines' twins share one formula too. */
+  private[queries] val familiaritySqlCtes =
+    """toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+      |total AS (SELECT SUM(freq) AS total FROM freq),
+      |per_doc AS (
+      |  SELECT t.doc_id, t.source, COUNT(*) AS n_tokens,
+      |    SUM(f.freq) AS freq_sum, MIN(f.freq) AS min_freq
+      |  FROM toks t JOIN freq f ON t.tok = f.tok
+      |  GROUP BY t.doc_id, t.source),
+      |scored AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(min_freq AS BIGINT) AS min_freq,
+      |    CAST((freq_sum * 1000000) // (n_tokens * total) AS BIGINT)
+      |      AS familiarity_ppm
+      |  FROM per_doc CROSS JOIN total)""".stripMargin
+
+  def unigramScoreDf(docs: DataFrame): DataFrame = {
+    // t15's own contract needs only (doc_id, text); the shared helper
+    // carries source through for p10 — synthesize it when absent
+    val withSrc =
+      if (docs.columns.contains("source")) docs
+      else docs.withColumn("source", lit(""))
+    familiarityScored(withSrc)
+      .select(col("doc_id"), col("n_tokens"), col("min_freq"),
+        col("familiarity_ppm"))
       .orderBy("doc_id")
   }
 
   private val unigramScoreSql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
-      |total AS (SELECT SUM(freq) AS total FROM freq),
-      |per_doc AS (
-      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
-      |    SUM(f.freq) AS freq_sum, MIN(f.freq) AS min_freq
-      |  FROM toks t JOIN freq f ON t.tok = f.tok GROUP BY t.doc_id)
-      |SELECT doc_id, n_tokens, CAST(min_freq AS BIGINT) AS min_freq,
-      |  CAST((freq_sum * 1000000) // (n_tokens * total) AS BIGINT)
-      |    AS familiarity_ppm
-      |FROM per_doc CROSS JOIN total ORDER BY doc_id""".stripMargin
+    s"""WITH $familiaritySqlCtes
+       |SELECT doc_id, n_tokens, min_freq, familiarity_ppm
+       |FROM scored ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- t16
   /** Corpus vocabulary profile — the numbers a tokenizer budget and a

@@ -98,5 +98,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.curriculumDf(noFull).count() === 0)
     assert(Graph.bfsHopsDf(noLi, noOrd).count() === 0)
     assert(Relational.q53CdcApplyDf(noEv, noCust).count() === 0)
+    assert(Sampling.budgetCapsDf(noFull).count() === 0)
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.mmrDiversifyDf(noEmb).count() === 0)
   }
 }

@@ -171,11 +171,35 @@ class SamplingSpec extends SparkSpec {
     val alloc = out.map(_._4).sum
     val nUnsat = out.count(_._5 == 0L)
     assert(alloc <= budget && budget - alloc < math.max(nUnsat, 1).toLong)
-    // real corpus: allocation never exceeds the budget, all sources out
+    // real corpus: the rounds reach the water-filling FIXED POINT —
+    // the output equals an in-memory iteration run to convergence
     val real = Sampling.budgetCapsDf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
     assert(real.length === docs.select("source").distinct().count())
-    val totTok = docs.selectExpr("sum(size(split(text, ' ')))")
-      .collect()(0).getLong(0)
-    assert(real.map(_.getLong(3)).sum <= totTok * Sampling.budgetPct / 100)
+    val masses = docs
+      .selectExpr("source", "size(split(text, ' ')) as n").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val b = masses.values.sum * Sampling.budgetPct / 100
+    var sat = Set.empty[String]
+    var cap = 0L
+    var converged = false
+    while (!converged) {
+      val satSum = sat.toSeq.map(masses).sum
+      val nUnsat = masses.size - sat.size
+      cap = if (nUnsat == 0) Long.MaxValue / 4 else (b - satSum) / nUnsat
+      val next = masses.filter(_._2 <= cap).keySet
+      converged = next == sat
+      sat = next
+    }
+    val want = masses.map { case (s0, tk) =>
+      (s0, tk, cap, math.min(tk, cap), if (tk <= cap) 1L else 0L)
+    }.toSeq.sortBy(_._1)
+    assert(real.toSeq === want,
+      "capRounds did not reach the fixed point on the contract corpus")
+    // at the fixed point the budget is filled to the division remainder
+    val nUnsatFinal = real.count(_._5 == 0L)
+    assert(b - real.map(_._4).sum < math.max(nUnsatFinal, 1).toLong)
   }
 }
