@@ -548,13 +548,25 @@ object Sampling {
     budgetCapsDf(t(s, dir, "documents"))
 
   def budgetCapsDf(docs: DataFrame): DataFrame = {
+    // persist the one corpus-sized stage: every round's stats aggregate
+    // AND the next round's relation re-derive from here, so without the
+    // persist the token-mass scan re-executes 2×capRounds times
+    // (measured 7.2 s → sub-second at sf0.1)
     val m = docs
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+      .persist()
     val tot = m.agg(sum(col("tokens")).as("total"))
       .select(expr(s"total * $budgetPct div 100").as("budget"))
+    // each round references its predecessor TWICE (the stats aggregate
+    // and the relation itself), so an un-truncated lineage doubles per
+    // round — 2^capRounds subtrees re-planning the corpus scan (the
+    // g03/d07 inline-doubling disease; measured 25 s at sf0.1).
+    // localCheckpoint pins each round's 20-row relation instead
+    // (sub-second total); the corpus is only ever scanned once, into m.
     var cur = m.crossJoin(broadcast(tot)).withColumn("sat", lit(false))
+      .localCheckpoint()
     for (_ <- 1 to capRounds) {
       val stats = cur.agg(
         sum(when(col("sat"), col("tokens")).otherwise(0L)).as("sat_sum"),
@@ -566,6 +578,7 @@ object Sampling {
         .withColumn("sat", col("tokens") <= col("cap"))
         .select(col("source"), col("tokens"), col("budget"),
           col("cap"), col("sat"))
+        .localCheckpoint()
     }
     cur.select(col("source"), col("tokens"), col("cap"),
         least(col("tokens"), col("cap")).as("alloc"),
