@@ -1856,8 +1856,86 @@ object Relational {
        |WHERE NOT (c_acctbal IS NULL AND op = 'delete')
        |ORDER BY custkey""".stripMargin
 
+  // ------------------------------------------------------------- q54
+  /** Ordered event funnel — signup → view → purchase, each stage's
+    * timestamp strictly after the previous stage's and within a
+    * [[funnelWindowUs]] conversion window of it (the product-analytics
+    * primitive next to q24's sessionize and q51's SCD2; an unwindowed
+    * funnel is degenerate on any long-lived user base — everyone
+    * eventually does everything). Per user: the FIRST signup, the
+    * first qualifying view, the first qualifying purchase, and the
+    * stage reached (1–3).
+    *
+    * Determinism: all stage choices are MIN over exact integer micros
+    * (ties collapse in the MIN) and the window bound is an integer
+    * add, so both engines pick identical stage times; stage is an
+    * integer CASE. Spark-first shape: each stage is a user-keyed
+    * conditional min — three partial-agged hash aggs and two id-keyed
+    * joins, no window function, no ordering pass. All three aggs hash
+    * on user_id, so they reuse ONE shuffle layout; at 100 TB the
+    * stage relations are |users|-sized (orders smaller than the event
+    * log) and the joins are slim. */
+  val funnelWindowUs = 86400000000L // 24 h in micros
+
+  def q54Funnel(s: SparkSession, dir: String): DataFrame =
+    q54FunnelDf(t(s, dir, "events"))
+
+  def q54FunnelDf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "view" && col("us") > col("t1") &&
+        col("us") <= col("t1") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("t2") &&
+        col("us") <= col("t2") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .otherwise(1L).as("stage"),
+        col("t1").as("signup_us"), col("t2").as("view_us"),
+        col("t3").as("purchase_us"))
+      .orderBy("user_id")
+  }
+
+  private val q54Sql =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(us) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.us) AS t2
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.us > s1.t1
+      |    AND e.us <= s1.t1 + $funnelWindowUs
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.us) AS t3
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+      |    AND e.us <= s2.t2 + $funnelWindowUs
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |       WHEN s2.t2 IS NOT NULL THEN 2
+      |       ELSE 1 END AS BIGINT) AS stage,
+      |  s1.t1 AS signup_us, s2.t2 AS view_us, s3.t3 AS purchase_us
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_funnel"          -> q54Funnel _,
     "q53_cdc_apply"       -> q53CdcApply _,
     "q52_winsorize"       -> q52Winsorize _,
     "q51_scd2_intervals"  -> q51Scd2Intervals _,
@@ -1913,6 +1991,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q54_funnel"          -> q54Sql,
     "q53_cdc_apply"       -> q53Sql,
     "q52_winsorize"       -> q52Sql,
     "q51_scd2_intervals"  -> q51Sql,

@@ -218,6 +218,41 @@ class RelationalSpec extends SparkSpec {
     assert(kinds === Set("unchanged", "updated", "inserted", "deleted"))
   }
 
+  test("q54: funnel stages match an independent ordered-scan recompute") {
+    import spark.implicits._
+    val out = Relational.q54Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val ev = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000 as us")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    val w = Relational.funnelWindowUs
+    val exp = ev.toSeq.flatMap { case (u, es) =>
+      val t1 = es.filter(_._2 == "signup").map(_._3).sorted.headOption
+      t1.map { a =>
+        val t2 = es.filter(e => e._2 == "view" && e._3 > a && e._3 <= a + w)
+          .map(_._3).sorted.headOption
+        val t3 = t2.flatMap(b =>
+          es.filter(e => e._2 == "purchase" && e._3 > b && e._3 <= b + w)
+            .map(_._3).sorted.headOption)
+        val stage = if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
+        (u, stage, a, t2, t3)
+      }
+    }.sortBy(_._1)
+    assert(out.toSeq === exp)
+    // ordering invariant: each stage time strictly follows the previous
+    out.foreach { case (u, _, a, t2, t3) =>
+      t2.foreach(b => assert(b > a && b <= a + w, s"user $u view"))
+      (t2, t3) match {
+        case (Some(b), Some(c)) =>
+          assert(c > b && c <= b + w, s"user $u purchase")
+        case (None, Some(_)) => fail(s"user $u purchased without view")
+        case _ =>
+      }
+    }
+  }
+
   test("q50: support/confidence/lift match an independent recompute") {
     import spark.implicits._
     val brand = spark.read.parquet(s"$sf/part.parquet")
