@@ -1223,7 +1223,113 @@ object TextOps {
       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t23
+  /** Iterative BPE merge LEARNING — the actual tokenizer-training loop
+    * (Sennrich et al. 2016), not just t12's one-shot pair count: start
+    * from characters, and for each round pick the globally most
+    * frequent adjacent symbol pair and merge it everywhere, greedy
+    * left-to-right. Output = the learned merge table (round, pair,
+    * weighted count), the artifact a tokenizer trainer persists.
+    *
+    * Classic BPE scale trick: train on the WORD-FREQUENCY table, not
+    * the corpus — one corpus-scale tokenize+count shuffle up front
+    * (t01's tokenizer, alphabet [A-Za-z0-9-]), then every round is
+    * vocabulary-sized: explode adjacent pairs weighted by word count
+    * (one vocab-sized shuffle), global top-1 via TakeOrdered, broadcast
+    * the 1-row winner back (scalar-broadcast idiom) and rewrite
+    * map-side. Each round's symbol table is persisted so total work is
+    * linear in rounds, and at 100 TB only the first pass ever touches
+    * the corpus.
+    *
+    * Cross-engine exactness: the symbol sequence is encoded as a
+    * single-space-delimited string (' a  b  c ' — tokens never contain
+    * spaces since the alphabet excludes them), so "merge the pair
+    * everywhere, greedy left-to-right" IS literal `replace(enc,
+    * ' l  r ', ' lr ')` — both Spark's UTF8String.replace and DuckDB's
+    * replace scan left-to-right non-overlapping without rescanning
+    * replaced output, giving identical merge semantics with zero
+    * custom code. All counts are exact BIGINTs; the argmax tie-break
+    * is the pair string (binary collation both engines). */
+  val bpeLearnRounds = 6
+
+  def bpeLearn(s: SparkSession, dir: String): DataFrame =
+    bpeLearnDf(t(s, dir, "documents"))
+
+  def bpeLearnDf(docs: DataFrame): DataFrame = {
+    // word-frequency table, symbols = characters: " a  b  c " encoding
+    var enc = docs
+      .select(explode(split(col("text"), tokenizerDelim)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("enc"), col("cnt"))
+      .persist()
+    var merges: DataFrame = null
+    for (r <- 1 to bpeLearnRounds) {
+      val pairs = enc
+        .select(split(trim(col("enc")), "  ").as("toks"), col("cnt"))
+        .select(explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+             END""")).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+      val m = pairs.orderBy(col("pcnt").desc, col("pair")).limit(1)
+        .select(lit(r.toLong).as("round"), col("pair"), col("pcnt"))
+      merges = if (merges == null) m else merges.unionByName(m)
+      enc = enc
+        .crossJoin(broadcast(m.select(col("pair").as("__p"))))
+        .select(expr(
+          """replace(enc, ' ' || replace(__p, ' ', '  ') || ' ',
+                          ' ' || replace(__p, ' ', '') || ' ')""").as("enc"),
+          col("cnt"))
+        .persist()
+    }
+    merges
+      .select(col("round"),
+        expr("split(pair, ' ')[0]").as("left_tok"),
+        expr("split(pair, ' ')[1]").as("right_tok"),
+        expr("replace(pair, ' ', '')").as("merged"),
+        col("pcnt").as("pair_cnt"))
+      .orderBy("round")
+  }
+
+  private val bpeLearnSql: String = {
+    val wf =
+      """wf AS (
+        |  SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '[^A-Za-z0-9-]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |e0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS enc, cnt FROM wf)"""
+        .stripMargin
+    val rounds = (1 to bpeLearnRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT toks[i] || ' ' || toks[i + 1] AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS pcnt
+         |  FROM (SELECT string_split(trim(enc, ' '), '  ') AS toks, cnt
+         |        FROM e${r - 1}) s,
+         |       unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  GROUP BY 1),
+         |m$r AS (SELECT pair, pcnt FROM p$r ORDER BY pcnt DESC, pair LIMIT 1),
+         |e$r AS MATERIALIZED (
+         |  SELECT replace(enc, ' ' || replace(pair, ' ', '  ') || ' ',
+         |                      ' ' || replace(pair, ' ', '') || ' ') AS enc,
+         |         cnt
+         |  FROM e${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to bpeLearnRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  string_split(pair, ' ')[1] AS left_tok,
+         |  string_split(pair, ' ')[2] AS right_tok,
+         |  replace(pair, ' ', '') AS merged, pcnt AS pair_cnt FROM m$r"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $wf,\n$rounds\n$out\nORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_bpe_learn" -> bpeLearn _,
     "t22_gopher_rules" -> gopherRules _,
     "t21_bigram_lm" -> bigramLm _,
     "t20_span_contamination" -> spanContamination _,
@@ -1249,6 +1355,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t23_bpe_learn" -> bpeLearnSql,
     "t22_gopher_rules" -> gopherRulesSql,
     "t21_bigram_lm" -> bigramLmSql,
     "t20_span_contamination" -> spanContaminationSql,

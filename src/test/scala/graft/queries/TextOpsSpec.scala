@@ -231,4 +231,45 @@ class TextOpsSpec extends SparkSpec {
     // the rule set discriminates on real data: keeps AND drops exist
     assert(out.exists(_.getLong(7) == 1L) && out.exists(_.getLong(7) == 0L))
   }
+
+  test("t23: learned merges match an in-memory greedy BPE trainer") {
+    val docs = Seq(
+      (0L, "low lower lowest low low"),
+      (1L, "new newer newest new"),
+      (2L, "wide wider widest lower new"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeLearnDf(docs)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+
+    // reference trainer: word-freq symbols, argmax (cnt desc, pair asc),
+    // greedy left-to-right merge each round
+    var wf: Map[Vector[String], Long] = docs.collect()
+      .flatMap(_.getString(1).split("[^A-Za-z0-9-]+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.length.toLong }
+    val expect = (1 to TextOps.bpeLearnRounds).map { r =>
+      val counts = wf.toSeq.flatMap { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1)) -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((l, rr), c) = counts.minBy { case ((l, rr), c) =>
+        (-c, l + " " + rr) }
+      wf = wf.map { case (syms, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+            out += (l + rr); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> cnt
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r.toLong, l, rr, l + rr, c)
+    }
+    assert(got === expect)
+    // the iteration composes: some merge reuses an earlier round's token
+    val learned = got.map(_._4).toSet
+    assert(got.exists(m => learned.contains(m._2) && m._2.length > 1)
+      || got.exists(m => learned.contains(m._3) && m._3.length > 1))
+  }
 }
