@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class PortableHll(
     child: Expression,
+    emitRegisters: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] {
@@ -43,12 +44,15 @@ case class PortableHll(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_portable_hll"
+  override def prettyName: String =
+    if (emitRegisters) "graft_portable_hll_regs" else "graft_portable_hll"
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("estimate", DoubleType, nullable = false),
-    StructField("harmonic_sum", LongType, nullable = false),
-    StructField("zero_registers", LongType, nullable = false)))
+  override def dataType: DataType =
+    if (emitRegisters) ArrayType(IntegerType, containsNull = false)
+    else StructType(Seq(
+      StructField("estimate", DoubleType, nullable = false),
+      StructField("harmonic_sum", LongType, nullable = false),
+      StructField("zero_registers", LongType, nullable = false)))
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
@@ -82,6 +86,12 @@ case class PortableHll(
   }
 
   override def eval(buf: Array[Byte]): Any = {
+    if (emitRegisters)
+      // raw m-register vector — the MERGEABLE form: coarser rollup
+      // levels re-aggregate these by per-index max without rescanning
+      // the fact (a10); collapse only at output time
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.map(_.toInt))
     var s = 0L
     var zeros = 0L
     var i = 0
@@ -122,4 +132,10 @@ object PortableHll {
     * engines agree on integer→string rendering). */
   def portableHll(c: Column): Column = ColumnBridge.column(
     PortableHll(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Register-vector form: the mergeable partial state (m ints), for
+    * sketch-cube re-aggregation across rollup levels (a10). */
+  def portableHllRegs(c: Column): Column = ColumnBridge.column(
+    PortableHll(ColumnBridge.expression(c), emitRegisters = true)
+      .toAggregateExpression())
 }

@@ -523,7 +523,125 @@ object Sketches {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
   }
 
+  // ------------------------------------------------------------- a10
+  /** Sketch-cube re-aggregation — the property that makes sketches the
+    * 100 TB answer to hierarchical distinct counts: compute the
+    * [[PortableHll]] REGISTER VECTORS once at the finest grain
+    * (l_returnflag × l_linestatus), then derive every coarser rollup
+    * level — per flag, grand total — by per-register max over those
+    * leaf vectors, never rescanning the fact. A naive rollup
+    * count-distinct re-shuffles the fact once per level; the sketch
+    * cube shuffles it once, total, and the leaf relation it
+    * re-aggregates is (leaf groups × 64 registers) rows.
+    *
+    * The exact reference side (native `rollup` + count_distinct) rides
+    * along per level, so the output is also an accuracy table. The
+    * rolled-up sketch states are hash-checked against DuckDB computing
+    * each level DIRECTLY from the rows (GROUPING SETS over the a03
+    * register chain) — equality of the two computations IS the proof
+    * that the register merge is exact, not approximately compatible.
+    * Rolled-up keys use the '*' sentinel (never NULL) so level keys
+    * join and hash identically everywhere.
+    *
+    * The estimate column is `floor(A / S)` with A the α·m²·2⁵⁰
+    * numerator pinned as one BIGINT literal — BIGINT÷BIGINT, exact on
+    * any engine. (A first cut emitted a03's ROUND(double, 4) form and
+    * hash-failed on a 4-dp representability boundary at level 0 — the
+    * verify-skill rule caught live; a03's own values just never sit on
+    * a boundary.) */
+  private val hllEstNum = 3271257763731268608L // round(α·64²·2⁵⁰)
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHll.portableHllRegs
+    val li = t(s, dir, "lineitem")
+    // one pass over the fact: leaf register vectors (m ints per leaf)
+    val leaf = li
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(portableHllRegs(col("l_partkey").cast("string")).as("regs"))
+    val cells = leaf.select(col("rf"), col("ls"),
+      posexplode(col("regs")).as(Seq("idx", "r")))
+    // collapse a (group, idx, r) relation into the a03 sketch state
+    def collapse(grouped: DataFrame, level: Int): DataFrame =
+      grouped
+        .groupBy(col("rfs"), col("lss"))
+        .agg(expr("sum(shiftleft(1L, 50 - r))").as("harmonic_sum"),
+          expr("sum(CASE WHEN r = 0 THEN 1L ELSE 0L END)")
+            .as("zero_registers"))
+        .select(lit(level.toLong).as("level"), col("rfs"), col("lss"),
+          expr(s"${hllEstNum}L div harmonic_sum").as("hll_estimate"),
+          col("harmonic_sum"), col("zero_registers"))
+    val lvl2 = collapse(
+      cells.select(col("rf").as("rfs"), col("ls").as("lss"), col("r")), 2)
+    val lvl1 = collapse(
+      cells.groupBy(col("rf").as("rfs"), col("idx"))
+        .agg(max(col("r")).as("r"))
+        .select(col("rfs"), lit("*").as("lss"), col("r")), 1)
+    val lvl0 = collapse(
+      cells.groupBy(col("idx")).agg(max(col("r")).as("r"))
+        .select(lit("*").as("rfs"), lit("*").as("lss"), col("r")), 0)
+    // exact side: one native rollup (the accuracy reference; at real
+    // scale you keep only the sketch cube above)
+    val exact = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(coalesce(col("l_returnflag"), lit("*")).as("rfs"),
+        coalesce(col("l_linestatus"), lit("*")).as("lss"),
+        col("exact_parts"))
+    lvl2.unionByName(lvl1).unionByName(lvl0)
+      .join(exact, Seq("rfs", "lss"))
+      .select(col("level"), col("rfs").as("l_returnflag"),
+        col("lss").as("l_linestatus"), col("hll_estimate"),
+        col("harmonic_sum"), col("zero_registers"), col("exact_parts"))
+      .orderBy("level", "l_returnflag", "l_linestatus")
+  }
+
+  /** DuckDB twin: the a03 register chain under GROUPING SETS — each
+    * level computed directly from the rows; matching the Spark side's
+    * merged-from-leaves states proves the merge exact. */
+  private val sketchRollupSql =
+    """WITH h AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem),
+      |zd AS (
+      |  SELECT rf, ls, hx,
+      |    len(regexp_extract(substring(hx, 3, 12), '^0*')) AS nz
+      |  FROM h),
+      |rr AS (
+      |  SELECT rf, ls,
+      |    ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+      |     (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 64 AS reg,
+      |    CASE WHEN nz = 12 THEN 49
+      |      ELSE 4 * nz + 1 +
+      |        CASE WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 8 THEN 0
+      |             WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 4 THEN 1
+      |             WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 2 THEN 2
+      |             ELSE 3 END
+      |    END AS rank
+      |  FROM zd),
+      |regs AS (
+      |  SELECT CASE WHEN GROUPING(rf) = 1 THEN '*' ELSE rf END AS rfs,
+      |    CASE WHEN GROUPING(ls) = 1 THEN '*' ELSE ls END AS lss,
+      |    CAST(GROUPING(rf) + GROUPING(ls) AS BIGINT) AS miss,
+      |    reg, MAX(rank) AS r
+      |  FROM rr GROUP BY GROUPING SETS ((rf, ls, reg), (rf, reg), (reg))),
+      |st AS (
+      |  SELECT 2 - miss AS level, rfs, lss,
+      |    CAST(SUM((1::BIGINT << (50 - r))) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS harmonic_sum,
+      |    CAST(64 - COUNT(*) AS BIGINT) AS zero_registers
+      |  FROM regs GROUP BY 1, 2, 3),
+      |ex AS (
+      |  SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '*' ELSE l_returnflag END AS rfs,
+      |    CASE WHEN GROUPING(l_linestatus) = 1 THEN '*' ELSE l_linestatus END AS lss,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      |  FROM lineitem
+      |  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()))
+      |SELECT CAST(level AS BIGINT) AS level, rfs AS l_returnflag,
+      |  lss AS l_linestatus,
+      |  CAST(3271257763731268608 // harmonic_sum AS BIGINT) AS hll_estimate,
+      |  harmonic_sum, zero_registers, exact_parts
+      |FROM st JOIN ex USING (rfs, lss)
+      |ORDER BY level, l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_sketch_rollup" -> sketchRollup _,
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
     "a03_portable_hll" -> portableHllDistinct _,
@@ -536,6 +654,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a10_sketch_rollup" -> sketchRollupSql,
     "a03_portable_hll" -> portableHllSql,
     "a04_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "a05_hist_quantiles" -> histogramQuantilesSql,

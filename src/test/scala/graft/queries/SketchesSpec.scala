@@ -145,4 +145,33 @@ class SketchesSpec extends SparkSpec {
     assert(mk === li.select("l_orderkey").distinct().count())
     assert(mx <= out && mx >= 1L)
   }
+
+  test("a10: rolled-up sketch states equal direct sketches per level") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHll
+    val out = Sketches.sketchRollup(spark, sf).collect()
+    // 6 leaves (3 flags × 2 statuses) + 3 flags + 1 total on TPC-H data
+    assert(out.map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1L, 1L, 1L, 2L, 2L, 2L, 2L, 2L, 2L))
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    // the law under test: merging leaf registers must give the SAME
+    // state as sketching the coarser group directly from the rows
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(PortableHll.portableHll(col("l_partkey").cast("string"))
+        .as("h"))
+      .select(col("l_returnflag"), col("h.harmonic_sum"))
+      .as[(String, Long)].collect().toMap
+    out.filter(_.getLong(0) == 1L).foreach { r =>
+      assert(r.getLong(4) === direct(r.getString(1)),
+        s"flag ${r.getString(1)}: merged state != direct state")
+    }
+    // raw-HLL estimate within 15% of exact at every level (m=64)
+    out.foreach { r =>
+      val est = r.getLong(3).toDouble
+      val exact = r.getLong(6).toDouble
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"level ${r.getLong(0)} ${r.getString(1)}/${r.getString(2)}: " +
+          s"est $est exact $exact")
+    }
+  }
 }
