@@ -1933,8 +1933,84 @@ object Relational {
       |LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  // ------------------------------------------------------------- q55
+  /** Incremental materialized-view maintenance — the aggregate-state
+    * merge that keeps a 100 TB rollup fresh without rescanning it:
+    * the per-customer order summary is held as MERGEABLE state
+    * (count, DECIMAL sum, min/max date), a delta batch is aggregated
+    * to the same state shape, and refresh = ONE full-outer join
+    * combining states field-wise. Here the base is pre-cutoff orders
+    * and the delta is everything after [[mvCutoff]].
+    *
+    * The ORACLE is the view definition itself — a direct aggregate
+    * over the full table — so a pass is the algebraic proof that
+    * merge(state(base), state(delta)) == state(base ∪ delta),
+    * cell-exact: counts add, DECIMAL sums add exactly (no float
+    * accumulation), min/max combine by explicit CASE (spelled
+    * identically in both engines; least/greatest null handling is NOT
+    * relied on), and the derived avg is integer cents division off
+    * the merged state.
+    *
+    * Scale: the delta agg shuffles only the batch; the merge join is
+    * |state|-sized and shuffle-free on the base side when the stored
+    * state is bucketed by key (BucketingSpec); the fact history is
+    * never re-read. Associativity of the state merge (spec-tested)
+    * means refresh batches can be split or coalesced freely. */
+  val mvCutoff = "1997-01-01"
+
+  def q55MvMerge(s: SparkSession, dir: String): DataFrame =
+    q55MvMergeDf(t(s, dir, "orders"))
+
+  def q55MvMergeDf(orders: DataFrame): DataFrame =
+    mvMergeStates(
+      mvState(orders.filter(col("o_orderdate") < lit(mvCutoff))),
+      mvState(orders.filter(col("o_orderdate") >= lit(mvCutoff))))
+
+  /** The mergeable state shape for the q55 view (one row per key). */
+  def mvState(part: DataFrame): DataFrame =
+    part.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("spend"),
+        min(col("o_orderdate")).as("first_d"),
+        max(col("o_orderdate")).as("last_d"))
+
+  /** Field-wise state merge + output projection (refresh operator). */
+  def mvMergeStates(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("o_custkey"), col("n").as("n_b"),
+      col("spend").as("sp_b"), col("first_d").as("f_b"),
+      col("last_d").as("l_b"))
+    val d = delta.select(col("o_custkey"), col("n").as("n_d"),
+      col("spend").as("sp_d"), col("first_d").as("f_d"),
+      col("last_d").as("l_d"))
+    b.join(d, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        expr("""CAST(coalesce(sp_b, 0) + coalesce(sp_d, 0)
+                AS DECIMAL(38, 2))""").as("total_spend"),
+        expr("""CASE WHEN f_b IS NULL THEN f_d
+                     WHEN f_d IS NULL THEN f_b
+                     WHEN f_b < f_d THEN f_b ELSE f_d END""")
+          .as("first_order"),
+        expr("""CASE WHEN l_b IS NULL THEN l_d
+                     WHEN l_d IS NULL THEN l_b
+                     WHEN l_b > l_d THEN l_b ELSE l_d END""")
+          .as("last_order"))
+      .withColumn("avg_cents",
+        expr("CAST(total_spend * 100 AS BIGINT) div n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** The view DEFINITION (direct recompute) — merge must equal this. */
+  private val q55Sql =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(o_totalprice) AS DECIMAL(38, 2)) AS total_spend,
+      |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+      |  CAST(SUM(o_totalprice) * 100 AS BIGINT) // COUNT(*) AS avg_cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_mv_merge"        -> q55MvMerge _,
     "q54_funnel"          -> q54Funnel _,
     "q53_cdc_apply"       -> q53CdcApply _,
     "q52_winsorize"       -> q52Winsorize _,
@@ -1991,6 +2067,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q55_mv_merge"        -> q55Sql,
     "q54_funnel"          -> q54Sql,
     "q53_cdc_apply"       -> q53Sql,
     "q52_winsorize"       -> q52Sql,

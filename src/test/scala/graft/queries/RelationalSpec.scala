@@ -276,4 +276,29 @@ class RelationalSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(got === exp)
   }
+
+  test("q55: state merge is associative — split refreshes equal direct") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.t(spark, sf, "orders")
+    // direct recompute (the view definition / the oracle)
+    val direct = Relational.mvMergeStates(
+      Relational.mvState(orders), Relational.mvState(orders.limit(0)))
+      .collect().toSeq
+    // two-step refresh: base + (delta split in two batches, merged one
+    // at a time through the SAME operator, state shape preserved)
+    val base = orders.filter(col("o_orderdate") < lit(Relational.mvCutoff))
+    val d1 = orders.filter(col("o_orderdate") >= lit(Relational.mvCutoff) &&
+      col("o_orderkey") % 2 === 0)
+    val d2 = orders.filter(col("o_orderdate") >= lit(Relational.mvCutoff) &&
+      col("o_orderkey") % 2 === 1)
+    val step1 = Relational.mvMergeStates(
+      Relational.mvState(base), Relational.mvState(d1))
+      .select(col("o_custkey"), col("n_orders").as("n"),
+        col("total_spend").as("spend"), col("first_order").as("first_d"),
+        col("last_order").as("last_d"))
+    val twoStep = Relational.mvMergeStates(step1, Relational.mvState(d2))
+      .collect().toSeq
+    assert(twoStep === direct)
+    assert(direct.nonEmpty)
+  }
 }
