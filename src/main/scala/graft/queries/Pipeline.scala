@@ -86,10 +86,142 @@ object Pipeline {
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------- e02
+  /** Incremental corpus REFRESH — e01's steady state: a new document
+    * batch (the top fifth of the id space; base ids all precede delta
+    * ids, so the d01 min-id keeper rule makes incremental == rebuild
+    * provably) is gated, deduplicated AGAINST THE BASE INDEX, and
+    * folded into the shard manifests — the base corpus text is never
+    * re-read for content, only its 32 B/doc hash index and its
+    * |shards|-sized manifest are touched (both persisted artifacts in
+    * production).
+    *
+    * The base-dedup probe composes a08's two-tier shape: a constant-
+    * size [[graft.functions.PortableBloom]] of base hashes broadcasts
+    * and rejects definite-new docs MAP-SIDE (a Bloom has no false
+    * negatives, so a miss is proof of novelty); only the maybe-dupe
+    * residue — a vanishing fraction of a mostly-novel batch — reaches
+    * the exact anti-join against the index. Batch-internal dupes then
+    * collapse by the same min-id rule, and the manifest fold is the
+    * q55 state merge (counts/sums over a full-outer shard join).
+    *
+    * The ORACLE rebuilds from scratch (e01's chain over base and over
+    * everything, added = difference) — a pass proves the incremental
+    * path is EXACTLY the rebuild, Bloom shortcut and all. */
+  def corpusRefresh(s: SparkSession, dir: String): DataFrame =
+    corpusRefreshDf(t(s, dir, "documents"))
+
+  /** Per-shard manifest of a kept-doc relation (doc_id, n_tokens). */
+  private def shardManifest(kept: DataFrame): DataFrame =
+    kept
+      .withColumn("skey", md5(concat(
+        lit(Sampling.shuffleSeed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, Sampling.shardHexChars), 16, 10)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  def corpusRefreshDf(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableBloom
+    val cut = documents.agg(expr("max(doc_id) * 4 div 5").as("cutoff"))
+    val split = documents.crossJoin(broadcast(cut))
+    def gated(part: DataFrame) =
+      TextOps.gateScored(part).filter(col("reason") === "ok")
+        .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("h"))
+    val okBase = gated(split.filter(col("doc_id") < col("cutoff"))
+      .drop("cutoff"))
+    val okDelta = gated(split.filter(col("doc_id") >= col("cutoff"))
+      .drop("cutoff"))
+    // persisted-in-production artifacts: hash index + Bloom of it
+    val baseIndex = okBase.select(col("h")).distinct()
+    val baseBloom = baseIndex.agg(
+      PortableBloom.portableBloom(col("h")).as("sk"))
+    // two-tier novelty check: map-side Bloom, exact join on the residue
+    val flagged = okDelta.crossJoin(broadcast(baseBloom))
+      .withColumn("maybe", PortableBloom.hit(col("sk"), col("h")))
+      .drop("sk")
+    val novel = flagged.filter(!col("maybe")).drop("maybe")
+      .unionByName(flagged.filter(col("maybe")).drop("maybe")
+        .join(baseIndex, Seq("h"), "left_anti"))
+    // batch-internal dedup (d01 keeper rule), then manifest the batch
+    val keepers = novel.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val addM = shardManifest(novel.join(keepers, "doc_id"))
+    // base manifest (the stored one) + state merge = refreshed view
+    val baseKeepers = okBase.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val baseM = shardManifest(okBase.join(baseKeepers, "doc_id"))
+    baseM.select(col("shard"), col("n_docs").as("bd"),
+        col("n_tokens").as("bt"))
+      .join(addM.select(col("shard"), col("n_docs").as("ad"),
+        col("n_tokens").as("at")), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("bd"), lit(0L)).as("base_docs"),
+        coalesce(col("ad"), lit(0L)).as("add_docs"),
+        (coalesce(col("bd"), lit(0L)) + coalesce(col("ad"), lit(0L)))
+          .as("new_docs"),
+        coalesce(col("bt"), lit(0L)).as("base_tokens"),
+        coalesce(col("at"), lit(0L)).as("add_tokens"),
+        (coalesce(col("bt"), lit(0L)) + coalesce(col("at"), lit(0L)))
+          .as("new_tokens"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB twin: full REBUILD via the e01 chain over base and over
+    * everything; added = rebuild − base. Matching the Spark side's
+    * incremental fold proves incremental == rebuild. */
+  private val corpusRefreshSql = {
+    val shard = (1 to Sampling.shardHexChars).map(i =>
+      s"(strpos('0123456789abcdef', substring(skey, $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    def manifest(okRel: String, name: String) =
+      s"""keep_$name AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM $okRel GROUP BY md5(text)),
+         |m_$name AS (
+         |  SELECT CAST($shard AS BIGINT) AS shard,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM (SELECT o.doc_id, o.n_tokens,
+         |          md5('${Sampling.shuffleSeed}:' ||
+         |            CAST(o.doc_id AS VARCHAR)) AS skey
+         |        FROM $okRel o JOIN keep_$name k ON o.doc_id = k.doc_id)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH cut AS (SELECT MAX(doc_id) * 4 // 5 AS cutoff FROM documents),
+       |d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> t IN (${TextOps.stopList})))
+       |      AS BIGINT) AS n_stop
+       |  FROM d),
+       |ok AS (
+       |  SELECT doc_id, text, n_tokens FROM st
+       |  WHERE NOT (n_tokens < 5 OR n_tokens > 500
+       |    OR n_distinct * 2 < n_tokens OR n_stop = 0)),
+       |okb AS (SELECT ok.* FROM ok, cut WHERE doc_id < cutoff),
+       |${manifest("okb", "b")},
+       |${manifest("ok", "f")}
+       |SELECT f.shard,
+       |  COALESCE(b.n_docs, 0) AS base_docs,
+       |  f.n_docs - COALESCE(b.n_docs, 0) AS add_docs,
+       |  f.n_docs AS new_docs,
+       |  COALESCE(b.n_tokens, 0) AS base_tokens,
+       |  f.n_tokens - COALESCE(b.n_tokens, 0) AS add_tokens,
+       |  f.n_tokens AS new_tokens
+       |FROM m_f f LEFT JOIN m_b b USING (shard)
+       |ORDER BY shard""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e01_corpus_build" -> corpusBuild _)
+    "e01_corpus_build" -> corpusBuild _,
+    "e02_corpus_refresh" -> corpusRefresh _)
 
   val oracle: Map[String, String] = Map(
-    "e01_corpus_build" -> corpusBuildSql)
+    "e01_corpus_build" -> corpusBuildSql,
+    "e02_corpus_refresh" -> corpusRefreshSql)
 }

@@ -2008,8 +2008,74 @@ object Relational {
       |  CAST(SUM(o_totalprice) * 100 AS BIGINT) // COUNT(*) AS avg_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------- q56
+  /** Compaction planner — the OPTIMIZE/bin-packing primitive of table
+    * maintenance: given a file manifest (here one "file" per
+    * return-flag × ship-month of lineitem, with a deterministic
+    * integer size proxy),
+    * greedily pack files IN FILE-ID ORDER within each table partition
+    * into output bins of ≥ [[compactTargetBytes]], then emit the
+    * per-bin merge plan. Greedy sequential packing is exactly an
+    * EXCLUSIVE prefix sum div target — one window per partition key,
+    * so planning 10M files across 10k partitions is a single
+    * range-partitioned sort with no driver-side loop (the planner
+    * itself must scale, not just the rewrite it plans).
+    *
+    * All sizes are exact BIGINTs; bin assignment is integer division
+    * of the exclusive running sum, so both engines cut bins
+    * identically. The per-bin rollup (file span, bytes, rows) is what
+    * a compactor would hand each rewrite task. */
+  val compactTargetBytes = 400000L
+
+  def q56CompactionPlan(s: SparkSession, dir: String): DataFrame =
+    q56CompactionPlanDf(t(s, dir, "lineitem"))
+
+  def q56CompactionPlanDf(lineitem: DataFrame): DataFrame = {
+    val files = lineitem
+      .groupBy(col("l_returnflag").as("part"),
+        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")
+          .as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(SUM(l_quantity) * 37 AS BIGINT) + COUNT(*) * 100")
+          .as("bytes"))
+    val w = Window.partitionBy(col("part")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum div ${compactTargetBytes}L"))
+      .groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"),
+        sum(col("bytes")).as("bin_bytes"),
+        sum(col("n_rows")).as("bin_rows"))
+      .orderBy("part", "bin")
+  }
+
+  private val q56Sql =
+    s"""WITH files AS (
+       |  SELECT l_returnflag AS part,
+       |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+       |      AS file_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(l_quantity) * 37 AS BIGINT) + COUNT(*) * 100 AS bytes
+       |  FROM lineitem GROUP BY 1, 2),
+       |binned AS (
+       |  SELECT part, file_id, n_rows, bytes,
+       |    COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $compactTargetBytes AS bin
+       |  FROM files)
+       |SELECT part, CAST(bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+       |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       |  CAST(SUM(n_rows) AS BIGINT) AS bin_rows
+       |FROM binned GROUP BY 1, 2 ORDER BY part, bin""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_compaction_plan" -> q56CompactionPlan _,
     "q55_mv_merge"        -> q55MvMerge _,
     "q54_funnel"          -> q54Funnel _,
     "q53_cdc_apply"       -> q53CdcApply _,
@@ -2067,6 +2133,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q56_compaction_plan" -> q56Sql,
     "q55_mv_merge"        -> q55Sql,
     "q54_funnel"          -> q54Sql,
     "q53_cdc_apply"       -> q53Sql,

@@ -47,4 +47,20 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length === out.length, "duplicate shard rows")
     assert(out.map(_._2).sum <= table.count())
   }
+
+  test("e02: incremental refresh totals equal e01's from-scratch rebuild") {
+    val table = graft.Tables.t(spark, sf, "documents")
+    // refreshed view through the incremental path (base index + Bloom
+    // shortcut + batch dedup + manifest fold)
+    val inc = Pipeline.corpusRefreshDf(table).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(6))).toSeq
+    // full rebuild through e01's independent code path
+    val full = Pipeline.corpusBuildDf(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc === full)
+    // the batch genuinely added something, and some base survived
+    val rows = Pipeline.corpusRefreshDf(table).collect()
+    assert(rows.map(_.getLong(2)).sum > 0, "no docs added by the delta")
+    assert(rows.map(_.getLong(1)).sum > 0, "no base docs")
+  }
 }
