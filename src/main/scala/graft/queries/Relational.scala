@@ -1969,7 +1969,11 @@ object Relational {
   /** The mergeable state shape for the q55 view (one row per key). */
   def mvState(part: DataFrame): DataFrame =
     part.groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("spend"),
+      // money is a raw DOUBLE in the data: cast to DECIMAL BEFORE the
+      // sum (the q01 rule) — float sums are partition-order-dependent,
+      // decimal sums are exact and engine-identical
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
         min(col("o_orderdate")).as("first_d"),
         max(col("o_orderdate")).as("last_d"))
 
@@ -2003,9 +2007,11 @@ object Relational {
   /** The view DEFINITION (direct recompute) — merge must equal this. */
   private val q55Sql =
     """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |  CAST(SUM(o_totalprice) AS DECIMAL(38, 2)) AS total_spend,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38, 2))
+      |    AS total_spend,
       |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
-      |  CAST(SUM(o_totalprice) * 100 AS BIGINT) // COUNT(*) AS avg_cents
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    // COUNT(*) AS avg_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   // ------------------------------------------------------------- q56

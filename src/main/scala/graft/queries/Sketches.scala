@@ -557,8 +557,11 @@ object Sketches {
     val leaf = li
       .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
       .agg(portableHllRegs(col("l_partkey").cast("string")).as("regs"))
+    // persist the leaf cells (|leaves|×64 tiny rows): every rollup
+    // level re-aggregates THIS relation — without it each level's
+    // lineage replays the corpus-sized register aggregation
     val cells = leaf.select(col("rf"), col("ls"),
-      posexplode(col("regs")).as(Seq("idx", "r")))
+      posexplode(col("regs")).as(Seq("idx", "r"))).persist()
     // collapse a (group, idx, r) relation into the a03 sketch state
     def collapse(grouped: DataFrame, level: Int): DataFrame =
       grouped

@@ -392,4 +392,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "candidate pool recomputed per round:\n" + p)
   }
+
+  test("t23: rounds replay from the persisted word-frequency table, " +
+    "never the corpus") {
+    val p = plan(graft.queries.TextOps.bpeLearn(spark, sf))
+    // every round's pair count and rewrite reads the cached vocab
+    assert(p.contains("InMemoryTableScan"),
+      "a BPE round recomputes from the raw documents:\n" + p)
+    // the global argmax is a top-1, not a full sort of the pair space
+    assert(p.contains("TakeOrderedAndProject"),
+      "merge selection global-sorts the pair table:\n" + p)
+  }
+
+  test("a10: one fact pass feeds the sketch side; rollup levels " +
+    "re-aggregate leaf registers") {
+    val p = plan(graft.queries.Sketches.sketchRollup(spark, sf))
+      .split("== Initial Plan ==").head
+    // the register agg partial-aggregates map-side
+    assert(p.contains("partial_graft_portable_hll_regs"),
+      "leaf sketch not partial-aggregated:\n" + p)
+    // the fact feeds exactly two scans in the FINAL plan: one for the
+    // persisted leaf registers, one for the exact rollup reference —
+    // the three levels re-read the cached cells, not the corpus
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 2, s"fact scanned $scans times:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "rollup levels do not reuse the persisted leaf cells:\n" + p)
+  }
+
+  test("q55: the refresh is ONE full-outer state merge; both states " +
+    "partial-aggregate") {
+    val p = plan(Relational.q55MvMerge(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(p.contains("FullOuter"), p)
+    assert(p.linesIterator.count(_.contains("FullOuter")) === 1,
+      "more than one merge join:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q56: the planner is one window over the file manifest — no " +
+    "join, no global sort") {
+    val p = plan(Relational.q56CompactionPlan(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "planner joins:\n" + p)
+    // manifest agg combines map-side before the window's shuffle
+    assert(p.contains("partial_"), p)
+  }
+
+  test("e02: no shuffle carries the document body; the exact novelty " +
+    "join keys on the 32 B hash") {
+    val p = plan(graft.queries.Pipeline.corpusRefresh(spark, sf))
+    val exchanges = "Exchange[^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text")),
+      "a shuffle carries the document body:\n" + exchanges.mkString("\n"))
+    // the Bloom sketch broadcasts; the residue joins hash-keyed
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }
