@@ -1255,7 +1255,10 @@ object TextOps {
   def bpeLearn(s: SparkSession, dir: String): DataFrame =
     bpeLearnDf(t(s, dir, "documents"))
 
-  def bpeLearnDf(docs: DataFrame): DataFrame = {
+  /** Shared trainer chain: returns (merge table, final encoded
+    * vocabulary) after [[bpeLearnRounds]] rounds — t23 reads the
+    * merges, t24 reads the fully-merged vocabulary. */
+  private[queries] def bpeChain(docs: DataFrame): (DataFrame, DataFrame) = {
     // word-frequency table, symbols = characters: " a  b  c " encoding
     var enc = docs
       .select(explode(split(col("text"), tokenizerDelim)).as("w"))
@@ -1284,16 +1287,47 @@ object TextOps {
           col("cnt"))
         .persist()
     }
-    merges
+    (merges, enc)
+  }
+
+  def bpeLearnDf(docs: DataFrame): DataFrame =
+    bpeChain(docs)._1
       .select(col("round"),
         expr("split(pair, ' ')[0]").as("left_tok"),
         expr("split(pair, ' ')[1]").as("right_tok"),
         expr("replace(pair, ' ', '')").as("merged"),
         col("pcnt").as("pair_cnt"))
       .orderBy("round")
-  }
 
-  private val bpeLearnSql: String = {
+  // ------------------------------------------------------------- t24
+  /** BPE APPLY — tokenize the corpus under the t23-learned merges and
+    * report the resulting vocabulary head: per token, its corpus
+    * frequency (weighted by word count) and how many vocabulary
+    * positions (word-slot entries) it fills. This is the deploy half of tokenizer training —
+    * the segmentation every downstream token count would use.
+    *
+    * Scale: application is the same vocabulary-sized map-side replace
+    * chain the trainer builds (each merge broadcasts as one row); a
+    * corpus re-tokenization is then words ⋈ vocabulary — the merged
+    * segmentation never touches the corpus text again. The head is a
+    * TakeOrdered top-k over the charset²-bounded token space. */
+  val bpeVocabTopK = 40
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyDf(t(s, dir, "documents"))
+
+  def bpeApplyDf(docs: DataFrame): DataFrame =
+    bpeChain(docs)._2
+      .select(explode(split(trim(col("enc")), "  ")).as("token"),
+        col("cnt"))
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("occurrences"),
+        count(lit(1)).as("n_positions"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(bpeVocabTopK)
+
+  /** Shared WITH-prefix of the trainer chain (wf, e0, p_r/m_r/e_r). */
+  private lazy val bpeChainWith: String = {
     val wf =
       """wf AS (
         |  SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -1318,6 +1352,10 @@ object TextOps {
          |         cnt
          |  FROM e${r - 1}, m$r)""".stripMargin
     }.mkString(",\n")
+    s"WITH $wf,\n$rounds"
+  }
+
+  private lazy val bpeLearnSql: String = {
     val out = (1 to bpeLearnRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round,
          |  string_split(pair, ' ')[1] AS left_tok,
@@ -1325,10 +1363,21 @@ object TextOps {
          |  replace(pair, ' ', '') AS merged, pcnt AS pair_cnt FROM m$r"""
         .stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH $wf,\n$rounds\n$out\nORDER BY round"
+    s"$bpeChainWith\n$out\nORDER BY round"
   }
 
+  private lazy val bpeApplySql: String =
+    s"""$bpeChainWith
+       |SELECT token, CAST(SUM(cnt) AS BIGINT) AS occurrences,
+       |  CAST(COUNT(*) AS BIGINT) AS n_positions
+       |FROM (
+       |  SELECT unnest(string_split(trim(enc, ' '), '  ')) AS token, cnt
+       |  FROM e$bpeLearnRounds)
+       |GROUP BY token
+       |ORDER BY occurrences DESC, token LIMIT $bpeVocabTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_bpe_apply" -> bpeApply _,
     "t23_bpe_learn" -> bpeLearn _,
     "t22_gopher_rules" -> gopherRules _,
     "t21_bigram_lm" -> bigramLm _,
@@ -1355,6 +1404,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t24_bpe_apply" -> bpeApplySql,
     "t23_bpe_learn" -> bpeLearnSql,
     "t22_gopher_rules" -> gopherRulesSql,
     "t21_bigram_lm" -> bigramLmSql,

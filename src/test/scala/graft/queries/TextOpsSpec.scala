@@ -271,5 +271,17 @@ class TextOpsSpec extends SparkSpec {
     val learned = got.map(_._4).toSet
     assert(got.exists(m => learned.contains(m._2) && m._2.length > 1)
       || got.exists(m => learned.contains(m._3) && m._3.length > 1))
+
+    // t24: applying the learned merges must yield the reference
+    // trainer's final segmentation statistics
+    val applied = TextOps.bpeApplyDf(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    val expTok = wf.toSeq // wf is now the post-round-N symbol table
+      .flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupBy(_._1).map { case (tok, g) =>
+        (tok, g.map(_._2).sum, g.length.toLong) }
+      .toSeq.sortBy { case (tok, occ, _) => (-occ, tok) }
+      .take(TextOps.bpeVocabTopK)
+    assert(applied === expTok)
   }
 }
