@@ -550,9 +550,11 @@ object Sketches {
     * verify-skill rule caught live; a03's own values just never sit on
     * a boundary.) */
   private val hllEstNum = 3271257763731268608L // round(α·64²·2⁵⁰)
-  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+  def sketchRollup(s: SparkSession, dir: String): DataFrame =
+    sketchRollupDf(t(s, dir, "lineitem"))
+
+  def sketchRollupDf(li: DataFrame): DataFrame = {
     import graft.functions.PortableHll.portableHllRegs
-    val li = t(s, dir, "lineitem")
     // one pass over the fact: leaf register vectors (m ints per leaf)
     val leaf = li
       .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))

@@ -102,4 +102,21 @@ class EmptyInputSpec extends SparkSpec {
     val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.mmrDiversifyDf(noEmb).count() === 0)
   }
+
+  test("round-6 ops yield zero rows on empty input") {
+    val noFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noOrders = Seq.empty[(Long, java.sql.Date, Double)]
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val noLi = Seq.empty[(Long, java.sql.Date, Double, String, String)]
+      .toDF("l_partkey", "l_shipdate", "l_quantity",
+        "l_returnflag", "l_linestatus")
+    assert(TextOps.bpeLearnDf(noFull).count() === 0)
+    assert(TextOps.bpeApplyDf(noFull).count() === 0)
+    assert(Relational.q55MvMergeDf(noOrders).count() === 0)
+    assert(Relational.q56CompactionPlanDf(noLi).count() === 0)
+    assert(Pipeline.corpusRefreshDf(noFull).count() === 0)
+    // a10: empty fact → no leaf sketches, so every level joins empty
+    assert(Sketches.sketchRollupDf(noLi).count() === 0)
+  }
 }
