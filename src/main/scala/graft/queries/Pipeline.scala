@@ -30,6 +30,16 @@ object Pipeline {
   def corpusBuild(s: SparkSession, dir: String): DataFrame =
     corpusBuildDf(t(s, dir, "documents"))
 
+  /** The p08 seeded shard key — ONE derivation shared by every
+    * pipeline stage that shards (e01's manifest, e02's fold). */
+  private def withShard(df: DataFrame): DataFrame =
+    df
+      .withColumn("skey", md5(concat(
+        lit(Sampling.shuffleSeed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, Sampling.shardHexChars), 16, 10)
+          .cast("long"))
+
   def corpusBuildDf(documents: DataFrame): DataFrame = {
     val ok = TextOps.gateScored(documents)
       .filter(col("reason") === "ok")
@@ -40,12 +50,7 @@ object Pipeline {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val kept = ok.join(keepers, "doc_id")
-    kept
-      .withColumn("skey", md5(concat(
-        lit(Sampling.shuffleSeed + ":"), col("doc_id").cast("string"))))
-      .withColumn("shard",
-        conv(substring(col("skey"), 1, Sampling.shardHexChars), 16, 10)
-          .cast("long"))
+    withShard(kept)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -53,13 +58,16 @@ object Pipeline {
       .orderBy("shard")
   }
 
-  /** DuckDB twin: the t08 gate rules, d01 keeper rule, and p08 shard
-    * key spelled identically. */
-  private val corpusBuildSql = {
-    val shard = (1 to Sampling.shardHexChars).map(i =>
+  /** The shard expression over a `skey` column — one SQL spelling. */
+  private lazy val shardSqlExpr: String =
+    (1 to Sampling.shardHexChars).map(i =>
       s"(strpos('0123456789abcdef', substring(skey, $i, 1)) - 1)")
       .reduce((acc, d) => s"($acc * 16 + $d)")
-    s"""WITH d AS (
+
+  /** The t08 gate as d/st/ok CTEs — ONE spelling shared by the e01
+    * and e02 twins (a drifted copy would silently desync the gates). */
+  private val gateOkCtes =
+    s"""d AS (
        |  SELECT doc_id, text, source, string_split(text, ' ') AS toks
        |  FROM documents),
        |st AS (
@@ -72,19 +80,23 @@ object Pipeline {
        |ok AS (
        |  SELECT doc_id, text, source, n_tokens FROM st
        |  WHERE NOT (n_tokens < 5 OR n_tokens > 500
-       |    OR n_distinct * 2 < n_tokens OR n_stop = 0)),
+       |    OR n_distinct * 2 < n_tokens OR n_stop = 0))""".stripMargin
+
+  /** DuckDB twin: the t08 gate rules, d01 keeper rule, and p08 shard
+    * key spelled identically. */
+  private val corpusBuildSql =
+    s"""WITH $gateOkCtes,
        |keepers AS (
        |  SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
        |kept AS (
        |  SELECT o.doc_id, o.source, o.n_tokens,
        |    md5('${Sampling.shuffleSeed}:' || CAST(o.doc_id AS VARCHAR)) AS skey
        |  FROM ok o JOIN keepers k ON o.doc_id = k.doc_id)
-       |SELECT CAST($shard AS BIGINT) AS shard,
+       |SELECT CAST($shardSqlExpr AS BIGINT) AS shard,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   // ------------------------------------------------------------- e02
   /** Incremental corpus REFRESH — e01's steady state: a new document
@@ -113,12 +125,7 @@ object Pipeline {
 
   /** Per-shard manifest of a kept-doc relation (doc_id, n_tokens). */
   private def shardManifest(kept: DataFrame): DataFrame =
-    kept
-      .withColumn("skey", md5(concat(
-        lit(Sampling.shuffleSeed + ":"), col("doc_id").cast("string"))))
-      .withColumn("shard",
-        conv(substring(col("skey"), 1, Sampling.shardHexChars), 16, 10)
-          .cast("long"))
+    withShard(kept)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
@@ -129,12 +136,16 @@ object Pipeline {
     def gated(part: DataFrame) =
       TextOps.gateScored(part).filter(col("reason") === "ok")
         .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("h"))
+    // persist the gated base: (doc_id, n_tokens, h) = ~48 B/doc — it
+    // feeds the index, the Bloom, the keepers AND the manifest; left
+    // unpersisted the plan re-scans and re-gates the base corpus once
+    // per consumer (the a10 leaf-persist lesson)
     val okBase = gated(split.filter(col("doc_id") < col("cutoff"))
-      .drop("cutoff"))
+      .drop("cutoff")).persist()
     val okDelta = gated(split.filter(col("doc_id") >= col("cutoff"))
       .drop("cutoff"))
     // persisted-in-production artifacts: hash index + Bloom of it
-    val baseIndex = okBase.select(col("h")).distinct()
+    val baseIndex = okBase.select(col("h")).distinct().persist()
     val baseBloom = baseIndex.agg(
       PortableBloom.portableBloom(col("h")).as("sk"))
     // two-tier novelty check: map-side Bloom, exact join on the residue
@@ -172,14 +183,11 @@ object Pipeline {
     * everything; added = rebuild − base. Matching the Spark side's
     * incremental fold proves incremental == rebuild. */
   private val corpusRefreshSql = {
-    val shard = (1 to Sampling.shardHexChars).map(i =>
-      s"(strpos('0123456789abcdef', substring(skey, $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
     def manifest(okRel: String, name: String) =
       s"""keep_$name AS (
          |  SELECT MIN(doc_id) AS doc_id FROM $okRel GROUP BY md5(text)),
          |m_$name AS (
-         |  SELECT CAST($shard AS BIGINT) AS shard,
+         |  SELECT CAST($shardSqlExpr AS BIGINT) AS shard,
          |    CAST(COUNT(*) AS BIGINT) AS n_docs,
          |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |  FROM (SELECT o.doc_id, o.n_tokens,
@@ -188,20 +196,7 @@ object Pipeline {
          |        FROM $okRel o JOIN keep_$name k ON o.doc_id = k.doc_id)
          |  GROUP BY 1)""".stripMargin
     s"""WITH cut AS (SELECT MAX(doc_id) * 4 // 5 AS cutoff FROM documents),
-       |d AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS toks
-       |  FROM documents),
-       |st AS (
-       |  SELECT doc_id, text,
-       |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-       |    CAST(len(list_filter(toks, t -> t IN (${TextOps.stopList})))
-       |      AS BIGINT) AS n_stop
-       |  FROM d),
-       |ok AS (
-       |  SELECT doc_id, text, n_tokens FROM st
-       |  WHERE NOT (n_tokens < 5 OR n_tokens > 500
-       |    OR n_distinct * 2 < n_tokens OR n_stop = 0)),
+       |$gateOkCtes,
        |okb AS (SELECT ok.* FROM ok, cut WHERE doc_id < cutoff),
        |${manifest("okb", "b")},
        |${manifest("ok", "f")}

@@ -2020,8 +2020,13 @@ object Relational {
     * return-flag × ship-month of lineitem, with a deterministic
     * integer size proxy),
     * greedily pack files IN FILE-ID ORDER within each table partition
-    * into output bins of ≥ [[compactTargetBytes]], then emit the
-    * per-bin merge plan. Greedy sequential packing is exactly an
+    * into output bins targeting [[compactTargetBytes]], then emit the
+    * per-bin merge plan. The guarantee is on CUMULATIVE mass, not per
+    * bin: through every non-final bin k the packed bytes are
+    * ≥ (k+1)·target — an oversized file straddling boundaries can
+    * leave its successor bin small or skip bin ids entirely (such a
+    * file is already ≥ target and needs no compaction). Greedy
+    * sequential packing is exactly an
     * EXCLUSIVE prefix sum div target — one window per partition key,
     * so planning 10M files across 10k partitions is a single
     * range-partitioned sort with no driver-side loop (the planner

@@ -1257,7 +1257,12 @@ object TextOps {
 
   /** Shared trainer chain: returns (merge table, final encoded
     * vocabulary) after [[bpeLearnRounds]] rounds — t23 reads the
-    * merges, t24 reads the fully-merged vocabulary. */
+    * merges, t24 reads the fully-merged vocabulary. Each call builds
+    * its own chain (contract queries are standalone; t23+t24 in one
+    * run train twice) and persists the per-round vocab relations
+    * (vocab-sized, reclaimed by the harness's clearCache between
+    * contract runs). A round with no remaining pair leaves the
+    * encoding unchanged and contributes no merge row. */
   private[queries] def bpeChain(docs: DataFrame): (DataFrame, DataFrame) = {
     // word-frequency table, symbols = characters: " a  b  c " encoding
     var enc = docs
@@ -1279,11 +1284,18 @@ object TextOps {
       val m = pairs.orderBy(col("pcnt").desc, col("pair")).limit(1)
         .select(lit(r.toLong).as("round"), col("pair"), col("pcnt"))
       merges = if (merges == null) m else merges.unionByName(m)
+      // LEFT join against the (0-or-1)-row winner: a round whose pair
+      // table is empty (vocabulary fully collapsed) must leave the
+      // encoding UNCHANGED — a cross join would wipe it to zero rows
+      // (and the oracle twin would wipe identically, so the
+      // differential gate could never catch it)
       enc = enc
-        .crossJoin(broadcast(m.select(col("pair").as("__p"))))
+        .join(broadcast(m.select(col("pair").as("__p"))), lit(true), "left")
         .select(expr(
-          """replace(enc, ' ' || replace(__p, ' ', '  ') || ' ',
-                          ' ' || replace(__p, ' ', '') || ' ')""").as("enc"),
+          """CASE WHEN __p IS NULL THEN enc
+             ELSE replace(enc, ' ' || replace(__p, ' ', '  ') || ' ',
+                               ' ' || replace(__p, ' ', '') || ' ')
+             END""").as("enc"),
           col("cnt"))
         .persist()
     }
@@ -1347,10 +1359,12 @@ object TextOps {
          |  GROUP BY 1),
          |m$r AS (SELECT pair, pcnt FROM p$r ORDER BY pcnt DESC, pair LIMIT 1),
          |e$r AS MATERIALIZED (
-         |  SELECT replace(enc, ' ' || replace(pair, ' ', '  ') || ' ',
-         |                      ' ' || replace(pair, ' ', '') || ' ') AS enc,
+         |  SELECT CASE WHEN m.pair IS NULL THEN enc
+         |    ELSE replace(enc, ' ' || replace(m.pair, ' ', '  ') || ' ',
+         |                      ' ' || replace(m.pair, ' ', '') || ' ')
+         |    END AS enc,
          |         cnt
-         |  FROM e${r - 1}, m$r)""".stripMargin
+         |  FROM e${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"WITH $wf,\n$rounds"
   }

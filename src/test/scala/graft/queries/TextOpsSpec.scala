@@ -284,4 +284,18 @@ class TextOpsSpec extends SparkSpec {
       .take(TextOps.bpeVocabTopK)
     assert(applied === expTok)
   }
+
+  test("t23/t24: a fully-collapsed vocabulary survives merge-less rounds") {
+    // one two-char word: round 1 merges (a,b); rounds 2..N have an
+    // empty pair table and must leave the encoding intact — a cross
+    // join against the empty winner would wipe the vocabulary (and
+    // the oracle twin would wipe identically, invisible to the gate)
+    val docs = Seq((0L, "ab ab ab"), (1L, "ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeLearnDf(docs)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1L, "a", "b", "ab", 4L)))
+    val vocab = TextOps.bpeApplyDf(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(vocab === Seq(("ab", 4L, 1L)))
+  }
 }
