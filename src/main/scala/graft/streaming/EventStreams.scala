@@ -38,6 +38,30 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Tumbling-window DISTINCT-USER SKETCH — the a10 story in streaming
+    * state: the [[graft.functions.PortableHll]] aggregation buffer (64
+    * register bytes per window) lives in the state store and merges
+    * across micro-batches exactly as it merges across partitions, so
+    * the emitted sketch state is bit-identical to a batch run over the
+    * same rows regardless of micro-batch boundaries (spec-proven). An
+    * exact streaming count-distinct would hold the full key set per
+    * window — unbounded state; this holds 64 bytes per window, period.
+    * Works on both batch and streaming frames with (ts, user_id). */
+  def distinctSketchTumbling(events: DataFrame,
+      width: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.functions.PortableHll
+        .portableHll(col("user_id").cast("string")).as("hll"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"),
+        col("hll.harmonic_sum").as("harmonic_sum"),
+        col("hll.zero_registers").as("zero_registers"),
+        round(col("hll.estimate"), 4).as("approx_users"),
+        col("n_events"))
+
   /** Sliding window (width, slide). */
   def sliding(events: DataFrame, width: String = "30 minutes",
       slide: String = "10 minutes", watermark: String = "1 hour"): DataFrame =

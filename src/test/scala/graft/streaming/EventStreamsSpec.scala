@@ -40,6 +40,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.contains((900L, "click", 1L))) // minute 16
   }
 
+  test("streaming HLL sketch state is bit-identical to the batch sketch, " +
+    "across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = distinctSketchTumbling(mem.toDF(), width = "15 minutes",
+        watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out").start()
+    // feed one event at a time: every micro-batch boundary forces a
+    // state-store merge of the register buffer
+    sample.foreach { e => mem.addData(e); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("sketch_out")
+      .select(col("window_start").cast("long"), col("harmonic_sum"),
+        col("zero_registers"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = distinctSketchTumbling(sample.toDF(), width = "15 minutes")
+      .select(col("window_start").cast("long"), col("harmonic_sum"),
+        col("zero_registers"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // a window with k distinct users has at most k non-zero registers
+    val perWindow = spark.table("sketch_out")
+      .select(col("window_start").cast("long"), col("zero_registers"))
+      .as[(Long, Long)].collect().toMap
+    val exactUsers = sample.groupBy(e =>
+      e.ts.getTime / 1000 / 900 * 900).view
+      .mapValues(_.map(_.user_id).distinct.size.toLong)
+    exactUsers.foreach { case (w, k) =>
+      assert(64L - perWindow(w) <= k, s"window $w: more registers than users")
+    }
+  }
+
   test("built-in session window closes on the gap") {
     val got = sessionWindow(sample.toDF(), gap = "30 minutes")
       .filter(col("user_id") === 2)
