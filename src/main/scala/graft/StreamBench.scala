@@ -52,6 +52,7 @@ object StreamBench {
     val join = benchIntervalJoin(spark, rps, runSecs)
     val drift = benchDrift(spark, rps, runSecs)
     val sess = benchSessionize(spark, rps, runSecs)
+    val hll = benchHllSketch(spark, rps, runSecs)
 
     def js(r: OpResult): String =
       s"""{"rows_per_sec":${r.rowsPerSec.round},"total_rows":${r.totalRows},""" +
@@ -60,7 +61,8 @@ object StreamBench {
     val line =
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
         s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
-        s""""drift_monitor":${js(drift)},"sessionize":${js(sess)}}"""
+        s""""drift_monitor":${js(drift)},"sessionize":${js(sess)},""" +
+        s""""hll_sketch":${js(hll)}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
@@ -81,6 +83,23 @@ object StreamBench {
         lit(1.0).as("value"))
       .as[EventStreams.Event]
     runQuery(spark, EventStreams.dedupStreamBloom(events).toDF(), secs)
+  }
+
+  /** Rate source → windowed distinct-user HLL sketch (1-second
+    * tumbling windows, 2-second watermark): state is one 64-byte
+    * register buffer per open window — the bounded series across
+    * ≥ secs/2 watermark horizons shows the sketch holding constant
+    * state while an exact distinct would hold the 65536-key set. */
+  private def benchHllSketch(spark: SparkSession, rps: Int, secs: Int): OpResult = {
+    import graft.streaming.EventStreams
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("timestamp").as("ts"),
+        (col("value") % 65536).as("user_id"))
+    runQuery(spark,
+      EventStreams.distinctSketchTumbling(events,
+        width = "1 second", watermark = "2 seconds"),
+      secs)
   }
 
   /** Rate source split into click/view streams, joined on user within a
@@ -165,8 +184,19 @@ object StreamBench {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
     Thread.sleep(secs * 1000L)
-    q.stop()
-    q.awaitTermination()
+    // stop() interrupts the in-flight micro-batch; a task caught
+    // mid-codegen surfaces the interrupt as a StreamingQueryException
+    // AFTER the measurement window — progress history is already
+    // complete, so a stop-time abort must not fail the bench
+    try {
+      q.stop()
+      q.awaitTermination()
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if !q.isActive =>
+        System.err.println(s"[streambench] stop-time abort ignored: " +
+          e.getMessage.takeWhile(_ != '\n'))
+    }
     summarize(q)
   }
 

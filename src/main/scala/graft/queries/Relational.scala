@@ -2041,19 +2041,28 @@ object Relational {
   def q56CompactionPlan(s: SparkSession, dir: String): DataFrame =
     q56CompactionPlanDf(t(s, dir, "lineitem"))
 
-  def q56CompactionPlanDf(lineitem: DataFrame): DataFrame = {
-    val files = lineitem
-      .groupBy(col("l_returnflag").as("part"),
-        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")
-          .as("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        expr("CAST(SUM(l_quantity) * 37 AS BIGINT) + COUNT(*) * 100")
-          .as("bytes"))
+  def q56CompactionPlanDf(lineitem: DataFrame): DataFrame =
+    compactionBins(
+      lineitem
+        .groupBy(col("l_returnflag").as("part"),
+          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")
+            .as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(SUM(l_quantity) * 37 AS BIGINT) + COUNT(*) * 100")
+            .as("bytes")),
+      compactTargetBytes)
+
+  /** The planning operator itself: greedy sequential bin-packing of a
+    * (part, file_id, n_rows, bytes) manifest — reusable against any
+    * real file listing. Invariants (PropertySpec): bin mass is
+    * conserved, and cumulative packed bytes through every non-final
+    * bin k are ≥ (k+1)·target. */
+  def compactionBins(files: DataFrame, target: Long): DataFrame = {
     val w = Window.partitionBy(col("part")).orderBy(col("file_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     files
       .withColumn("cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .withColumn("bin", expr(s"cum div ${compactTargetBytes}L"))
+      .withColumn("bin", expr(s"cum div ${target}L"))
       .groupBy(col("part"), col("bin"))
       .agg(count(lit(1)).as("n_files"),
         min(col("file_id")).as("first_file"),

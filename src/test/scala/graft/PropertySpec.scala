@@ -317,4 +317,45 @@ class PropertySpec extends SparkSpec {
       assert(got === expSum, s"seed $s")
     }
   }
+
+  test("q56 bin packing conserves mass and meets the cumulative-target " +
+    "law on random manifests") {
+    import org.apache.spark.sql.functions.col
+    val target = 1000L
+    val fileGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("A", "B", "C"),        // partition
+      Gen.choose(1L, 60L),             // file id (collisions dropped)
+      Gen.choose(1L, 3500L),           // bytes (some files span bins)
+      Gen.choose(1L, 500L)))           // rows
+    for (s <- 1 to 5) {
+      val files = sample(fileGen, s + 70)
+        .groupBy(f => (f._1, f._2)).map(_._2.head).toSeq
+        .map { case (p, id, b, r) => (p, id, r, b) }
+      val df = files.toDF("part", "file_id", "n_rows", "bytes")
+      val plan = graft.queries.Relational.compactionBins(df, target)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      // mass conservation, per partition and total
+      val bytesByPart = files.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+      val rowsByPart = files.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      plan.groupBy(_._1).foreach { case (p, bins) =>
+        assert(bins.map(_._6).sum === bytesByPart(p), s"seed $s part $p bytes")
+        assert(bins.map(_._7).sum === rowsByPart(p), s"seed $s part $p rows")
+        assert(bins.map(_._3).sum === files.count(_._1 == p), s"seed $s $p files")
+        // cumulative-target law: through every non-final bin k the
+        // packed bytes reach at least (k+1)*target
+        val sorted = bins.sortBy(_._2)
+        var cum = 0L
+        sorted.dropRight(1).foreach { b =>
+          cum += b._6
+          assert(cum >= (b._2 + 1) * target,
+            s"seed $s part $p bin ${b._2}: cum $cum < ${(b._2 + 1) * target}")
+        }
+        // file spans never overlap across bins (packing is in order)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._5 < b._4, s"seed $s $p span overlap")
+          case _ =>
+        }
+      }
+    }
+  }
 }
