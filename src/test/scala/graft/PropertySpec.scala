@@ -318,6 +318,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t23/t24 match the reference BPE trainer on random corpora") {
+    import graft.queries.{BpeReference, TextOps}
+    // tiny alphabet forces tie-breaks, repeated merges, and (on some
+    // seeds) full collapse before the round budget runs out
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+      .map(_.take(5).mkString)
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(8).mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(6))
+    for (s <- 1 to 5) {
+      val texts = sample(corpusGen, s + 300)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (wantMerges, wantWf) =
+        BpeReference.train(texts, TextOps.bpeLearnRounds)
+      val gotMerges = TextOps.bpeLearnDf(docs)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      assert(gotMerges === wantMerges, s"seed $s merges")
+      val gotVocab = TextOps.bpeApplyDf(docs)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(gotVocab ===
+        BpeReference.vocabHead(wantWf, TextOps.bpeVocabTopK),
+        s"seed $s vocab")
+    }
+  }
+
   test("q56 bin packing conserves mass and meets the cumulative-target " +
     "law on random manifests") {
     import org.apache.spark.sql.functions.col

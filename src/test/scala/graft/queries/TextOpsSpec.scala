@@ -240,32 +240,8 @@ class TextOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = TextOps.bpeLearnDf(docs)
       .as[(Long, String, String, String, Long)].collect().toSeq
-
-    // reference trainer: word-freq symbols, argmax (cnt desc, pair asc),
-    // greedy left-to-right merge each round
-    var wf: Map[Vector[String], Long] = docs.collect()
-      .flatMap(_.getString(1).split("[^A-Za-z0-9-]+")).filter(_.nonEmpty)
-      .groupBy(identity).map { case (w, g) =>
-        w.map(_.toString).toVector -> g.length.toLong }
-    val expect = (1 to TextOps.bpeLearnRounds).map { r =>
-      val counts = wf.toSeq.flatMap { case (syms, c) =>
-        syms.sliding(2).filter(_.size == 2)
-          .map(p => (p(0), p(1)) -> c) }
-        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      val ((l, rr), c) = counts.minBy { case ((l, rr), c) =>
-        (-c, l + " " + rr) }
-      wf = wf.map { case (syms, cnt) =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
-            out += (l + rr); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        out.toVector -> cnt
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      (r.toLong, l, rr, l + rr, c)
-    }
+    val (expect, wf) = BpeReference.train(
+      docs.collect().map(_.getString(1)).toSeq, TextOps.bpeLearnRounds)
     assert(got === expect)
     // the iteration composes: some merge reuses an earlier round's token
     val learned = got.map(_._4).toSet
@@ -276,13 +252,7 @@ class TextOpsSpec extends SparkSpec {
     // trainer's final segmentation statistics
     val applied = TextOps.bpeApplyDf(docs)
       .as[(String, Long, Long)].collect().toSeq
-    val expTok = wf.toSeq // wf is now the post-round-N symbol table
-      .flatMap { case (syms, c) => syms.map(_ -> c) }
-      .groupBy(_._1).map { case (tok, g) =>
-        (tok, g.map(_._2).sum, g.length.toLong) }
-      .toSeq.sortBy { case (tok, occ, _) => (-occ, tok) }
-      .take(TextOps.bpeVocabTopK)
-    assert(applied === expTok)
+    assert(applied === BpeReference.vocabHead(wf, TextOps.bpeVocabTopK))
   }
 
   test("t23/t24: a fully-collapsed vocabulary survives merge-less rounds") {
