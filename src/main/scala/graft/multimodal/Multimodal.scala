@@ -256,13 +256,71 @@ object MultimodalQueries {
        |WHERE hamming <= $phashMaxHamming ORDER BY media_a, media_b""".stripMargin
   }
 
+  // ------------------------------------------------------------- m05
+  /** Batched model-inference plumbing — the serving shape every
+    * embedding/caption/classifier pass over a 100 TB corpus needs:
+    * rows are batched per partition into fixed-size model calls
+    * ([[inferBatchSize]] vectors per call — amortizing per-call
+    * overhead exactly as a GPU forward pass would), the "model" here
+    * being a deterministic integer stand-in (the decodeStub
+    * discipline: the lib isn't in this container, the PLUMBING is
+    * real). The score is per-row math, so the output is provably
+    * independent of batch boundaries, partitioning, and batch count —
+    * which is precisely the property a real inference pass must keep
+    * and the DuckDB oracle checks cell-exact (it knows nothing about
+    * batches). The per-call batch shape itself is spec-asserted
+    * (MultimodalSpec): every call gets ≤ batchSize rows and all but
+    * the last per partition get exactly batchSize.
+    *
+    * Scale: mapPartitions is the sanctioned per-partition imperative
+    * hatch; nothing shuffles — inference cost is the scan plus the
+    * model. Fixed-point `floor(v·2²⁰)` keeps the fake scores
+    * engine-exact (the s06 rule). */
+  val inferBatchSize = 32
+
+  def batchInfer(s: SparkSession, dir: String): DataFrame =
+    batchInferDf(graft.Tables.t(s, dir, "embeddings"))
+
+  def batchInferDf(embs: DataFrame): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.grouped(inferBatchSize).flatMap { batch =>
+          // one "model call" per batch; scoring itself is per-row
+          batch.iterator.map { case (id, v) =>
+            var s = 0L
+            var i = 0
+            while (i < v.length) {
+              s += math.floor(v(i).toDouble * 1048576.0).toLong * (i + 1)
+              i += 1
+            }
+            (id, s)
+          }
+        }
+      }
+      .toDF("vec_id", "score")
+      .orderBy("vec_id")
+  }
+
+  private val batchInferSql =
+    """SELECT vec_id,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+      |    AS BIGINT) * i) AS BIGINT) AS score
+      |FROM embeddings,
+      |  unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m05_batch_infer"   -> batchInfer _,
     "m01_binary_meta"   -> binaryMeta _,
     "m02_frame_sample"  -> frameSample _,
     "m03_blob_features" -> blobFeatures _,
     "m04_phash_pairs"   -> phashPairs _)
 
   val oracle: Map[String, String] = Map(
+    "m05_batch_infer"   -> batchInferSql,
     "m01_binary_meta"   -> binaryMetaSql,
     "m02_frame_sample"  -> frameSampleSql,
     "m03_blob_features" -> blobFeaturesSql,

@@ -68,4 +68,35 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.sortBy(p => (p._1, p._2)).toSeq ===
       again.sortBy(p => (p._1, p._2)).toSeq)
   }
+
+  test("m05: every model call gets <= batchSize rows, all but the last " +
+    "per partition exactly batchSize; output batching-invariant") {
+    import MultimodalQueries.inferBatchSize
+    val embs = (1 to 101).map(i =>
+      (i.toLong, Array.fill(8)(i / 100.0f), 0)).toDF("vec_id", "embedding", "label")
+    // probe the same grouped() contract the operator uses, per partition
+    val sizes = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].repartition(3).rdd
+      .mapPartitions(it =>
+        it.grouped(inferBatchSize).map(_.size))
+      .collect()
+    assert(sizes.forall(_ <= inferBatchSize))
+    assert(sizes.sum === 101)
+    // within a partition only the trailing call may be short
+    val perPart = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].repartition(3).rdd
+      .mapPartitions(it =>
+        Iterator.single(it.grouped(inferBatchSize).map(_.size).toSeq))
+      .collect()
+    perPart.foreach { ss =>
+      ss.dropRight(1).foreach(sz => assert(sz === inferBatchSize))
+    }
+    // scores are per-row math: batch boundaries must not matter
+    val a = MultimodalQueries.batchInferDf(embs)
+      .as[(Long, Long)].collect().toSeq
+    val b = MultimodalQueries.batchInferDf(embs.repartition(7))
+      .as[(Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.length === 101)
+  }
 }
