@@ -2093,8 +2093,71 @@ object Relational {
        |  CAST(SUM(n_rows) AS BIGINT) AS bin_rows
        |FROM binned GROUP BY 1, 2 ORDER BY part, bin""".stripMargin
 
+  // ------------------------------------------------------------- q57
+  /** Order-invariant table fingerprints — the migration-validation
+    * primitive MIGRATION.md implies: after moving a table between
+    * systems, compare (row count, XOR of canonical row hashes)
+    * instead of row-by-row diffs. XOR aggregation is commutative,
+    * associative and overflow-free, so the signature is independent
+    * of partitioning, sort order, and engine — and combining it with
+    * the count detects both corruption and duplication/loss (XOR
+    * alone cancels even multiplicities). Canonical row rendering
+    * sticks to BIGINT and VARCHAR columns (float/timestamp → string
+    * rendering is NOT engine-stable; hash those via fixed-point ints
+    * if needed).
+    *
+    * Scale: one map-side md5 + a single-row partial XOR/count agg per
+    * table — the cheapest possible full-scan audit, and the partial
+    * states are 16 bytes per task. */
+  def q57TableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    def fp(name: String, df: DataFrame, keyExpr: String): DataFrame =
+      df.select(expr(keyExpr).as("canon"))
+        .select(expr(
+          "CAST(conv(substring(md5(canon), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("xor_sig"))
+    fp("customer", t(s, dir, "customer"),
+        "concat_ws('|', c_custkey, c_nationkey, c_name)")
+      .unionByName(fp("lineitem", t(s, dir, "lineitem"),
+        """concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           l_returnflag, l_linestatus)"""))
+      .unionByName(fp("orders", t(s, dir, "orders"),
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus)"))
+      .unionByName(fp("supplier", t(s, dir, "supplier"),
+        "concat_ws('|', s_suppkey, s_nationkey, s_name)"))
+      .orderBy("tbl")
+  }
+
+  private val q57Sql = {
+    def one(name: String, tbl: String, canon: String) =
+      s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(CAST(${hex15ToBigint("hx")} AS BIGINT)) AS BIGINT)
+         |    AS xor_sig
+         |FROM (SELECT md5($canon) AS hx FROM $tbl)""".stripMargin
+    Seq(
+      one("customer", "customer",
+        "concat_ws('|', c_custkey, c_nationkey, c_name)"),
+      one("lineitem", "lineitem",
+        "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+          "l_returnflag, l_linestatus)"),
+      one("orders", "orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus)"),
+      one("supplier", "supplier",
+        "concat_ws('|', s_suppkey, s_nationkey, s_name)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
+  /** DuckDB spelling of conv(substring(hex, 1, 15), 16, 10). */
+  private def hex15ToBigint(hexExpr: String): String =
+    (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substring($hexExpr, $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_table_fingerprint" -> q57TableFingerprint _,
     "q56_compaction_plan" -> q56CompactionPlan _,
     "q55_mv_merge"        -> q55MvMerge _,
     "q54_funnel"          -> q54Funnel _,
@@ -2153,6 +2216,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q57_table_fingerprint" -> q57Sql,
     "q56_compaction_plan" -> q56Sql,
     "q55_mv_merge"        -> q55Sql,
     "q54_funnel"          -> q54Sql,

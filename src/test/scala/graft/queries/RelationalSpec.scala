@@ -301,4 +301,28 @@ class RelationalSpec extends SparkSpec {
     assert(twoStep === direct)
     assert(direct.nonEmpty)
   }
+
+  test("q57: fingerprints match an in-memory recompute and detect mutation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      .as[(Long, Long, String)].collect()
+    val wantSig = rows.map { case (k, n, nm) =>
+      java.lang.Long.parseLong(md5hex(s"$k|$n|$nm").take(15), 16)
+    }.reduce(_ ^ _)
+    val got = Relational.q57TableFingerprint(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, s) => t -> ((n, s)) }.toMap
+    assert(got("customer") === ((rows.length.toLong, wantSig)))
+    // any single-cell mutation flips the signature
+    val mutated = rows.updated(0, (rows(0)._1, rows(0)._2 + 1, rows(0)._3))
+      .map { case (k, n, nm) =>
+        java.lang.Long.parseLong(md5hex(s"$k|$n|$nm").take(15), 16)
+      }.reduce(_ ^ _)
+    assert(mutated !== wantSig)
+  }
 }
