@@ -1654,12 +1654,15 @@ object Relational {
     * user-partitioned sort (one shuffle, reused ordering); event-time
     * math in exact integer micros (the q23/q24 discipline), ties
     * broken by event_id — deterministic under any partitioning. */
-  def q51Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+  def q51Scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    q51Scd2IntervalsDf(t(s, dir, "events"))
+
+  def q51Scd2IntervalsDf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ep_us"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
-    t(s, dir, "events")
+    events
       .select(col("event_id"), col("user_id"),
         col("event_type").as("state"), expr("ts div 1000").as("ep_us"))
       .withColumn("chg", when(lag(col("state"), 1).over(byUser).isNull ||
@@ -2149,6 +2152,96 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
   }
 
+  // ------------------------------------------------------------- q58
+  /** Point-in-time (AS OF) join against the q51 SCD2 dimension — the
+    * op that makes a history table useful: for every purchase event,
+    * the state version in force immediately BEFORE it (probe time =
+    * ts − 1 µs; 'none' when the purchase is the user's first
+    * activity). The warehouse pattern behind "what plan was the
+    * customer on when they bought".
+    *
+    * Spark-first shape: NOT an inequality join (which would shuffle
+    * |probes|×|versions| candidate pairs) but the q22 as-of
+    * decomposition — union version STARTS with probes, one
+    * user-partitioned sort, `last(ignoreNulls)` running window picks
+    * the latest start ≤ each probe. Versions are contiguous
+    * half-open intervals, so latest-start-≤ IS the interval match;
+    * empty intervals (equal-timestamp runs) are skipped by the sort
+    * tiebreak (starts before probes, version ascending). Every
+    * shuffle in the q51 chain and this pass keys on user_id — one
+    * layout end to end. The ORACLE uses the direct interval-predicate
+    * LEFT JOIN instead, so the decomposition is checked against the
+    * definition, not against itself. */
+  def q58PitJoin(s: SparkSession, dir: String): DataFrame =
+    q58PitJoinDf(t(s, dir, "events"))
+
+  def q58PitJoinDf(ev: DataFrame): DataFrame = {
+    val starts = q51Scd2IntervalsDf(ev)
+      .select(col("user_id"), col("valid_from_us").as("ep"),
+        col("version"), col("state"), col("n_events"),
+        lit(0).as("is_probe"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("purchase_us"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000 - 1").as("ep"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("state"),
+        lit(null).cast("long").as("n_events"),
+        lit(1).as("is_probe"), col("event_id"),
+        expr("ts div 1000").as("purchase_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("is_probe"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(probes)
+      .withColumn("pv", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("ps", last(col("state"), ignoreNulls = true).over(w))
+      .withColumn("pn", last(col("n_events"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("user_id"), col("purchase_us"),
+        coalesce(col("pv"), lit(0L)).as("prior_version"),
+        coalesce(col("ps"), lit("none")).as("prior_state"),
+        coalesce(col("pn"), lit(0L)).as("prior_n_events"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle: the interval predicate itself (valid_from ≤ p < valid_to,
+    * open current) — deliberately NOT the as-of decomposition. */
+  private val q58Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type AS state, epoch_us(ts) AS ep_us,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_state
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_state IS NULL OR prev_state <> state
+      |    THEN 1 ELSE 0 END AS chg FROM e),
+      |v AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ep_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM f),
+      |runs AS (
+      |  SELECT user_id, version, MAX(state) AS state,
+      |    MIN(ep_us) AS valid_from_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM v GROUP BY user_id, version),
+      |vers AS (
+      |  SELECT user_id, version, state, valid_from_us,
+      |    LEAD(valid_from_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY version) AS valid_to_us, n_events
+      |  FROM runs),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) - 1 AS p_us,
+      |    CAST(epoch_us(ts) AS BIGINT) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.purchase_us,
+      |  CAST(COALESCE(v.version, 0) AS BIGINT) AS prior_version,
+      |  COALESCE(v.state, 'none') AS prior_state,
+      |  CAST(COALESCE(v.n_events, 0) AS BIGINT) AS prior_n_events
+      |FROM p LEFT JOIN vers v ON p.user_id = v.user_id
+      |  AND v.valid_from_us <= p.p_us
+      |  AND (v.valid_to_us IS NULL OR p.p_us < v.valid_to_us)
+      |ORDER BY p.event_id""".stripMargin
+
   /** DuckDB spelling of conv(substring(hex, 1, 15), 16, 10). */
   private def hex15ToBigint(hexExpr: String): String =
     (1 to 15).map(i =>
@@ -2157,6 +2250,7 @@ object Relational {
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_pit_join"        -> q58PitJoin _,
     "q57_table_fingerprint" -> q57TableFingerprint _,
     "q56_compaction_plan" -> q56CompactionPlan _,
     "q55_mv_merge"        -> q55MvMerge _,
@@ -2216,6 +2310,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q58_pit_join"        -> q58Sql,
     "q57_table_fingerprint" -> q57Sql,
     "q56_compaction_plan" -> q56Sql,
     "q55_mv_merge"        -> q55Sql,

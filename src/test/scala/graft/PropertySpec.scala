@@ -318,6 +318,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q58 PIT join equals a brute-force interval scan on random logs") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Relational
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 4L),                     // user
+      Gen.choose(0L, 40L),                    // coarse µs (ties likely)
+      Gen.oneOf("click", "view", "purchase")))
+    for (s <- 1 to 5) {
+      val rows = sample(evGen, s + 500).zipWithIndex.map {
+        case ((u, t0, st), i) => (i.toLong, u, st, t0) }
+      // ts in ns (the Tables.t shape); run the REAL operator
+      val ev = rows.map { case (id, u, st, us) => (id, u, st, us * 1000L) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val got = Relational.q58PitJoinDf(ev)
+        .select(col("event_id"), col("prior_version"), col("prior_state"))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // brute force: versions from a driver-side run collapse; probe
+      // picks the version whose [from, to) contains ts-1
+      val want = rows.filter(_._3 == "purchase").map { case (id, u, _, us) =>
+        val evs = rows.filter(_._2 == u).sortBy(e => (e._4, e._1))
+        val runs = evs.foldLeft(List.empty[(String, Long, Long)]) {
+          case ((st0, f, n) :: rest, (_, _, st, t)) if st0 == st =>
+            (st0, f, n + 1) :: rest
+          case (acc, (_, _, st, t)) => (st, t, 1L) :: acc
+        }.reverse.zipWithIndex
+          .map { case ((st, f, n), i) => (i + 1L, st, f) }
+        val p = us - 1
+        val hit = runs.zip(runs.drop(1).map(r => Some(r._3)) :+ None)
+          .find { case ((_, _, f), to) => f <= p && to.forall(p < _) }
+        id -> hit.map { case ((v, st, _), _) => (v, st) }
+          .getOrElse((0L, "none"))
+      }.toMap
+      assert(got === want, s"seed $s")
+    }
+  }
+
   test("t23/t24 match the reference BPE trainer on random corpora") {
     import graft.queries.{BpeReference, TextOps}
     // tiny alphabet forces tie-breaks, repeated merges, and (on some
