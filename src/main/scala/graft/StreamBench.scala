@@ -142,8 +142,7 @@ object StreamBench {
       s"$tmp/alerts", s"$tmp/ckpt", width = "2 seconds",
       watermark = "2 seconds", alertPpm = 10000000L)
     Thread.sleep(secs * 1000L)
-    q.stop()
-    q.awaitTermination()
+    stopTolerant(q)
     val r = summarize(q)
     // checkpoints are many small files — delete the whole tree or
     // every bench run leaks a growing /tmp dir (the exeWordCount
@@ -184,20 +183,30 @@ object StreamBench {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
     Thread.sleep(secs * 1000L)
-    // stop() interrupts the in-flight micro-batch; a task caught
-    // mid-codegen surfaces the interrupt as a StreamingQueryException
-    // AFTER the measurement window — progress history is already
-    // complete, so a stop-time abort must not fail the bench
+    stopTolerant(q)
+    summarize(q)
+  }
+
+  /** stop() interrupts the in-flight micro-batch; a task caught
+    * mid-codegen surfaces the interrupt as a StreamingQueryException
+    * AFTER the measurement window — progress history is already
+    * complete, so a stop-time abort must not fail the bench. A query
+    * that had ALREADY failed before stop() (exception present while
+    * we thought it was running) is a real failure and rethrows —
+    * otherwise a dead bench would publish near-zero rows/s as a
+    * successful run. */
+  private def stopTolerant(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val failedBeforeStop = q.exception.isDefined
     try {
       q.stop()
       q.awaitTermination()
     } catch {
       case e: org.apache.spark.sql.streaming.StreamingQueryException
-          if !q.isActive =>
+          if !failedBeforeStop =>
         System.err.println(s"[streambench] stop-time abort ignored: " +
           e.getMessage.takeWhile(_ != '\n'))
     }
-    summarize(q)
   }
 
   private def summarize(

@@ -60,9 +60,7 @@ object Pipeline {
 
   /** The shard expression over a `skey` column — one SQL spelling. */
   private lazy val shardSqlExpr: String =
-    (1 to Sampling.shardHexChars).map(i =>
-      s"(strpos('0123456789abcdef', substring(skey, $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
+    OracleDsl.hornerHex("skey", Sampling.shardHexChars)
 
   /** The t08 gate as d/st/ok CTEs — ONE spelling shared by the e01
     * and e02 twins (a drifted copy would silently desync the gates). */
@@ -139,7 +137,11 @@ object Pipeline {
     // persist the gated base: (doc_id, n_tokens, h) = ~48 B/doc — it
     // feeds the index, the Bloom, the keepers AND the manifest; left
     // unpersisted the plan re-scans and re-gates the base corpus once
-    // per consumer (the a10 leaf-persist lesson)
+    // per consumer (the a10 leaf-persist lesson). Caches are
+    // caller-owned (the harness clearCaches between contract runs;
+    // a long-lived caller looping refreshes should clearCache or
+    // unpersist after materializing — the repo-wide persist contract
+    // for query-internal caches)
     val okBase = gated(split.filter(col("doc_id") < col("cutoff"))
       .drop("cutoff")).persist()
     val okDelta = gated(split.filter(col("doc_id") >= col("cutoff"))

@@ -1657,7 +1657,14 @@ object Relational {
   def q51Scd2Intervals(s: SparkSession, dir: String): DataFrame =
     q51Scd2IntervalsDf(t(s, dir, "events"))
 
-  def q51Scd2IntervalsDf(events: DataFrame): DataFrame = {
+  /** Contract form: the interval core plus the presentation sort. */
+  def q51Scd2IntervalsDf(events: DataFrame): DataFrame =
+    scd2IntervalsCore(events).orderBy("user_id", "version")
+
+  /** Unordered SCD2 interval build — consumers that re-shuffle (q58's
+    * PIT join) use this directly so the q51 presentation sort's range
+    * exchange is never paid just to be discarded. */
+  def scd2IntervalsCore(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ep_us"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1679,7 +1686,6 @@ object Relational {
       .select(col("user_id"), col("version"), col("state"),
         col("valid_from_us"), col("valid_to_us"), col("n_events"),
         col("is_current"))
-      .orderBy("user_id", "version")
   }
 
   private val q51Sql =
@@ -2176,7 +2182,7 @@ object Relational {
     q58PitJoinDf(t(s, dir, "events"))
 
   def q58PitJoinDf(ev: DataFrame): DataFrame = {
-    val starts = q51Scd2IntervalsDf(ev)
+    val starts = scd2IntervalsCore(ev)
       .select(col("user_id"), col("valid_from_us").as("ep"),
         col("version"), col("state"), col("n_events"),
         lit(0).as("is_probe"), lit(null).cast("long").as("event_id"),
@@ -2244,9 +2250,7 @@ object Relational {
 
   /** DuckDB spelling of conv(substring(hex, 1, 15), 16, 10). */
   private def hex15ToBigint(hexExpr: String): String =
-    (1 to 15).map(i =>
-      s"(strpos('0123456789abcdef', substring($hexExpr, $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
+    OracleDsl.hornerHex(hexExpr, 15)
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -298,9 +298,8 @@ object Sampling {
 
   // lazy: referenced by SQL-twin vals declared EARLIER in the object
   // (p04Sql); a strict val would interpolate null during object init
-  private[queries] lazy val md5U16Sql: String = (1 to 4).map(i =>
-    s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
-    .reduce((acc, d) => s"($acc * 16 + $d)")
+  private[queries] lazy val md5U16Sql: String =
+    OracleDsl.hornerHex("md5(CAST(doc_id AS VARCHAR))", 4)
 
   /** Split assignment from a 0–99 bucket (p07's contract, reused by
     * p10 so curriculum phases can never disagree with the split
@@ -372,9 +371,7 @@ object Sampling {
       .orderBy("shard", "pos")
 
   private val p08Sql = {
-    val shard = (1 to shardHexChars).map(i =>
-      s"(strpos('0123456789abcdef', substring(skey, $i, 1)) - 1)")
-      .reduce((acc, d) => s"($acc * 16 + $d)")
+    val shard = OracleDsl.hornerHex("skey", shardHexChars)
     s"""WITH k AS (
        |  SELECT doc_id,
        |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey

@@ -440,6 +440,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q58: no inequality join; the only range exchange is the " +
+    "output sort") {
+    val p = plan(Relational.q58PitJoin(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "PIT join planned as an inequality join:\n" + p)
+    // q51's presentation sort must NOT leak into the q58 chain: one
+    // rangepartitioning total (the final orderBy on event_id)
+    val ranges = p.linesIterator.count(_.contains("rangepartitioning"))
+    assert(ranges <= 1, s"$ranges range exchanges (q51 sort leaked):\n" + p)
+  }
+
   test("e02: no shuffle carries the document body; the exact novelty " +
     "join keys on the 32 B hash") {
     val p = plan(graft.queries.Pipeline.corpusRefresh(spark, sf))
