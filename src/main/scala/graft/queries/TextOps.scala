@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -177,42 +177,63 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "est", "du"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    var df = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
-    for ((l, ws) <- markers) {
+  /** Adds one `score_<lang>` column per marker language, counting
+    * marker stopwords in the token-array column `tokCol` — shared by
+    * t05 (whole doc) and t25 (per segment). */
+  private def withLangScores(df: DataFrame, tokCol: String): DataFrame =
+    markers.foldLeft(df) { case (d, (l, ws)) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
-      df = df.withColumn(s"score_$l",
-        expr(s"size(filter(toks, t -> t IN ($list)))").cast("long"))
+      d.withColumn(s"score_$l",
+        expr(s"size(filter($tokCol, t -> t IN ($list)))").cast("long"))
     }
+
+  /** Chained argmax over the score columns with fixed priority order
+    * (en > de > es > fr > zh) — the deterministic tie-break both
+    * engines spell identically. */
+  private def langPred: Column = {
     val langs = markers.map(_._1)
-    // chained argmax with fixed priority order (en > de > es > fr > zh)
-    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+    langs.init.foldRight(lit(langs.last)) { (l, rest) =>
       val geAll = langs.filter(_ != l)
         .map(o => col(s"score_$l") >= col(s"score_$o"))
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(rest)
     }
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val df = withLangScores(
+      t(s, dir, "documents").withColumn("toks", split(col("text"), " ")),
+      "toks")
+    val langs = markers.map(_._1)
     df.select(col("doc_id") +: col("lang").as("lang_actual") +:
-        langs.map(l => col(s"score_$l")) :+ pred.as("lang_pred"): _*)
+        langs.map(l => col(s"score_$l")) :+ langPred.as("lang_pred"): _*)
       .orderBy("doc_id")
   }
 
-  private val langIdSql: String = {
-    val scoreCols = markers.map { case (l, ws) =>
+  /** SQL twins of [[withLangScores]] / [[langPred]] — one spelling. */
+  private def langScoresSql(tokCol: String): String =
+    markers.map { case (l, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
-      s"CAST(len(list_filter(toks, t -> t IN ($list))) AS BIGINT) AS score_$l"
+      s"CAST(len(list_filter($tokCol, t -> t IN ($list))) AS BIGINT) AS score_$l"
     }.mkString(",\n")
+
+  private lazy val langPredSql: String = {
     val langs = markers.map(_._1)
-    val pred = langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
-      val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+    langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"CASE WHEN $geAll THEN '$l' ELSE $rest END"
     }
+  }
+
+  private val langIdSql: String = {
+    val langs = markers.map(_._1)
     s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
        |sc AS (SELECT doc_id, lang AS lang_actual,
-       |$scoreCols
+       |${langScoresSql("toks")}
        |FROM d)
        |SELECT doc_id, lang_actual, ${langs.map(l => s"score_$l").mkString(", ")},
-       |$pred AS lang_pred
+       |$langPredSql AS lang_pred
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
@@ -1390,7 +1411,88 @@ object TextOps {
        |GROUP BY token
        |ORDER BY occurrences DESC, token LIMIT $bpeVocabTopK""".stripMargin
 
+  // ------------------------------------------------------------- t25
+  /** Code-switch / mixed-language report — t05's language-ID run PER
+    * SEGMENT (non-overlapping [[segTokens]]-token windows, the t17
+    * chunk shape with stride = width) and folded per document: segment
+    * count, distinct predicted languages, the dominant language and
+    * its share. Doc-level lang-ID mislabels mixed documents wholesale;
+    * this is the filter that catches them — the multilingual-corpus
+    * triage step between t05 and the t08 gate.
+    *
+    * Determinism: segment language is t05's chained integer argmax
+    * (ONE scoring definition shared by both ops, both engines);
+    * dominance ranks (count DESC, lang ASC) — integer ties fixed;
+    * the share is integer ppm. Scale: segmentation is map-side
+    * explode; the only shuffles are the (doc, lang) count and the
+    * |docs·langs|-row fold — both orders smaller than the corpus. */
+  val segTokens = 40
+
+  def codeSwitch(s: SparkSession, dir: String): DataFrame =
+    codeSwitchDf(t(s, dir, "documents"))
+
+  def codeSwitchDf(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k", explode(sequence(lit(0),
+        expr(s"cast(greatest(n - 1, 0) div $segTokens as int)"))))
+      .withColumn("seg",
+        slice(col("toks"), col("k") * segTokens + 1, lit(segTokens)))
+    val segLang = withLangScores(segs, "seg")
+      .select(col("doc_id"), langPred.as("seg_lang"))
+    val counts = segLang.groupBy(col("doc_id"), col("seg_lang"))
+      .agg(count(lit(1)).as("c"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("seg_lang"))
+    counts
+      .withColumn("rk", row_number().over(byDoc))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rk") === 1, col("seg_lang"))).as("dominant_lang"),
+        max(when(col("rk") === 1, col("c"))).as("domc"))
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        col("dominant_lang"),
+        expr("domc * 1000000L div n_segments").as("dominant_ppm"),
+        when(col("n_langs") > 1, 1L).otherwise(0L).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  private val codeSwitchSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |    list_slice(toks, k * $segTokens + 1, k * $segTokens + $segTokens)
+       |      AS seg
+       |  FROM d, unnest(generate_series(0,
+       |    CAST(greatest(n - 1, 0) // $segTokens AS INT))) AS t(k)),
+       |sc AS (
+       |  SELECT doc_id,
+       |${langScoresSql("seg")}
+       |  FROM seg),
+       |sl AS (SELECT doc_id, $langPredSql AS seg_lang FROM sc),
+       |cnt AS (
+       |  SELECT doc_id, seg_lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sl GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, seg_lang) AS rk
+       |  FROM cnt)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_segments,
+       |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+       |  MAX(CASE WHEN rk = 1 THEN seg_lang END) AS dominant_lang,
+       |  CAST(MAX(CASE WHEN rk = 1 THEN c END) * 1000000
+       |    // SUM(c) AS BIGINT) AS dominant_ppm,
+       |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_code_switch" -> codeSwitch _,
     "t24_bpe_apply" -> bpeApply _,
     "t23_bpe_learn" -> bpeLearn _,
     "t22_gopher_rules" -> gopherRules _,
@@ -1418,6 +1520,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t25_code_switch" -> codeSwitchSql,
     "t24_bpe_apply" -> bpeApplySql,
     "t23_bpe_learn" -> bpeLearnSql,
     "t22_gopher_rules" -> gopherRulesSql,

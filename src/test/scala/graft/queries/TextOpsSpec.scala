@@ -255,6 +255,24 @@ class TextOpsSpec extends SparkSpec {
     assert(applied === BpeReference.vocabHead(wf, TextOps.bpeVocabTopK))
   }
 
+  test("t25: segment-level lang-ID flags a mixed doc a whole-doc ID " +
+    "would mislabel") {
+    // doc 0: 40 English tokens then 40 German — two segments, mixed;
+    // doc 1: 80 pure German — two segments, unmixed
+    val en = Seq.fill(8)("the cat sat of a").mkString(" ")
+    val de = Seq.fill(8)("der hund ist und das").mkString(" ")
+    val docs = Seq((0L, s"$en $de"), (1L, s"$de $de"))
+      .toDF("doc_id", "text")
+    val got = TextOps.codeSwitchDf(docs)
+      .as[(Long, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 2L, 2L, "de", 500000L, 1L))
+      || got(0L) === ((0L, 2L, 2L, "en", 500000L, 1L)))
+    // tie at 1 segment each: dominance tie-break is lang ASC → "de"
+    assert(got(0L)._4 === "de")
+    assert(got(1L) === ((1L, 2L, 1L, "de", 1000000L, 0L)))
+  }
+
   test("t23/t24: a fully-collapsed vocabulary survives merge-less rounds") {
     // one two-char word: round 1 merges (a,b); rounds 2..N have an
     // empty pair table and must leave the encoding intact — a cross
