@@ -943,7 +943,75 @@ object Dedup {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ------------------------------------------------------------- d15
+  /** LSH recall audit — s09's discipline applied to the TEXT dedup
+    * path: how many of the exact 3-gram-Jaccard near-dup pairs (d03's
+    * ground truth at [[jaccardThreshold]]) does d02's banded MinHash
+    * candidate generation actually surface, and at what candidate
+    * volume? Index quality becomes a diffable one-row table (recall /
+    * precision in exact integer ppm), not a doc claim — the number a
+    * 100 TB dedup run checks BEFORE trusting its banding parameters.
+    *
+    * Scale: composes two already-bounded pipelines (banded buckets;
+    * df-cutoff index) plus one (doc_a, doc_b)-keyed outer join of
+    * pair-id relations — no new shape. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame =
+    lshRecallDf(t(s, dir, "documents"))
+
+  def lshRecallDf(docs: DataFrame): DataFrame = {
+    val truth = ngramJaccardDf(docs).select(col("doc_a"), col("doc_b"))
+      .withColumn("t", lit(1L))
+    val cands = minHashCandidates(minHashSigs(docs))
+      .withColumn("c", lit(1L))
+    truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(col("t")).as("n_truth"),
+        sum(col("c")).as("n_candidates"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_found"))
+      .select(col("n_truth"), col("n_candidates"), col("n_found"),
+        expr("n_found * 1000000L div n_truth").as("recall_ppm"),
+        expr("n_found * 1000000L div n_candidates").as("precision_ppm"))
+  }
+
+  /** Oracle: d02's cand chain ∪ d03's exact chain (CTEs prefixed to
+    * coexist), same outer-join fold. */
+  private val lshRecallSql =
+    s"""WITH $minHashCandSql,
+       |td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tsh_all AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM td),
+       |tkeep AS (SELECT sh FROM tsh_all GROUP BY sh
+       |  HAVING COUNT(*) <= $maxShingleDf),
+       |tsh AS MATERIALIZED (
+       |  SELECT tsh_all.* FROM tsh_all JOIN tkeep USING (sh)),
+       |tsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+       |tpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM tsh a JOIN tsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b, 1 AS t
+       |  FROM tpairs JOIN tsz sa ON doc_a = sa.doc_id
+       |    JOIN tsz sb ON doc_b = sb.doc_id
+       |  WHERE common / (sa.n_sh + sb.n_sh - common) >= $jaccardThreshold),
+       |cc AS (SELECT doc_a, doc_b, 1 AS c FROM cand),
+       |j AS (
+       |  SELECT t, c FROM truth FULL OUTER JOIN cc USING (doc_a, doc_b))
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       |  CAST(SUM(c) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
+       |    ELSE 0 END) * 1000000 // SUM(t) AS BIGINT) AS recall_ppm,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
+       |    ELSE 0 END) * 1000000 // SUM(c) AS BIGINT) AS precision_ppm
+       |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_lsh_recall"      -> lshRecall _,
     "d13_semdedup"        -> semDedup _,
     "d14_span_dedup"      -> spanDedup _,
     "d01_dedup_exact"     -> exact _,
@@ -960,6 +1028,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d15_lsh_recall"      -> lshRecallSql,
     "d13_semdedup"        -> semDedupSql,
     "d14_span_dedup"      -> spanDedupSql,
     "d01_dedup_exact"     -> exactSql,

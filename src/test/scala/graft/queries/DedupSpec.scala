@@ -238,6 +238,23 @@ class DedupSpec extends SparkSpec {
     val jac = Dedup.ngramJaccardDf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(!jac.contains((1L, 2L)),
-      "jaccard unexpectedly kept the size-skewed pair")
+      "jaccard unexpectedly kept the pair")
+  }
+
+  test("d15: audit counts equal an independent intersection of the " +
+    "two public pipelines") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val row = Dedup.lshRecallDf(docs).collect().head
+    val (nT, nC, nF) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val truth = Dedup.ngramJaccardDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minHashLshDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nT === truth.size.toLong)
+    assert(nC === cands.size.toLong)
+    assert(nF === (truth intersect cands).size.toLong)
+    assert(nF <= math.min(nT, nC))
+    assert(row.getLong(3) === nF * 1000000L / nT)
+    assert(row.getLong(4) === nF * 1000000L / nC)
   }
 }
