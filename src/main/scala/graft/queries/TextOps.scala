@@ -201,8 +201,11 @@ object TextOps {
   }
 
   def langId(s: SparkSession, dir: String): DataFrame = {
+    // COALESCE: NULL text must score as empty — Spark's size(NULL)=-1
+    // vs DuckDB's NULL would flip the argmax differently per engine
     val df = withLangScores(
-      t(s, dir, "documents").withColumn("toks", split(col("text"), " ")),
+      t(s, dir, "documents")
+        .withColumn("toks", split(coalesce(col("text"), lit("")), " ")),
       "toks")
     val langs = markers.map(_._1)
     df.select(col("doc_id") +: col("lang").as("lang_actual") +:
@@ -228,7 +231,8 @@ object TextOps {
 
   private val langIdSql: String = {
     val langs = markers.map(_._1)
-    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  string_split(COALESCE(text, ''), ' ') AS toks FROM documents),
        |sc AS (SELECT doc_id, lang AS lang_actual,
        |${langScoresSql("toks")}
        |FROM d)
@@ -834,13 +838,32 @@ object TextOps {
   def chunkOverlap(s: SparkSession, dir: String): DataFrame =
     chunkOverlapDf(t(s, dir, "documents"))
 
-  def chunkOverlapDf(docs: DataFrame): DataFrame = {
-    val (w, st) = (chunkTokens, chunkStride)
+  /** Shared token-windowing: (doc_id, toks, n, k) with k enumerating
+    * the [[chunkTokens]]-style w-token windows at stride st — ONE
+    * definition for t17 (overlapping chunks) and t25 (non-overlapping
+    * segments, st = w), in both engines. NULL text is scored as empty
+    * (COALESCE both sides — Spark's size(NULL) = −1 vs DuckDB's NULL
+    * would otherwise diverge every downstream compare). */
+  private def tokenWindows(docs: DataFrame, w: Int, st: Int): DataFrame =
     docs
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .withColumn("n", size(col("toks")))
       .withColumn("k", explode(sequence(lit(0),
         expr(s"cast((greatest(n - $w, 0) + ${st - 1}) div $st as int)"))))
+
+  private def tokenWindowsSql(w: Int, st: Int): String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+       |    len(string_split(COALESCE(text, ''), ' ')) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, n, toks, unnest(generate_series(0,
+       |    CAST((greatest(n - $w, 0) + ${st - 1}) // $st AS INT))) AS k
+       |  FROM d)""".stripMargin
+
+  def chunkOverlapDf(docs: DataFrame): DataFrame = {
+    val (w, st) = (chunkTokens, chunkStride)
+    tokenWindows(docs, w, st)
       .withColumn("start_tok", (col("k") * st + 1).cast("long"))
       .withColumn("chunk",
         array_join(slice(col("toks"), col("k") * st + 1, lit(w)), " "))
@@ -854,14 +877,7 @@ object TextOps {
 
   private val chunkOverlapSql = {
     val (w, st) = (chunkTokens, chunkStride)
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks,
-       |    len(string_split(text, ' ')) AS n
-       |  FROM documents),
-       |k AS (
-       |  SELECT doc_id, n, toks, unnest(generate_series(0,
-       |    CAST((greatest(n - $w, 0) + ${st - 1}) // $st AS INT))) AS k
-       |  FROM d)
+    s"""WITH ${tokenWindowsSql(w, st)}
        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
        |  CAST(k * $st + 1 AS BIGINT) AS start_tok,
        |  CAST(least($w, n - (k * $st + 1) + 1) AS BIGINT) AS n_tok,
@@ -1432,11 +1448,7 @@ object TextOps {
     codeSwitchDf(t(s, dir, "documents"))
 
   def codeSwitchDf(docs: DataFrame): DataFrame = {
-    val segs = docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")))
-      .withColumn("k", explode(sequence(lit(0),
-        expr(s"cast(greatest(n - 1, 0) div $segTokens as int)"))))
+    val segs = tokenWindows(docs, segTokens, segTokens)
       .withColumn("seg",
         slice(col("toks"), col("k") * segTokens + 1, lit(segTokens)))
     val segLang = withLangScores(segs, "seg")
@@ -1461,16 +1473,12 @@ object TextOps {
   }
 
   private val codeSwitchSql =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks,
-       |    len(string_split(text, ' ')) AS n
-       |  FROM documents),
+    s"""WITH ${tokenWindowsSql(segTokens, segTokens)},
        |seg AS (
        |  SELECT doc_id,
        |    list_slice(toks, k * $segTokens + 1, k * $segTokens + $segTokens)
        |      AS seg
-       |  FROM d, unnest(generate_series(0,
-       |    CAST(greatest(n - 1, 0) // $segTokens AS INT))) AS t(k)),
+       |  FROM k),
        |sc AS (
        |  SELECT doc_id,
        |${langScoresSql("seg")}
