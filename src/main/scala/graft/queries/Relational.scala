@@ -2248,12 +2248,66 @@ object Relational {
       |  AND (v.valid_to_us IS NULL OR p.p_us < v.valid_to_us)
       |ORDER BY p.event_id""".stripMargin
 
+  // ------------------------------------------------------------- q59
+  /** Ratio-to-report — percent-of-total at two hierarchy levels
+    * WITHOUT collapsing the detail (the reporting op next to q12's
+    * rollup, Oracle/Teradata `RATIO_TO_REPORT`): per supplier nation,
+    * its revenue share within its region and of the grand total.
+    *
+    * Shape: the q40-style dim chain (supplier→nation→region all
+    * broadcast) into ONE fact agg at the finest grain, then the
+    * shares are window sums over the TINY (|nations|-row) aggregate —
+    * never a second fact pass, never a self-join. Money follows the
+    * q01 rule (DECIMAL before sum); shares are integer ppm over exact
+    * cents (BIGINT headroom to ~9·10¹² dollars per group). */
+  def q59RatioToReport(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .as("revenue"))
+      .withColumn("cents", expr("CAST(revenue * 100 AS BIGINT)"))
+    val byRegion = Window.partitionBy(col("r_name"))
+    val all = Window.partitionBy()
+    rev
+      .withColumn("region_cents", sum(col("cents")).over(byRegion))
+      .withColumn("total_cents", sum(col("cents")).over(all))
+      .select(col("r_name"), col("n_name"),
+        col("revenue").cast("decimal(38,2)").as("revenue"),
+        expr("cents * 1000000L div region_cents").as("region_share_ppm"),
+        expr("cents * 1000000L div total_cents").as("total_share_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q59Sql =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |c AS (SELECT *, CAST(revenue * 100 AS BIGINT) AS cents FROM rev)
+      |SELECT r_name, n_name, CAST(revenue AS DECIMAL(38,2)) AS revenue,
+      |  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY r_name)
+      |    AS BIGINT) AS region_share_ppm,
+      |  CAST(cents * 1000000 // SUM(cents) OVER ()
+      |    AS BIGINT) AS total_share_ppm
+      |FROM c ORDER BY r_name, n_name""".stripMargin
+
   /** DuckDB spelling of conv(substring(hex, 1, 15), 16, 10). */
   private def hex15ToBigint(hexExpr: String): String =
     OracleDsl.hornerHex(hexExpr, 15)
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_ratio_to_report" -> q59RatioToReport _,
     "q58_pit_join"        -> q58PitJoin _,
     "q57_table_fingerprint" -> q57TableFingerprint _,
     "q56_compaction_plan" -> q56CompactionPlan _,
@@ -2314,6 +2368,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q59_ratio_to_report" -> q59Sql,
     "q58_pit_join"        -> q58Sql,
     "q57_table_fingerprint" -> q57Sql,
     "q56_compaction_plan" -> q56Sql,

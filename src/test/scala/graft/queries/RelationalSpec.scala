@@ -302,6 +302,29 @@ class RelationalSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("q59: shares are exact floor-ppm and sum to 1e6 within rounding") {
+    val rows = Relational.q59RatioToReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per region: floor shares sum into (1e6 - nations, 1e6]
+    rows.groupBy(_._1).foreach { case (reg, ns) =>
+      val s = ns.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - ns.length,
+        s"region $reg shares sum $s")
+    }
+    val t = rows.map(_._5).sum
+    assert(t <= 1000000L && t > 1000000L - rows.length, s"total $t")
+    // ppm recomputed from the emitted DECIMAL revenues agrees
+    val cents = rows.map(r => (r._1, r._2,
+      r._3.movePointRight(2).longValueExact()))
+    val byReg = cents.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    rows.zip(cents).foreach { case ((reg, n, _, rp, tp), (_, _, c)) =>
+      assert(rp === c * 1000000L / byReg(reg), s"$reg/$n region share")
+      assert(tp === c * 1000000L / cents.map(_._3).sum, s"$reg/$n total")
+    }
+  }
+
   test("q57: fingerprints match an in-memory recompute and detect mutation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
