@@ -645,7 +645,89 @@ object Sketches {
       |FROM st JOIN ex USING (rfs, lss)
       |ORDER BY level, l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------- a11
+  /** Count-min sketch-cube — a10's rollup story for the SUM-mergeable
+    * algebra: leaf [[graft.functions.PortableCountMin]] counter grids
+    * (one fact pass, 8 KB per leaf) roll up to the grand total by
+    * ELEMENT-WISE ADDITION — where HLL registers merge by max, CMS
+    * counters merge by sum, and both make every coarser level free of
+    * fact re-scans. The per-level sketch state is md5'd into the
+    * output and the oracle computes each level DIRECTLY from the rows
+    * (densified counter grid), so equality proves the additive merge
+    * exact. n_rows falls out of the state itself (Σ counters = depth
+    * × rows — each event increments one counter per hash row). */
+  def cmsRollup(s: SparkSession, dir: String): DataFrame =
+    cmsRollupDf(t(s, dir, "lineitem"))
+
+  def cmsRollupDf(li: DataFrame): DataFrame = {
+    import graft.functions.PortableCountMin
+    val leaf = li.groupBy(col("l_returnflag").as("rfs"))
+      .agg(PortableCountMin.portableCms(col("l_suppkey").cast("string"))
+        .as("arr"))
+      .persist()
+    val lvl1 = leaf.select(lit(1L).as("level"), col("rfs"),
+      md5(concat_ws(",", col("arr").cast("array<string>")))
+        .as("sketch_md5"),
+      expr(s"aggregate(arr, 0L, (a, x) -> a + x)" +
+        s" div ${PortableCountMin.depth}").as("n_rows"))
+    val lvl0 = leaf
+      .select(posexplode(col("arr")).as(Seq("idx", "c")))
+      .groupBy(col("idx")).agg(sum(col("c")).as("c"))
+      .agg(md5(concat_ws(",", expr(
+        """transform(array_sort(collect_list(struct(idx, c))),
+           x -> CAST(x.c AS STRING))"""))).as("sketch_md5"),
+        expr(s"sum(c) div ${PortableCountMin.depth}").as("n_rows"))
+      .select(lit(0L).as("level"), lit("*").as("rfs"),
+        col("sketch_md5"), col("n_rows"))
+    lvl1.unionByName(lvl0).orderBy("level", "rfs")
+  }
+
+  /** DuckDB twin: the a04 densified counter grid per level, computed
+    * directly from the rows — matching the Spark side's added-up leaf
+    * grids proves the sum-merge exact. */
+  private val cmsRollupSql = {
+    import graft.functions.PortableCountMin.{depth, width}
+    val bucketOf =
+      s"""((strpos('0123456789abcdef', substring(md5(CAST(dd.d AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 1)) - 1) * 16 +
+         | (strpos('0123456789abcdef', substring(md5(CAST(dd.d AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 2, 1)) - 1))""".stripMargin
+    s"""WITH hits AS (
+       |  SELECT l_returnflag, dd.d AS d, $bucketOf AS bucket
+       |  FROM lineitem
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd),
+       |grid AS (
+       |  SELECT f.l_returnflag, dd.d, bb.bucket
+       |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${width - 1})) AS bucket) bb),
+       |cnts AS (
+       |  SELECT l_returnflag, d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM hits GROUP BY 1, 2, 3),
+       |dense AS (
+       |  SELECT g.l_returnflag, g.d, g.bucket, COALESCE(c.c, 0) AS c
+       |  FROM grid g LEFT JOIN cnts c
+       |    ON g.l_returnflag = c.l_returnflag AND g.d = c.d
+       |    AND g.bucket = c.bucket),
+       |leaf AS (
+       |  SELECT CAST(1 AS BIGINT) AS level, l_returnflag AS rfs,
+       |    md5(string_agg(CAST(c AS VARCHAR), ','
+       |      ORDER BY d * $width + bucket)) AS sketch_md5,
+       |    CAST(SUM(c) // $depth AS BIGINT) AS n_rows
+       |  FROM dense GROUP BY 2),
+       |tcell AS (
+       |  SELECT d, bucket, CAST(SUM(c) AS BIGINT) AS c
+       |  FROM dense GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(0 AS BIGINT) AS level, '*' AS rfs,
+       |    md5(string_agg(CAST(c AS VARCHAR), ','
+       |      ORDER BY d * $width + bucket)) AS sketch_md5,
+       |    CAST(SUM(c) // $depth AS BIGINT) AS n_rows
+       |  FROM tcell)
+       |SELECT * FROM leaf UNION ALL SELECT * FROM tot
+       |ORDER BY level, rfs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_cms_rollup" -> cmsRollup _,
     "a10_sketch_rollup" -> sketchRollup _,
     "a01_hll_distinct" -> hllDistinct _,
     "a02_percentiles"  -> percentiles _,
@@ -659,6 +741,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a11_cms_rollup" -> cmsRollupSql,
     "a10_sketch_rollup" -> sketchRollupSql,
     "a03_portable_hll" -> portableHllSql,
     "a04_cms_heavy_hitters" -> cmsHeavyHittersSql,

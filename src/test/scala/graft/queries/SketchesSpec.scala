@@ -174,4 +174,25 @@ class SketchesSpec extends SparkSpec {
           s"est $est exact $exact")
     }
   }
+
+  test("a11: summed leaf CMS grids equal the direct whole-fact sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableCountMin
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val out = Sketches.cmsRollupDf(li).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // the law: the level-0 state (sum of leaf grids) must be byte-
+    // identical to one direct sketch over all rows
+    val direct = li
+      .agg(PortableCountMin.portableCms(col("l_suppkey").cast("string"))
+        .as("arr"))
+      .select(md5(concat_ws(",", col("arr").cast("array<string>"))))
+      .collect().head.getString(0)
+    val tot = out.find(_._1 == 0L).get
+    assert(tot._3 === direct, "merged state != direct state")
+    // n_rows falls out of the counters exactly, per level and total
+    assert(tot._4 === li.count())
+    assert(out.filter(_._1 == 1L).map(_._4).sum === li.count())
+  }
 }
