@@ -553,7 +553,63 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------- g06
+  /** Degree-distribution profile — the graph-health dashboard row
+    * (t16's vocabulary profile for graphs): per role of the
+    * supplier↔customer graph, a log₂-bucketed degree histogram with
+    * per-bucket min/max/mass. This is the FIRST query a 100 TB graph
+    * job runs — it decides whether g02's orientation bound holds,
+    * whether AQE skew handling will fire, and how to size partitions
+    * (the SkewProbe's answer, as an oracle-checked relation).
+    *
+    * All integer: bucket = len(bin(degree)) − 1 (⌊log₂⌋ without a
+    * float log — both engines render binary identically). One
+    * |nodes|-sized aggregate over the ids-only degree relation;
+    * buckets are ≤ 64 per role. */
+  def degreeProfile(s: SparkSession, dir: String): DataFrame =
+    degreeProfileDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def degreeProfileDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + custOffset).as("dst"))
+      .distinct()
+    val und = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(
+        when(col("src") >= custOffset, "customer")
+          .otherwise("supplier").as("role"),
+        expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("bucket"),
+        col("deg"))
+      .groupBy(col("role"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("degree_mass"))
+      .orderBy("role", "bucket")
+  }
+
+  private val degreeProfileSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst, src FROM pairs),
+       |deg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY src)
+       |SELECT CASE WHEN src >= $custOffset THEN 'customer'
+       |  ELSE 'supplier' END AS role,
+       |  CAST(len(bin(deg)) - 1 AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+       |  CAST(SUM(deg) AS BIGINT) AS degree_mass
+       |FROM deg GROUP BY 1, 2 ORDER BY role, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g06_degree_profile" -> degreeProfile _,
     "g01_pagerank"  -> pageRank _,
     "g02_triangles" -> triangles _,
     "g03_components" -> components _,
@@ -561,6 +617,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g06_degree_profile" -> degreeProfileSql,
     "g01_pagerank"  -> pageRankSql,
     "g02_triangles" -> trianglesSql,
     "g03_components" -> componentsSql,

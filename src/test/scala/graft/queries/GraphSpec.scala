@@ -147,4 +147,22 @@ class GraphSpec extends SparkSpec {
     // the bounded horizon is meaningful: more than one hop level present
     assert(out.map(_._2).distinct.length > 1)
   }
+
+  test("g06: buckets partition the degree range; mass sums to 2|E|") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val ord = graft.Tables.t(spark, sf, "orders")
+    val out = Graph.degreeProfileDf(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (role, b, n, mn, mx, mass) =>
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"$role bucket $b range [$mn,$mx]")
+      assert(n >= 1 && mass >= n * mn && mass <= n * mx)
+    }
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct().count()
+    assert(out.map(_._6).sum === 2 * edges, "degree mass != 2|E|")
+  }
 }
