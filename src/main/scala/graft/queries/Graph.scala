@@ -40,17 +40,37 @@ object Graph {
   val baseRank = 150000000000L            // 0.15 · initRank (damping 0.85)
   val topN = 100
 
-  def pageRank(s: SparkSession, dir: String): DataFrame =
-    pageRankDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
-
-  def pageRankDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+  /** The supplier↔customer undirected edge list (both directions,
+    * customers offset) — ONE construction shared by g01/g04/g05/g06;
+    * the SQL twin is [[undirectedEdgesSql]]. */
+  private def undirectedEdges(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
     val ord = orders.select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("src"),
         (col("o_custkey") + custOffset).as("dst"))
       .distinct()
-    val und = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** SQL twin of [[undirectedEdges]]: the pairs/und CTE pair. The
+    * iterative twins (g04/g05) keep their own `AS MATERIALIZED`
+    * variants — DuckDB re-inlines multiply-referenced round chains
+    * without the hint (the sf1 lesson), which does not apply to the
+    * single-reference uses here. */
+  private val undirectedEdgesSql: String =
+    s"""pairs AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS (SELECT src, dst FROM pairs
+       |        UNION ALL SELECT dst, src FROM pairs)""".stripMargin
+
+  def pageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def pageRankDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val und = undirectedEdges(lineitem, orders)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     // ids-only adjacency with degree attached, partitioned once on the
     // per-round join key and persisted (each round probes it against a
@@ -81,11 +101,7 @@ object Graph {
          |  FROM e JOIN r${r - 1} ON e.src = r${r - 1}.node
          |  GROUP BY dst)"""
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |und AS (SELECT src, dst FROM pairs
-       |        UNION ALL SELECT dst, src FROM pairs),
+    s"""WITH $undirectedEdgesSql,
        |deg AS (SELECT src, COUNT(*) AS out_deg FROM und GROUP BY src),
        |e AS (SELECT und.src, und.dst, deg.out_deg
        |      FROM und JOIN deg ON und.src = deg.src),
@@ -381,15 +397,7 @@ object Graph {
 
   def kcoreDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + custOffset).as("dst"))
-      .distinct()
-    var und = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    var und = undirectedEdges(lineitem, orders).persist()
     val deg0 = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // one-row threshold relation, persisted: each round's keep filter
     // re-broadcasts it, and without the persist every broadcast job
@@ -491,15 +499,7 @@ object Graph {
     bfsHopsDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
 
   def bfsHopsDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + custOffset).as("dst"))
-      .distinct()
-    val und = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val und = undirectedEdges(lineitem, orders).persist()
     val seeds = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node"))
@@ -569,16 +569,9 @@ object Graph {
   def degreeProfile(s: SparkSession, dir: String): DataFrame =
     degreeProfileDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
 
-  def degreeProfileDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + custOffset).as("dst"))
-      .distinct()
-    val und = pairs.union(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+  def degreeProfileDf(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    undirectedEdges(lineitem, orders)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(
         when(col("src") >= custOffset, "customer")
           .otherwise("supplier").as("role"),
@@ -588,15 +581,9 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
         max(col("deg")).as("max_deg"), sum(col("deg")).as("degree_mass"))
       .orderBy("role", "bucket")
-  }
 
   private val degreeProfileSql =
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |und AS (
-       |  SELECT src, dst FROM pairs
-       |  UNION ALL SELECT dst, src FROM pairs),
+    s"""WITH $undirectedEdgesSql,
        |deg AS (
        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
        |  FROM und GROUP BY src)

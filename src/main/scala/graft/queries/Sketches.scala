@@ -134,14 +134,21 @@ object Sketches {
     * the first two hex chars), a densified (flag, d, bucket) counter
     * grid (zeros included — the sketch md5 covers every counter), and
     * min-over-rows point estimates for the exact top keys. */
-  private val cmsHeavyHittersSql = {
+  /** Shared CMS-oracle scaffolding — ONE spelling of the sketch's
+    * hash recipe and the densified (l_returnflag, d, bucket) counter
+    * grid, composed into both the a04 and a11 twins (a drifted copy
+    * of the hash recipe would silently desync an oracle). */
+  private[queries] def cmsBucketOf(dExpr: String, kExpr: String): String =
+    s"""((strpos('0123456789abcdef', substring(md5($dExpr || ':' || $kExpr), 1, 1)) - 1) * 16 +
+       | (strpos('0123456789abcdef', substring(md5($dExpr || ':' || $kExpr), 2, 1)) - 1))""".stripMargin
+
+  /** CTE chain ending in `counters` = every (flag, d, bucket) cell,
+    * zeros included (the sketch md5 covers every counter). */
+  private lazy val cmsGridCtes: String = {
     import graft.functions.PortableCountMin.{depth, width}
-    val bucketOf = (dExpr: String, kExpr: String) =>
-      s"""((strpos('0123456789abcdef', substring(md5($dExpr || ':' || $kExpr), 1, 1)) - 1) * 16 +
-         | (strpos('0123456789abcdef', substring(md5($dExpr || ':' || $kExpr), 2, 1)) - 1))""".stripMargin
-    s"""WITH hits AS (
+    s"""hits AS (
        |  SELECT l_returnflag, dd.d AS d,
-       |    ${bucketOf("CAST(dd.d AS VARCHAR)", "CAST(l_suppkey AS VARCHAR)")} AS bucket
+       |    ${cmsBucketOf("CAST(dd.d AS VARCHAR)", "CAST(l_suppkey AS VARCHAR)")} AS bucket
        |  FROM lineitem
        |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd),
        |grid AS (
@@ -155,7 +162,13 @@ object Sketches {
        |  FROM grid g LEFT JOIN (
        |    SELECT l_returnflag, d, bucket, COUNT(*) AS c
        |    FROM hits GROUP BY 1, 2, 3) h
-       |  ON g.l_returnflag = h.l_returnflag AND g.d = h.d AND g.bucket = h.bucket),
+       |  ON g.l_returnflag = h.l_returnflag AND g.d = h.d AND g.bucket = h.bucket)"""
+      .stripMargin
+  }
+
+  private val cmsHeavyHittersSql = {
+    val bucketOf = cmsBucketOf _
+    s"""WITH $cmsGridCtes,
        |sketch AS (
        |  SELECT l_returnflag,
        |    md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY d, bucket)) AS sketch_md5
@@ -687,35 +700,16 @@ object Sketches {
     * grids proves the sum-merge exact. */
   private val cmsRollupSql = {
     import graft.functions.PortableCountMin.{depth, width}
-    val bucketOf =
-      s"""((strpos('0123456789abcdef', substring(md5(CAST(dd.d AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 1)) - 1) * 16 +
-         | (strpos('0123456789abcdef', substring(md5(CAST(dd.d AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 2, 1)) - 1))""".stripMargin
-    s"""WITH hits AS (
-       |  SELECT l_returnflag, dd.d AS d, $bucketOf AS bucket
-       |  FROM lineitem
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd),
-       |grid AS (
-       |  SELECT f.l_returnflag, dd.d, bb.bucket
-       |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS d) dd
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${width - 1})) AS bucket) bb),
-       |cnts AS (
-       |  SELECT l_returnflag, d, bucket, CAST(COUNT(*) AS BIGINT) AS c
-       |  FROM hits GROUP BY 1, 2, 3),
-       |dense AS (
-       |  SELECT g.l_returnflag, g.d, g.bucket, COALESCE(c.c, 0) AS c
-       |  FROM grid g LEFT JOIN cnts c
-       |    ON g.l_returnflag = c.l_returnflag AND g.d = c.d
-       |    AND g.bucket = c.bucket),
+    s"""WITH $cmsGridCtes,
        |leaf AS (
        |  SELECT CAST(1 AS BIGINT) AS level, l_returnflag AS rfs,
        |    md5(string_agg(CAST(c AS VARCHAR), ','
        |      ORDER BY d * $width + bucket)) AS sketch_md5,
        |    CAST(SUM(c) // $depth AS BIGINT) AS n_rows
-       |  FROM dense GROUP BY 2),
+       |  FROM counters GROUP BY 2),
        |tcell AS (
        |  SELECT d, bucket, CAST(SUM(c) AS BIGINT) AS c
-       |  FROM dense GROUP BY 1, 2),
+       |  FROM counters GROUP BY 1, 2),
        |tot AS (
        |  SELECT CAST(0 AS BIGINT) AS level, '*' AS rfs,
        |    md5(string_agg(CAST(c AS VARCHAR), ','
