@@ -1499,7 +1499,62 @@ object TextOps {
        |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS mixed
        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t26
+  /** Scala-UDF escape hatch IN THE CONTRACT — the R11 surface as an
+    * oracle-checked query, not only a spec: per document, word/
+    * syllable counts and the [[graft.functions.TextUdfs.readability]]
+    * Flesch-ish score computed by the registered JVM closure. The
+    * oracle replicates the closure's exact IEEE operation sequence in
+    * SQL (each step a single double op, left-associated identically),
+    * so even the float output hash-matches — demonstrating that a
+    * user's arbitrary per-record logic still gets differential
+    * verification when its arithmetic is spelled portably.
+    *
+    * Scale: the UDF is opaque to Catalyst (no pushdown through it, no
+    * codegen of its body — the documented cost of the hatch); the
+    * query is one map-side pass + the output sort, so the penalty is
+    * per-row closure dispatch only. */
+  def readabilityReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextUdfs
+    t(s, dir, "documents")
+      .withColumn("words",
+        expr("filter(split(coalesce(text, ''), '\\\\s+'), w -> w <> '')"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("""CAST(aggregate(words, 0L,
+                (a, w) -> a + greatest(1L,
+                  size(filter(split(w, ''), c ->
+                    c IN ('a', 'e', 'i', 'o', 'u'))))) AS BIGINT)""")
+          .as("n_syllables"),
+        TextUdfs.readabilityCol(col("text")).as("readability"))
+      .orderBy("doc_id")
+  }
+
+  private val readabilitySql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+      |      x -> x <> '') AS words,
+      |    COALESCE(text, '') AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(words, x ->
+      |      greatest(1, len(regexp_extract_all(x, '[aeiou]')))))
+      |      AS BIGINT) AS n_syllables,
+      |    t
+      |  FROM w)
+      |SELECT doc_id, n_words, COALESCE(n_syllables, 0) AS n_syllables,
+      |  CASE WHEN t = '' THEN 0.0
+      |    ELSE 206.835 - 1.015 * CAST(n_words AS DOUBLE)
+      |      - 84.6 * (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+      |                / greatest(CAST(n_words AS DOUBLE), 1.0))
+      |  END AS readability
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_readability" -> readabilityReport _,
     "t25_code_switch" -> codeSwitch _,
     "t24_bpe_apply" -> bpeApply _,
     "t23_bpe_learn" -> bpeLearn _,
@@ -1528,6 +1583,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t26_readability" -> readabilitySql,
     "t25_code_switch" -> codeSwitchSql,
     "t24_bpe_apply" -> bpeApplySql,
     "t23_bpe_learn" -> bpeLearnSql,

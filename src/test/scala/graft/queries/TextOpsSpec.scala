@@ -273,6 +273,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) === ((1L, 2L, 1L, "de", 1000000L, 0L)))
   }
 
+  test("t26: the UDF score is exactly the formula over the emitted " +
+    "integer counts; degenerate texts handled") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextOps.readabilityReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, syl, sc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val want = 206.835 - 1.015 * n.toDouble -
+        84.6 * (syl.toDouble / math.max(n.toDouble, 1.0))
+      assert(sc === want, s"doc ${r.getLong(0)}")
+    }
+    // degenerate inputs through the UDF itself
+    val out = Seq((0L, "the quick brown fox"), (1L, ""),
+      (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextUdfs.readabilityCol(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 206.835) // whitespace-only: zero words
+  }
+
   test("t23/t24: a fully-collapsed vocabulary survives merge-less rounds") {
     // one two-char word: round 1 merges (a,b); rounds 2..N have an
     // empty pair table and must leave the encoding intact — a cross
