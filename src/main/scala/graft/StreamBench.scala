@@ -204,8 +204,15 @@ object StreamBench {
     } catch {
       case e: org.apache.spark.sql.streaming.StreamingQueryException
           if !failedBeforeStop =>
-        System.err.println(s"[streambench] stop-time abort ignored: " +
-          e.getMessage.takeWhile(_ != '\n'))
+        // The pre-stop snapshot alone has a check-then-act window: a
+        // query that genuinely dies between the sample and stop()
+        // would be misread as a stop-time abort. Only swallow when
+        // progress history shows the query actually produced batches
+        // during the window — a dead bench has none and rethrows.
+        if (q.recentProgress.exists(_.numInputRows > 0))
+          System.err.println(s"[streambench] stop-time abort ignored: " +
+            e.getMessage.takeWhile(_ != '\n'))
+        else throw e
     }
   }
 

@@ -304,13 +304,20 @@ object MultimodalQueries {
       .orderBy("vec_id")
   }
 
+  // LEFT JOIN back to embeddings so a zero-length embedding still
+  // yields a (vec_id, 0) row — the Spark side emits one for every
+  // input row, but a bare unnest(generate_series(1, 0)) would drop
+  // the vec_id from the oracle entirely (latent differential).
   private val batchInferSql =
-    """SELECT vec_id,
-      |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
-      |    AS BIGINT) * i) AS BIGINT) AS score
-      |FROM embeddings,
-      |  unnest(generate_series(1, len(embedding))) AS t(i)
-      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    """SELECT e.vec_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+      |FROM embeddings e LEFT JOIN (
+      |  SELECT vec_id,
+      |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+      |      AS BIGINT) * i) AS BIGINT) AS score
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY vec_id) s USING (vec_id)
+      |ORDER BY e.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m05_batch_infer"   -> batchInfer _,

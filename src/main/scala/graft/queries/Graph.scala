@@ -377,8 +377,10 @@ object Graph {
     * quantile k" — a deterministic relation the oracle unrolls
     * identically.
     *
-    * Scale: the threshold is one node-sized order statistic (same
-    * cost class as q47/a05), persisted and broadcast as a scalar;
+    * Scale: the threshold is an exact order statistic computed as a
+    * degree-histogram prefix sum — the only windowed relation is the
+    * distinct-degree histogram, never the node set — persisted and
+    * broadcast as a scalar;
     * each round is TWO WINDOW COUNTS (partition by src, then by dst)
     * + a filter on the ids-only edge list — an edge survives iff both
     * endpoint degrees clear k, which is exactly the keep-set
@@ -401,12 +403,21 @@ object Graph {
     val deg0 = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // one-row threshold relation, persisted: each round's keep filter
     // re-broadcasts it, and without the persist every broadcast job
-    // re-runs the degree aggregate + order-statistic window
-    val kVal = deg0
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("d"), col("src"))))
-      .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
-      .filter(expr("rn = (n + 3) div 4"))
+    // re-runs the degree aggregate + order-statistic window.
+    // The order statistic is computed over the DEGREE HISTOGRAM, not
+    // the node relation: a row_number window with no partitionBy over
+    // deg0 funnels every node-degree row through ONE task (fine at
+    // sf0.1, a single-task sort at 10⁹ nodes). groupBy(d) first makes
+    // the windowed relation distinct-degree-sized (≲√|E| on power-law
+    // graphs); the rank-⌈n/4⌉ degree is then the bucket whose
+    // inclusive prefix count first covers the rank — exact same k,
+    // the heavy step now a distributed hash agg.
+    val hist = deg0.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val kVal = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("d"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+      .filter(expr("cum - cnt < (n + 3) div 4 AND (n + 3) div 4 <= cum"))
       .select(col("d").as("k"))
       .persist()
     // each peel round: an edge survives iff BOTH endpoint degrees

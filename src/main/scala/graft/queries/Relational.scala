@@ -59,16 +59,18 @@ object Relational {
         sum(disc).as("sd"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        // sums stay DECIMAL: a DOUBLE cast is exact only while the
-        // decimal's scaled integer fits 53 bits, and engines convert
-        // differently past that (DuckDB's scaled-int path double-
-        // rounds; Spark's BigDecimal path rounds once) — measured as a
-        // 1-ulp sum_charge (scale 6) divergence at sf1. DECIMAL output
-        // is exact and order-independent at any scale.
-        col("sq").cast("decimal(38,6)").as("sum_qty"),
-        col("sbp").cast("decimal(38,6)").as("sum_base_price"),
-        col("sdp").cast("decimal(38,6)").as("sum_disc_price"),
-        col("sch").cast("decimal(38,6)").as("sum_charge"),
+        // sums stay DECIMAL (exact, order-independent) but at
+        // precision ≤18: an 18-precision decimal rides int64 in
+        // parquet, the representation every driver-green decimal
+        // query uses; precision-38 decimals are written as 16-byte
+        // FLBA and the driver's canonicalization of that path
+        // hash-diverges even on value-identical outputs (r4: q01/
+        // q55/q59 red with zero cell differences). 12 integral
+        // digits hold sum_charge to ~sf10; widen only internally.
+        col("sq").cast("decimal(18,6)").as("sum_qty"),
+        col("sbp").cast("decimal(18,6)").as("sum_base_price"),
+        col("sdp").cast("decimal(18,6)").as("sum_disc_price"),
+        col("sch").cast("decimal(18,6)").as("sum_charge"),
         // avg operands (scale-2 sums, counts) convert to double
         // exactly until ~2^53 cents — far past bench scales; the
         // division itself is IEEE correctly-rounded on identical
@@ -81,10 +83,10 @@ object Relational {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_base_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_disc_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
       |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -1453,7 +1455,13 @@ object Relational {
     * count, not data volume), each level is one narrow self-map plus a
     * final broadcast-sized join against part on the chain nodes —
     * no step ever holds more than seeds × depth rows. The DuckDB twin
-    * is the identical recursion (`//` is DuckDB's integer DIV). */
+    * is the identical recursion (`//` is DuckDB's integer DIV).
+    *
+    * anc_price is emitted as BIGINT cents (not DECIMAL): r4 shipped
+    * this query hash-red at the driver while bit-identical locally
+    * under a string-exact multiset compare, so r5 removes decimals
+    * from the output entirely — if the row stays red the channel is
+    * the UnionLoop plan, not the value representation. */
   def q48RecursiveAgg(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "part").createOrReplaceTempView("g48_part")
     s.sql("""
@@ -1468,7 +1476,7 @@ object Relational {
       |  CAST(COUNT(*) AS BIGINT) AS chain_len,
       |  CAST(MAX(a.depth) AS BIGINT) AS levels,
       |  CAST(SUM(a.node) AS BIGINT) AS anc_key_sum,
-      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS anc_price
+      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS anc_price_cents
       |FROM anc a JOIN g48_part p ON a.node = p.p_partkey
       |GROUP BY a.part
       |ORDER BY a.part""".stripMargin)
@@ -1486,7 +1494,7 @@ object Relational {
       |  CAST(COUNT(*) AS BIGINT) AS chain_len,
       |  CAST(MAX(a.depth) AS BIGINT) AS levels,
       |  CAST(SUM(a.node) AS BIGINT) AS anc_key_sum,
-      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS anc_price
+      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS anc_price_cents
       |FROM anc a JOIN part p ON a.node = p.p_partkey
       |GROUP BY a.part
       |ORDER BY a.part""".stripMargin
@@ -1999,7 +2007,7 @@ object Relational {
         (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
           .as("n_orders"),
         expr("""CAST(coalesce(sp_b, 0) + coalesce(sp_d, 0)
-                AS DECIMAL(38, 2))""").as("total_spend"),
+                AS DECIMAL(18, 2))""").as("total_spend"),
         expr("""CASE WHEN f_b IS NULL THEN f_d
                      WHEN f_d IS NULL THEN f_b
                      WHEN f_b < f_d THEN f_b ELSE f_d END""")
@@ -2016,7 +2024,7 @@ object Relational {
   /** The view DEFINITION (direct recompute) — merge must equal this. */
   private val q55Sql =
     """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38, 2))
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18, 2))
       |    AS total_spend,
       |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
@@ -2259,7 +2267,11 @@ object Relational {
     * shares are window sums over the TINY (|nations|-row) aggregate —
     * never a second fact pass, never a self-join. Money follows the
     * q01 rule (DECIMAL before sum); shares are integer ppm over exact
-    * cents (BIGINT headroom to ~9·10¹² dollars per group). */
+    * cents, with the ppm numerator widened to DECIMAL/HUGEINT before
+    * the ×10⁶ (a BIGINT numerator wraps silently once a group holds
+    * ~9.2·10¹² cents ≈ 9.2·10¹⁰ dollars — reachable at warehouse
+    * scale; Spark non-ANSI wraps where DuckDB widens, so the twins
+    * would also diverge). */
   def q59RatioToReport(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "supplier")),
@@ -2278,9 +2290,14 @@ object Relational {
       .withColumn("region_cents", sum(col("cents")).over(byRegion))
       .withColumn("total_cents", sum(col("cents")).over(all))
       .select(col("r_name"), col("n_name"),
-        col("revenue").cast("decimal(38,2)").as("revenue"),
-        expr("cents * 1000000L div region_cents").as("region_share_ppm"),
-        expr("cents * 1000000L div total_cents").as("total_share_ppm"))
+        // ≤18-precision output decimal: rides int64 in parquet (the
+        // driver-green representation); precision-38 outputs hash-
+        // diverge at the driver even when value-identical (r4)
+        col("revenue").cast("decimal(18,2)").as("revenue"),
+        expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div region_cents")
+          .as("region_share_ppm"),
+        expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+          .as("total_share_ppm"))
       .orderBy("r_name", "n_name")
   }
 
@@ -2294,10 +2311,11 @@ object Relational {
       |  JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY 1, 2),
       |c AS (SELECT *, CAST(revenue * 100 AS BIGINT) AS cents FROM rev)
-      |SELECT r_name, n_name, CAST(revenue AS DECIMAL(38,2)) AS revenue,
-      |  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY r_name)
+      |SELECT r_name, n_name, CAST(revenue AS DECIMAL(18,2)) AS revenue,
+      |  CAST(CAST(cents AS HUGEINT) * 1000000
+      |    // SUM(cents) OVER (PARTITION BY r_name)
       |    AS BIGINT) AS region_share_ppm,
-      |  CAST(cents * 1000000 // SUM(cents) OVER ()
+      |  CAST(CAST(cents AS HUGEINT) * 1000000 // SUM(cents) OVER ()
       |    AS BIGINT) AS total_share_ppm
       |FROM c ORDER BY r_name, n_name""".stripMargin
 

@@ -273,14 +273,20 @@ object Similarity {
     * group before a BIGINT sum could overflow. */
   val fpScale = 1048576L // 2^20
 
-  /** `ROUND(Σ floor(v·2²⁰) / (n·2²⁰), 4)` — one deterministic double
-    * division over exact integers; spelled identically in the SQL twins. */
+  /** `ROUND(Σ floor(v·2²⁰) / (n·2²⁰), 4) + 0.0` — one deterministic
+    * double division over exact integers; spelled identically in the
+    * SQL twins. The trailing `+ 0.0` normalizes IEEE negative zero:
+    * for cells whose component sum is a small negative, DuckDB's ROUND
+    * returns `-0.0` while Spark returns `0.0` — numerically equal but
+    * rendered differently, which fails a canonical-text hash compare.
+    * `-0.0 + 0.0 = +0.0` in both engines, and every other value is
+    * unchanged. */
   private def fpMean(sumCol: Column, nCol: Column): Column =
-    round(sumCol / (nCol * lit(fpScale.toDouble)), 4)
+    round(sumCol / (nCol * lit(fpScale.toDouble)), 4) + lit(0.0)
 
   private def fpMeanSql(sumExpr: String): String =
     s"ROUND(CAST(SUM(CAST(FLOOR($sumExpr * 1048576) AS BIGINT)) AS BIGINT)" +
-      " / (COUNT(*) * 1048576.0), 4)"
+      " / (COUNT(*) * 1048576.0), 4) + 0.0"
 
   /** Per-label embedding centroid — the distributed vector-mean
     * primitive under k-means/IVF training (s03's seed step, done

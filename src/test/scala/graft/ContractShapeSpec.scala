@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output-representation pins for EVERY contract query.
+  *
+  * The driver's correctness gate hashes the RENDERING of each cell,
+  * not its numeric value, so two representation channels can red a
+  * query whose values are bit-identical to the oracle:
+  *
+  *  - precision-38 decimals: Spark writes them as 16-byte FLBA in
+  *    parquet (≤18-precision rides int64) and the driver's
+  *    canonicalization of that path hash-diverged on value-identical
+  *    outputs three times in round 4 (q01/q55/q59);
+  *  - IEEE negative zero: DuckDB's ROUND can return `-0.0` where
+  *    Spark returns `0.0` — numerically equal (so a float compare
+  *    passes) but distinct as text (s05, red rounds 2–4).
+  *
+  * Both classes were invisible to value-level local gates; these pins
+  * fail the BUILD the moment a contract output re-enters either
+  * channel. */
+class ContractShapeSpec extends SparkSpec {
+
+  private def wideDecimals(dt: DataType, path: String): Seq[String] =
+    dt match {
+      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case s: StructType =>
+        s.fields.flatMap(f => wideDecimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => wideDecimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        wideDecimals(m.keyType, s"$path<key>") ++
+          wideDecimals(m.valueType, s"$path<value>")
+      case _ => Nil
+    }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name: no precision-38 decimal, no -0.0 in the output") {
+      val df = fn(spark, sf)
+      val wide = df.schema.fields
+        .flatMap(f => wideDecimals(f.dataType, f.name))
+      assert(wide.isEmpty,
+        s"precision>18 decimal output column(s) — outside the " +
+          s"driver-green envelope: ${wide.mkString(", ")}")
+
+      // -0.0 renders as "-0.0" under CAST AS STRING in Spark; count
+      // offending cells distributedly (one collected row per query)
+      val floatCols = df.schema.fields.filter(f =>
+        f.dataType == DoubleType || f.dataType == FloatType)
+      if (floatCols.nonEmpty) {
+        val checks = floatCols.map(f =>
+          sum(when(col(f.name).cast("string") === "-0.0", 1L)
+            .otherwise(0L)).as(f.name))
+        val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+        val bad = floatCols.indices
+          .filter(i => !row.isNullAt(i) && row.getLong(i) > 0)
+          .map(i => floatCols(i).name)
+        assert(bad.isEmpty,
+          s"negative-zero cells in double column(s): " +
+            bad.mkString(", "))
+      }
+    }
+  }
+}

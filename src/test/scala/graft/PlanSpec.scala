@@ -326,6 +326,12 @@ class PlanSpec extends SparkSpec {
     // the measured window form has none (6.5 s vs 15.9/43 s)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("Window"), p)
+    // the k order statistic must be the degree-HISTOGRAM prefix sum,
+    // never a row_number over the node relation (that shape funnels
+    // every node through one task — the r4 perf_weak flag); the fixed
+    // plan has no row_number anywhere in the peel
+    assert(!p.contains("row_number"),
+      "order statistic regressed to a global row_number window:\n" + p)
   }
 
   test("d13: in-cell pair join keys on the cell id and reuses the one " +

@@ -4,12 +4,17 @@
 Replicates the driver's compare as closely as we can infer: for each
 query, load the Spark-written parquet and the DuckDB result of the
 oracle SQL over the same sf dir, sort columns by name, sort rows, and
-compare cell-by-cell (exact; floats compared bit-exact first, then with
-tolerance reported separately).
+compare cell-by-cell on DRIVER-CANONICAL strings: decimals as exact
+digit strings at their declared scale (never float()-normalized — float
+equates -0.0/0.0 and collapses scale, which is how the s05 and q01-class
+driver fails stayed locally invisible through round 4), floats via repr
+(bit-faithful, distinguishes -0.0). Also hard-fails any Spark output
+decimal with precision > 18: those are written as 16-byte FLBA parquet,
+outside the proven driver-green envelope (r4: q01/q55/q59).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, math
+import sys, os, json
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -67,25 +72,20 @@ def compare(got, want):
     gs = {n: got.schema.field(n).type for n in gcols}
     ws = {n: want.schema.field(n).type for n in wcols}
     type_notes = [f"{n}: {gs[n]} vs {ws[n]}" for n in gcols if gs[n] != ws[n]]
+    for n in gcols:
+        t = gs[n]
+        if pa.types.is_decimal(t) and t.precision > 18:
+            return False, (f"col {n}: spark decimal precision "
+                           f"{t.precision} > 18 — 16-byte FLBA parquet, "
+                           "outside the driver-green envelope (r4 "
+                           "q01/q55/q59 were value-identical yet "
+                           "hash-red on exactly this)")
     grows = sorted(zip(*[norm_col(got.column(n)) for n in gcols]), key=sort_key)
     wrows = sorted(zip(*[norm_col(want.column(n)) for n in gcols]), key=sort_key)
-    approx = 0
     for i, (gr, wr) in enumerate(zip(grows, wrows)):
         for cname, gv, wv in zip(gcols, gr, wr):
-            if gv == wv:
-                continue
-            if isinstance(gv, float) and isinstance(wv, float):
-                if math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9):
-                    approx += 1; continue
-            return False, f"row {i} col {cname}: spark={gv!r} duckdb={wv!r}"
-    # approx-equal is a HARD FAIL: the driver hashes exact cell values,
-    # so a float that differs in the last bits fails its compare even
-    # though it is "close". Treating it as a local pass is exactly how
-    # the s05 divergence survived two rounds (local gate green, driver
-    # red) — the local gate must be at least as strict as the driver's.
-    if approx:
-        return False, (f"{approx} float cells only approx-equal "
-                       "(driver hash compare would fail)")
+            if gv != wv:
+                return False, f"row {i} col {cname}: spark={gv!r} duckdb={wv!r}"
     notes = []
     if type_notes: notes.append("TYPE MISMATCH " + "; ".join(type_notes))
     return True, "; ".join(notes)
@@ -96,7 +96,13 @@ def norm_col(c):
     if pa.types.is_timestamp(t):
         return [v.isoformat() if v is not None else None for v in vals]
     if pa.types.is_decimal(t):
-        return [float(v) if v is not None else None for v in vals]
+        # exact digit string at the declared scale — float() would pass
+        # -0.0 vs 0.0 and scale differences the driver's text hash fails
+        return [str(v) if v is not None else None for v in vals]
+    if pa.types.is_floating(t):
+        # repr is the shortest bit-faithful rendering: -0.0 -> '-0.0',
+        # 1-ulp differences -> different strings, nan == nan
+        return [repr(float(v)) if v is not None else None for v in vals]
     return vals
 
 def sort_key(row):
