@@ -606,7 +606,108 @@ object Graph {
        |  CAST(SUM(deg) AS BIGINT) AS degree_mass
        |FROM deg GROUP BY 1, 2 ORDER BY role, bucket""".stripMargin
 
+  // ------------------------------------------------------------- g07
+  /** Synchronous label propagation (LPA) — COMMUNITY structure, the
+    * density-based grouping next to g03's connectivity (every member
+    * of one component can still split into many communities) and
+    * g04's core membership. Graph: g03's co-purchase part graph
+    * (support ≥ [[ccSupport]]) — unipartite and sparse; LPA on the
+    * bipartite supplier↔customer graph degenerates into two-sided
+    * label oscillation (measured: 2 "communities" = the two sides).
+    * Labels start as node ids; each round every node adopts the modal
+    * label among its neighbors PLUS ITS OWN (the self-vote is the
+    * standard oscillation damper), smallest label on ties; rounds are
+    * FIXED ([[lpRounds]], the g01/g03/g04 discipline) so the oracle
+    * unrolls the identical recurrence.
+    *
+    * Determinism: counts are exact integers and the argmax is
+    * `max(struct(count, -label))` — max count then smallest label,
+    * a total order with no float anywhere. The twin deliberately uses
+    * a DIFFERENT argmax formulation (ROW_NUMBER window) so a tie-break
+    * bug in either spelling breaks the differential.
+    *
+    * Scale: each round is one join of the ids-only edge list (persisted,
+    * pre-partitioned on src) against the |V|-row label relation + two
+    * partial-agged hash aggs; message volume is |E| integers. The
+    * output is community-sized (one row per surviving label), never
+    * node-sized. */
+  val lpRounds = 3
+
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropDf(t(s, dir, "lineitem"))
+
+  def labelPropDf(lineitem: DataFrame): DataFrame = {
+    val pairCounts = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks,
+           (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                               y -> struct(x AS a, y AS b))))""")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= ccSupport)
+    val edges = pairCounts
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairCounts.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to lpRounds) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionByName(labels.select(col("node"), col("lbl")))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("top"))
+        .select(col("node"), (-col("top.nl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_part"),
+        max(col("node")).as("max_part"))
+      .orderBy("community")
+  }
+
+  /** DuckDB twin: g03's pair/support CTEs, identical recurrence with
+    * the self-vote UNION ALL, rounds unrolled; argmax via ROW_NUMBER
+    * (different spelling than Spark's struct-max on purpose). Round
+    * CTEs MATERIALIZED — each label relation is referenced twice per
+    * round (the g03 2^rounds lesson). */
+  private val labelPropSql = {
+    val rounds = (1 to lpRounds).map { r =>
+      s"""c$r AS MATERIALIZED (
+         |  SELECT node, lbl, COUNT(*) AS c FROM (
+         |    SELECT e.dst AS node, l.lbl
+         |    FROM u e JOIN l${r - 1} l ON e.src = l.node
+         |    UNION ALL SELECT node, lbl FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rk FROM c$r)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pc AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |    COUNT(DISTINCT a.l_orderkey) AS support
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $ccSupport),
+       |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM pc
+       |      UNION ALL SELECT b, a FROM pc),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM u),
+       |$rounds
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MIN(node) AS min_part, MAX(node) AS max_part
+       |FROM l$lpRounds GROUP BY lbl ORDER BY community""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_label_prop" -> labelProp _,
     "g06_degree_profile" -> degreeProfile _,
     "g01_pagerank"  -> pageRank _,
     "g02_triangles" -> triangles _,
@@ -615,6 +716,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g07_label_prop" -> labelPropSql,
     "g06_degree_profile" -> degreeProfileSql,
     "g01_pagerank"  -> pageRankSql,
     "g02_triangles" -> trianglesSql,

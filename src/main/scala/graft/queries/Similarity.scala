@@ -655,6 +655,120 @@ object Similarity {
        |SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------ s11 refine/rerank
+  /** s11: two-stage ANN with exact refinement — the production search
+    * shape missing between s06/s07 (pure approximate) and s01 (pure
+    * exact): the compressed index nominates [[rerankC]] candidates per
+    * query by PQ ADC score, then ONLY those candidates are re-scored
+    * against the raw vectors and the final top-[[topK]] ranks on the
+    * exact distance. This is the FAISS/ScaNN refine step: approximate
+    * recall errors inside the candidate set are repaired at the cost
+    * of C raw-vector reads per query instead of |corpus|.
+    *
+    * Determinism: both stages are all-integer — ADC sums are s06's
+    * fixed-point BIGINTs, and the exact distance is Σ_i
+    * floor((q_i−c_i)²·2²⁰) (the same exact-double→exponent-shift→
+    * FLOOR argument as [[fpScale]]) — so candidate choice AND final
+    * ranking carry no float rounding boundary on either engine.
+    *
+    * Scale: stage 1 touches only codes (M bytes/vector); stage 2 moves
+    * raw vectors for queries × C rows — bounded by the query cap, so
+    * the full-dimension arithmetic never scales with the corpus. */
+  val rerankC = 50
+
+  def refineTopK(s: SparkSession, dir: String): DataFrame =
+    refineTopKDf(t(s, dir, "embeddings"))
+
+  def refineTopKDf(embs: DataFrame): DataFrame = {
+    val dists = pqDists(embs)
+    val codes = pqEncode(dists)
+    val qd = dists.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("k").as("qk"), col("d"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    val cand = codes.join(qd, col("m") === col("qm") &&
+        col("code") === col("qk") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("approx_dist"))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= rerankC)
+      .select(col("query_id"), col("neighbor_id"))
+    val cells = embs
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vid", "i", "v")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("neighbor_id"))
+    cand
+      .join(cells.as("qc"), col("query_id") === col("qc.vid"))
+      .join(cells.as("cc"), col("neighbor_id") === col("cc.vid") &&
+        col("qc.i") === col("cc.i"))
+      .withColumn("t", floor((col("qc.v") - col("cc.v")) *
+        (col("qc.v") - col("cc.v")) * lit(1048576.0)).cast("long"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("t")).as("exact_dist"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin: the s06 ADC chain → top-C candidate window → exact
+    * fixed-point rerank. CTEs referenced more than once are
+    * MATERIALIZED (cells feeds cb/dists and both rerank sides). */
+  private val refineSql =
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS i0,
+       |    CAST((i - 1) // $pqSubDim AS INT) AS m, v
+       |  FROM x),
+       |cb AS (SELECT vec_id AS k, i0 AS ci, v AS cv FROM cells
+       |       WHERE vec_id < $pqCodes),
+       |dists AS MATERIALIZED (
+       |  SELECT c.vec_id, c.m, cb.k,
+       |    CAST(SUM(CAST(FLOOR((c.v - cb.cv) * (c.v - cb.cv) * 1048576.0)
+       |      AS BIGINT)) AS BIGINT) AS d
+       |  FROM cells c JOIN cb ON c.i0 = cb.ci
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |qd AS (
+       |  SELECT vec_id AS query_id, m, k, d FROM dists
+       |  WHERE vec_id % $queryStride = 0
+       |    AND vec_id < ${queryStride.toLong * maxQueries}),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(q.d) AS BIGINT) AS approx_dist
+       |  FROM codes c JOIN qd q ON c.m = q.m AND c.code = q.k
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx_dist, neighbor_id) AS crk
+       |    FROM approx) WHERE crk <= $rerankC),
+       |exact AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    CAST(SUM(CAST(FLOOR((q.v - c.v) * (q.v - c.v) * 1048576.0)
+       |      AS BIGINT)) AS BIGINT) AS exact_dist
+       |  FROM cand cd
+       |  JOIN cells q ON q.vec_id = cd.query_id
+       |  JOIN cells c ON c.vec_id = cd.neighbor_id AND q.i0 = c.i0
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, exact_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY exact_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, exact_dist, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------- s08 quantize
   /** Per-dimension uniform int8 quantization — the storage-compression
     * pass an embedding corpus goes through before indexing (float32 →
@@ -915,6 +1029,7 @@ object Similarity {
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_refine_rerank"   -> refineTopK _,
     "s10_mmr_diversify"   -> mmrDiversify _,
     "s08_embedding_quantize" -> embeddingQuantize _,
     "s09_ann_recall"      -> annRecall _,
@@ -927,6 +1042,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s11_refine_rerank"   -> refineSql,
     "s10_mmr_diversify"   -> mmrSql,
     "s08_embedding_quantize" -> quantizeSql,
     "s09_ann_recall"      -> annRecallSql,

@@ -1553,7 +1553,68 @@ object TextOps {
       |  END AS readability
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t27
+  /** Token-frequency SPECTRUM (count-of-counts) per language — the
+    * Zipf/Heaps diagnostic t16's per-source profile doesn't give: for
+    * each log₂ frequency bucket, how many distinct types live there
+    * and how much of the token mass they carry. The shape of this
+    * curve is the first-order corpus-health signal a pipeline reads
+    * before tokenizer training (a fat singleton bucket ⇒ OCR noise /
+    * code; an over-heavy head ⇒ boilerplate the dedup pass missed) —
+    * and it is exactly the count-of-counts table Good–Turing
+    * smoothing consumes.
+    *
+    * All integer: bucket = len(bin(count)) − 1 (the g06 ⌊log₂⌋-
+    * without-a-float-log trick), mass shares are integer ppm with the
+    * numerator widened to DECIMAL/HUGEINT before ×10⁶ (the q59 rule —
+    * a BIGINT numerator wraps at ~9.2·10¹² tokens, below 100 TB).
+    *
+    * Scale: reduces to (lang, token) counts — partial-agged,
+    * vocabulary-sized, never text-sized; the spectrum is ≤64 rows per
+    * language so the share windows run over a tiny relation. */
+  def zipfSpectrum(s: SparkSession, dir: String): DataFrame =
+    zipfSpectrumDf(t(s, dir, "documents"))
+
+  def zipfSpectrumDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val spec = cnt
+      .select(col("lang"),
+        expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("bucket"), col("c"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occ"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    val byLang = Window.partitionBy(col("lang"))
+    spec
+      .withColumn("lang_occ", sum(col("n_occ")).over(byLang))
+      .select(col("lang"), col("bucket"), col("n_types"), col("n_occ"),
+        col("min_c"), col("max_c"),
+        expr("CAST(n_occ AS DECIMAL(38,0)) * 1000000 div lang_occ")
+          .as("mass_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val zipfSpectrumSql =
+    """WITH cnt AS (
+      |  SELECT lang, tok, COUNT(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |spec AS (
+      |  SELECT lang, CAST(len(bin(c)) - 1 AS BIGINT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_occ,
+      |    CAST(MIN(c) AS BIGINT) AS min_c, CAST(MAX(c) AS BIGINT) AS max_c
+      |  FROM cnt GROUP BY 1, 2)
+      |SELECT lang, bucket, n_types, n_occ, min_c, max_c,
+      |  CAST(CAST(n_occ AS HUGEINT) * 1000000
+      |    // SUM(n_occ) OVER (PARTITION BY lang) AS BIGINT) AS mass_ppm
+      |FROM spec ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_zipf_spectrum" -> zipfSpectrum _,
     "t26_readability" -> readabilityReport _,
     "t25_code_switch" -> codeSwitch _,
     "t24_bpe_apply" -> bpeApply _,
@@ -1583,6 +1644,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t27_zipf_spectrum" -> zipfSpectrumSql,
     "t26_readability" -> readabilitySql,
     "t25_code_switch" -> codeSwitchSql,
     "t24_bpe_apply" -> bpeApplySql,

@@ -148,6 +148,44 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length > 1)
   }
 
+  test("g07: matches an in-memory 3-round self-vote LPA; partition-invariant") {
+    val out = Graph.labelPropDf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent reference: naive support counting + synchronous modal
+    // label rounds with self-vote, smallest label on ties
+    val byOrder = li.select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val support = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val und = support.iterator.filter(_._2 >= Graph.ccSupport).map(_._1)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSeq
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.lpRounds) {
+      val prev = lbl
+      lbl = adj.map { case (n, nbrs) =>
+        val votes = (nbrs.map(prev) :+ prev(n))
+          .groupBy(identity).map { case (l, o) => (l, o.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.groupBy(_._2).map { case (c, ms) =>
+      (c, ms.size.toLong, ms.keys.min, ms.keys.max)
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.map(_._2).sum === adj.size.toLong,
+      "members across communities != |V|")
+    val b = Graph.labelPropDf(li.repartition(7, col("l_partkey")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(b.toSet === out.toSet, "LPA not partition-invariant")
+  }
+
   test("g06: buckets partition the degree range; mass sums to 2|E|") {
     import org.apache.spark.sql.functions.col
     val li = graft.Tables.t(spark, sf, "lineitem")

@@ -101,6 +101,47 @@ class SimilaritySpec extends SparkSpec {
     assert(qs === ivfPairs.map(_._1))
   }
 
+  test("s11: refine matches an in-memory two-stage recompute") {
+    val out = Similarity.refineTopKDf(clustered)
+      .select("query_id", "neighbor_id", "exact_dist", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    val subDim = Similarity.pqSubDim
+    def fpSub(a: Array[Double], b: Array[Double], m: Int): Long =
+      (m * subDim until math.min((m + 1) * subDim, a.length)).map { i =>
+        math.floor((a(i) - b(i)) * (a(i) - b(i)) * 1048576.0).toLong
+      }.sum
+    def fpAll(a: Array[Double], b: Array[Double]): Long =
+      a.indices.map { i =>
+        math.floor((a(i) - b(i)) * (a(i) - b(i)) * 1048576.0).toLong
+      }.sum
+    val nM = (vecs(0L).length + subDim - 1) / subDim
+    val cb = (0 until Similarity.pqCodes).map(k => vecs(k.toLong))
+    def codes(v: Array[Double]): IndexedSeq[Int] =
+      (0 until nM).map { m =>
+        cb.indices.minBy(k => (fpSub(v, cb(k), m), k))
+      }
+    val want = vecs.keys.toSeq.filter(q =>
+        q % Similarity.queryStride == 0 &&
+        q < Similarity.queryStride.toLong * Similarity.maxQueries)
+      .flatMap { q =>
+        val cand = vecs.keys.toSeq.filter(_ != q)
+          .map { c =>
+            val approx = (0 until nM)
+              .map(m => fpSub(vecs(q), cb(codes(vecs(c))(m)), m)).sum
+            (c, approx)
+          }
+          .sortBy { case (c, a) => (a, c) }.take(Similarity.rerankC)
+        cand.map { case (c, _) => (c, fpAll(vecs(q), vecs(c))) }
+          .sortBy { case (c, d) => (d, c) }.take(Similarity.topK)
+          .zipWithIndex
+          .map { case ((c, d), i) => (q, c, d, (i + 1).toLong) }
+      }.toSet
+    assert(out.toSet === want)
+  }
+
   test("cosine scores are rounded, in [-1, 1], ranked descending") {
     val rows = Similarity.bruteForceTopKDf(clustered)
       .as[(Long, Long, Double, Long)].collect()

@@ -16,6 +16,37 @@ class TextOpsSpec extends SparkSpec {
     assert(viaExe.nonEmpty)
   }
 
+  test("t27: spectrum buckets partition the frequency range; mass and " +
+      "ppm add up") {
+    val docs = Seq(
+      (0L, "a a a a b b c d", "en", "web", 8L),
+      (1L, "a a b c c c e", "en", "web", 7L),
+      (2L, "x y z x", "de", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.zipfSpectrumDf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // recompute the spectrum naively
+    val toks = Seq("en" -> "a a a a b b c d", "en" -> "a a b c c c e",
+      "de" -> "x y z x")
+      .flatMap { case (l, t) => t.split(" ").map(l -> _) }
+    val freq = toks.groupBy(identity).toSeq
+      .map { case ((l, tk), o) => (l, tk, o.size) }.groupBy(_._1)
+    for ((lang, bucket, nTypes, nOcc, minC, maxC, ppm) <- out) {
+      assert(minC >= (1L << bucket) && maxC < (1L << (bucket + 1)),
+        s"$lang bucket $bucket range [$minC,$maxC]")
+      assert(nOcc >= nTypes * minC && nOcc <= nTypes * maxC)
+      val langTotal = toks.count(_._1 == lang).toLong
+      assert(ppm === nOcc * 1000000L / langTotal)
+    }
+    // per-language: types and mass cover the vocabulary exactly
+    for ((lang, cnts) <- freq) {
+      val rows = out.filter(_._1 == lang)
+      assert(rows.map(_._3).sum === cnts.size.toLong, s"$lang type count")
+      assert(rows.map(_._4).sum === cnts.map(_._3).sum.toLong,
+        s"$lang token mass")
+    }
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     // "common" appears in every doc (idf = ln(1) = 0); each doc's
     // unique term carries all the weight
