@@ -348,6 +348,29 @@ object Dedup {
   val cosBands  = 4
   val cosRowsPerBand: Int = cosPlanes / cosBands
 
+  /** Corpus-size-keyed cosine-LSH signature parameters — the measured
+    * sf1 remedy as code, not a comment: expected band-bucket occupancy
+    * is n/2^rowsPerBand and the candidate join's cost is quadratic per
+    * bucket, so rows-per-band must grow with log₂(corpus) to hold the
+    * per-bucket work constant. Rule: rowsPerBand =
+    * max(contract, ⌈log₂ n⌉ − 7) (≈ 128 expected vectors per bucket),
+    * band count fixed at [[cosBands]] (the OR-amplification recall
+    * knob, not the cost knob). Reproduces both pinned points: the
+    * oracle-locked contract signature (16 planes / 4 bands) at gate
+    * corpora (≤ 2k vectors) and the sf1-measured winner
+    * (32 planes / 4 bands: 65.8 s → 7.4 s, CosineLshProbe) at 20k.
+    * Recall at larger r follows the closed form 1−(1−(1−θ/π)^r)^b —
+    * 0.89 at cos 0.95, 0.997 at cos 0.99 for r=8 — so the scheme sheds
+    * weak pairs first while the near-dup stratum survives. Contract
+    * queries (d06/d09) stay on the locked values; scale callers pass
+    * `cosParamsFor(corpus.count())` into [[embeddingCosineDf]]. */
+  def cosParamsFor(nVectors: Long): (Int, Int) = {
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, nVectors - 1)) // ceil(log2 n)
+    val rows = math.max(cosRowsPerBand, lg - 7)
+    (rows * cosBands, cosBands)
+  }
+
   def embeddingCosine(s: SparkSession, dir: String): DataFrame =
     embeddingCosineDf(t(s, dir, "embeddings"))
 

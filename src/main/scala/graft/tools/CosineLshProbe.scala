@@ -19,8 +19,8 @@ import graft.queries.Dedup
 object CosineLshProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val planes = if (args.length > 1) args(1).toInt else 32
-    val bands = if (args.length > 2) args(2).toInt else 4
+    // default tuned point: the corpus-size-keyed rule (Dedup.cosParamsFor)
+    val explicit = args.length > 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +34,9 @@ object CosineLshProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val embs = Tables.t(spark, sfDir, "embeddings")
+    val (autoPlanes, autoBands) = Dedup.cosParamsFor(embs.count())
+    val planes = if (explicit) args(1).toInt else autoPlanes
+    val bands = if (args.length > 2) args(2).toInt else autoBands
     def timed(p: Int, b: Int): (Double, org.apache.spark.sql.DataFrame) = {
       val df = Dedup.embeddingCosineDf(embs, p, b).persist()
       val t0 = System.nanoTime()

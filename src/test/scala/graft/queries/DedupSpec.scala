@@ -16,6 +16,22 @@ class DedupSpec extends SparkSpec {
     (4L, "red green blue cyan magenta yellow black white grey pink"))
     .toDF("doc_id", "text")
 
+  test("cosParamsFor pins the contract and sf1-measured points, " +
+      "scales monotonically") {
+    // gate-scale corpora get the oracle-locked contract signature
+    assert(Dedup.cosParamsFor(500L) === (Dedup.cosPlanes, Dedup.cosBands))
+    assert(Dedup.cosParamsFor(2048L) === (Dedup.cosPlanes, Dedup.cosBands))
+    // intermediate corpora interpolate (occupancy ~ n / 2^rows ≈ 128)
+    assert(Dedup.cosParamsFor(5000L) === (24, Dedup.cosBands))
+    // the sf1-measured winner (CosineLshProbe: 65.8 s -> 7.4 s at 20k)
+    assert(Dedup.cosParamsFor(20000L) === (32, Dedup.cosBands))
+    // rows-per-band grows with log2(n): +4 bits per band per 16x corpus
+    val ns = Seq(1L << 17, 1L << 21, 1L << 25, 1L << 30, 1L << 40)
+    val rows = ns.map(n => Dedup.cosParamsFor(n)._1 / Dedup.cosBands)
+    assert(rows === Seq(10, 14, 18, 23, 33))
+    assert(rows.sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("exact dedup groups identical texts, keeper = min doc_id") {
     val got = Dedup.exactDf(docs)
       .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
