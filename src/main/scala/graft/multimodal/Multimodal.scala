@@ -186,7 +186,12 @@ object MultimodalQueries {
   def phashPairs(s: SparkSession, dir: String): DataFrame =
     phashPairsDf(t(s, dir, "documents"))
 
-  def phashPairsDf(docs: DataFrame): DataFrame = {
+  def phashPairsDf(docs: DataFrame): DataFrame =
+    phashCandDf(docs).orderBy("media_a", "media_b")
+
+  /** Unordered pHash candidate pairs — the edge relation shared by m04
+    * (scored pairs) and m06 (cluster resolution). */
+  private def phashCandDf(docs: DataFrame): DataFrame = {
     import graft.queries.Dedup.bitExprSpark
     import graft.functions.VectorFunctions.hamming
     val feats = docs
@@ -218,10 +223,11 @@ object MultimodalQueries {
         hamming(col("x.phash"), col("y.phash")).as("hamming"))
       .filter(col("hamming") <= phashMaxHamming)
       .distinct()
-      .orderBy("media_a", "media_b")
   }
 
-  private val phashPairsSql: String = {
+  /** CTE chain ending in `cand` (scored candidates) and `pairs` (the
+    * thresholded edge relation) — shared by the m04 and m06 oracles. */
+  private val phashCandCtes: String = {
     def bit(j: Int) = {
       val c = s"substring(h, ${j / 4 + 1}, 1)"
       val v = s"(strpos('0123456789abcdef', $c) - 1)"
@@ -237,7 +243,7 @@ object MultimodalQueries {
     val ham = (1 to phashBits)
       .map(j => s"CASE WHEN substring(x.phash, $j, 1) <> substring(y.phash, $j, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH fh AS (
+    s"""fh AS (
        |  SELECT doc_id, md5(substring(text, CAST(i AS INT) * 64 + 1, 16)) AS h
        |  FROM (
        |    SELECT doc_id, text,
@@ -251,9 +257,80 @@ object MultimodalQueries {
        |  SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b,
        |    CAST($ham AS BIGINT) AS hamming
        |  FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-       |SELECT media_a, media_b, hamming FROM cand
-       |WHERE hamming <= $phashMaxHamming ORDER BY media_a, media_b""".stripMargin
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT media_a, media_b FROM cand
+       |  WHERE hamming <= $phashMaxHamming)"""
+  }
+
+  private val phashPairsSql: String =
+    s"""WITH $phashCandCtes,
+       |out AS (
+       |  SELECT media_a, media_b, hamming FROM cand
+       |  WHERE hamming <= $phashMaxHamming)
+       |SELECT media_a, media_b, hamming FROM out
+       |ORDER BY media_a, media_b""".stripMargin
+
+
+  // ------------------------------------------------------------- m06
+  /** m06: media duplicate-CLUSTER resolution — the d07 step for the
+    * multimodal path, completing its dedup story (m04 stops at pairs;
+    * a pipeline needs per-blob cluster ids and one canonical keeper).
+    * Bounded min-label propagation ([[graft.operators
+    * .ConnectedComponents.minLabel]], [[mediaCcRounds]] rounds — pHash
+    * band clusters are short chains, same regime as d07) over the m04
+    * candidate graph; canonical = the cluster's min media id.
+    *
+    * Scale: the edge relation is the banded-pHash candidate set (never
+    * all-pairs); propagation moves (id, label) longs; the final size
+    * window partitions by cluster. */
+  val mediaCcRounds = 4
+
+  def mediaClusters(s: SparkSession, dir: String): DataFrame =
+    mediaClustersDf(t(s, dir, "documents"))
+
+  def mediaClustersDf(docs: DataFrame): DataFrame = {
+    val pairs = phashCandDf(docs).select(col("media_a"), col("media_b"))
+    val labels = graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("media_a").as("src"), col("media_b").as("dst")),
+        mediaCcRounds)
+      .select(col("id").as("media_id"), col("label").as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("media_id"), col("cluster"), col("cluster_size"),
+        when(col("media_id") === col("cluster"), 1L).otherwise(0L)
+          .as("canonical"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB twin: the m04 candidate chain + the d07-style unrolled
+    * min-label rounds (every CTE MATERIALIZED — each round references
+    * its predecessor twice). */
+  private val mediaClustersSql: String = {
+    val rounds = (1 to mediaCcRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT l.media_id,
+         |    LEAST(l.cluster, COALESCE(m.nbr, l.cluster)) AS cluster
+         |  FROM l${r - 1} l LEFT JOIN (
+         |    SELECT u.media_a AS media_id, MIN(n.cluster) AS nbr
+         |    FROM u JOIN l${r - 1} n ON n.media_id = u.media_b
+         |    GROUP BY u.media_a) m
+         |  USING (media_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $phashCandCtes,
+       |u AS MATERIALIZED (SELECT media_a, media_b FROM pairs
+       |      UNION ALL SELECT media_b, media_a FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, doc_id AS cluster FROM documents),
+       |$rounds
+       |SELECT media_id, cluster,
+       |CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+       |CAST(CASE WHEN media_id = cluster THEN 1 ELSE 0 END AS BIGINT)
+       |  AS canonical
+       |FROM l$mediaCcRounds ORDER BY media_id""".stripMargin
   }
 
   // ------------------------------------------------------------- m05
@@ -320,6 +397,7 @@ object MultimodalQueries {
       |ORDER BY e.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_media_clusters" -> mediaClusters _,
     "m05_batch_infer"   -> batchInfer _,
     "m01_binary_meta"   -> binaryMeta _,
     "m02_frame_sample"  -> frameSample _,
@@ -327,6 +405,7 @@ object MultimodalQueries {
     "m04_phash_pairs"   -> phashPairs _)
 
   val oracle: Map[String, String] = Map(
+    "m06_media_clusters" -> mediaClustersSql,
     "m05_batch_infer"   -> batchInferSql,
     "m01_binary_meta"   -> binaryMetaSql,
     "m02_frame_sample"  -> frameSampleSql,

@@ -2323,8 +2323,83 @@ object Relational {
   private def hex15ToBigint(hexExpr: String): String =
     OracleDsl.hornerHex(hexExpr, 15)
 
+  // ---------------------------------------------------------------- q60
+  /** Interval union (sweep line) — total COVERED time under
+    * overlapping intervals, the measure q24's gap sessions can't give
+    * (sessions partition events by gaps; activity windows OVERLAP and
+    * double-counting their durations is the classic billing/uptime
+    * bug). Each event opens a deterministic activity window
+    * [ts, ts + (event_id mod 7 + 1) minutes); per user, overlapping
+    * windows merge into islands via the textbook sweep: an interval
+    * starts a new island iff its start exceeds the running max end of
+    * every EARLIER interval (rows-frame max over the start-ordered
+    * window, exclusive of the current row — adjacent touching
+    * intervals merge). All arithmetic is exact integer micros.
+    *
+    * Scale: one user-partitioned sort carries both window passes and
+    * the island aggregate (the q51 single-shuffle discipline — AQE
+    * plans one user_id exchange); islands are then user-sized
+    * aggregates. No self-join — the naive overlap-pairs formulation
+    * is O(n²) per user and unshippable at 100 TB. */
+  def q60IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"), col("event_id"))
+    val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("start_us"))
+      .withColumn("end_us",
+        col("start_us") + (col("event_id") % 7 + 1) * 60000000L)
+      .withColumn("prev_max_end", max(col("end_us")).over(before))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(cum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("end_us")) - min(col("start_us"))).as("covered_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("covered_us")).as("covered_us"),
+        max(col("covered_us")).as("longest_island_us"))
+      .orderBy("user_id")
+  }
+
+  private val q60Sql =
+    """WITH iv AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS end_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, MAX(end_us) OVER (PARTITION BY user_id
+      |      ORDER BY start_us, end_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS prev_max_end
+      |  FROM iv),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_max_end IS NULL
+      |      OR start_us > prev_max_end THEN 1 ELSE 0 END AS new_island
+      |  FROM m),
+      |g AS (
+      |  SELECT *, SUM(new_island) OVER (PARTITION BY user_id
+      |      ORDER BY start_us, end_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f),
+      |isl AS (
+      |  SELECT user_id, island, COUNT(*) AS n_events,
+      |    MAX(end_us) - MIN(start_us) AS covered_us
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(covered_us) AS BIGINT) AS covered_us,
+      |  CAST(MAX(covered_us) AS BIGINT) AS longest_island_us
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_interval_union"  -> q60IntervalUnion _,
     "q59_ratio_to_report" -> q59RatioToReport _,
     "q58_pit_join"        -> q58PitJoin _,
     "q57_table_fingerprint" -> q57TableFingerprint _,
@@ -2386,6 +2461,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q60_interval_union"  -> q60Sql,
     "q59_ratio_to_report" -> q59Sql,
     "q58_pit_join"        -> q58Sql,
     "q57_table_fingerprint" -> q57Sql,

@@ -617,7 +617,82 @@ object Sampling {
   }
 
   // ------------------------------------------------------------------
+
+  // ------------------------------------------------------------- p12
+  /** p12: dedup-aware mix rebalancing — p04's temperature thresholds
+    * recomputed over the DEDUP-DEFLATED source masses. Duplication is
+    * never uniform across sources (a crawl is 30-60 % duplicate where
+    * a books corpus is ~0 %), so a mix designed on raw counts
+    * double-weights the most duplicated source exactly in proportion
+    * to its redundancy; the fix every production mix applies is:
+    * dedup first, weigh what SURVIVES. Per source this emits the raw
+    * and surviving (d01 exact-dedup keeper) counts, the deflation in
+    * integer ppm, and the p04 threshold computed BOTH ways — the
+    * raw-vs-deduped threshold delta IS the bias being corrected.
+    *
+    * Keeper attribution follows d01 exactly (min doc_id per content
+    * hash, across sources — a text shared by two sources keeps one
+    * copy globally, in the keeper's source).
+    *
+    * Scale: one content-hash agg over the corpus (40-byte rows — the
+    * e01/e02 dedup-shuffle shape), then everything is |sources|-sized;
+    * thresholds are the same broadcast scalar chain as p04. */
+  def dedupAwareMix(s: SparkSession, dir: String): DataFrame =
+    dedupAwareMixDf(t(s, dir, "documents"))
+
+  def dedupAwareMixDf(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("source"), col("doc_id"), col("text"))
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val kept = docs.join(keepers,
+        col("doc_id") === col("keep_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val base = raw.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    def thr(nCol: String, mxCol: String): Column =
+      floor(lit(mixScale.toDouble) * (sqrt(col(nCol)) / sqrt(col(mxCol))))
+    val mx = base.agg(max(col("n_raw")).as("mx_raw"),
+      max(col("n_kept")).as("mx_kept"))
+    base.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_raw"), col("n_kept"),
+        expr("CAST(n_kept AS DECIMAL(38,0)) * 1000000 div n_raw")
+          .as("survival_ppm"),
+        thr("n_raw", "mx_raw").cast("long").as("thr_raw"),
+        thr("n_kept", "mx_kept").cast("long").as("thr_dedup"))
+      .orderBy("source")
+  }
+
+  private val p12Sql =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id, md5(text) AS h FROM documents),
+       |keepers AS (
+       |  SELECT h, MIN(doc_id) AS keep_id FROM docs GROUP BY h),
+       |kept AS (
+       |  SELECT d.source, COUNT(*) AS n_kept
+       |  FROM docs d JOIN keepers k ON d.doc_id = k.keep_id
+       |  GROUP BY d.source),
+       |base AS (
+       |  SELECT d.source, COUNT(*) AS n_raw,
+       |    COALESCE(MAX(k.n_kept), 0) AS n_kept
+       |  FROM docs d LEFT JOIN kept k ON d.source = k.source
+       |  GROUP BY d.source),
+       |mx AS (SELECT MAX(n_raw) AS mx_raw, MAX(n_kept) AS mx_kept
+       |       FROM base)
+       |SELECT source, CAST(n_raw AS BIGINT) AS n_raw,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(CAST(n_kept AS HUGEINT) * 1000000 // n_raw AS BIGINT)
+       |    AS survival_ppm,
+       |  CAST(FLOOR(65536.0 * (sqrt(n_raw) / sqrt(mx_raw))) AS BIGINT)
+       |    AS thr_raw,
+       |  CAST(FLOOR(65536.0 * (sqrt(n_kept) / sqrt(mx_kept))) AS BIGINT)
+       |    AS thr_dedup
+       |FROM base CROSS JOIN mx ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_dedup_aware_mix"   -> dedupAwareMix _,
     "p11_budget_caps"       -> budgetCaps _,
     "p10_curriculum"        -> curriculum _,
     "p08_seeded_shuffle"    -> seededShuffle _,
@@ -631,6 +706,7 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p12_dedup_aware_mix"   -> p12Sql,
     "p11_budget_caps"       -> p11Sql,
     "p10_curriculum"        -> p10Sql,
     "p08_seeded_shuffle"    -> p08Sql,

@@ -312,6 +312,17 @@ class PlanSpec extends SparkSpec {
       s"expected 1 user_id exchange, got $exchanges:\n$finalPlan")
   }
 
+  test("q60: sweep windows and island aggregate share ONE user shuffle") {
+    val p = plan(Relational.q60IntervalUnion(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"expected 1 user_id exchange, got $exchanges:\n$finalPlan")
+    // the naive overlap formulation would plan a self-join — forbid it
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q52: the bounds relation broadcasts back into the fact scan") {
     val p = plan(Relational.q52Winsorize(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

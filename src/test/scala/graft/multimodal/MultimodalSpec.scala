@@ -69,6 +69,31 @@ class MultimodalSpec extends SparkSpec {
       again.sortBy(p => (p._1, p._2)).toSeq)
   }
 
+  test("m06: clusters equal a union-find over the m04 pair graph; " +
+      "canonical is the min id") {
+    val pairs = MultimodalQueries.phashPairs(spark, sf)
+      .select("media_a", "media_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = ids.map(i => i -> find(i)).toMap
+    val want = ids.map { i =>
+      val c = comp(i)
+      (i, c, comp.values.count(_ == c).toLong, if (i == c) 1L else 0L)
+    }.toSet
+    val out = MultimodalQueries.mediaClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === want)
+  }
+
   test("m05: every model call gets <= batchSize rows, all but the last " +
     "per partition exactly batchSize; output batching-invariant") {
     import MultimodalQueries.inferBatchSize

@@ -325,6 +325,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q60: interval union matches an in-memory sweep; covered time " +
+      "bounded by span and wall sum") {
+    import graft.Tables.t
+    val out = Relational.q60IntervalUnion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent reference: explicit sorted merge per user
+    val evs = t(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "ts div 1000 as start_us")
+      .collect()
+      .map { r =>
+        val s = r.getLong(2)
+        (r.getLong(1), s, s + (r.getLong(0) % 7 + 1) * 60000000L)
+      }
+    val want = evs.groupBy(_._1).map { case (u, ivs) =>
+      val sorted = ivs.map(i => (i._2, i._3)).sortBy(identity)
+      val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, (s0, e0)) => acc match {
+          case (s1, e1, n) :: rest if s0 <= e1 =>
+            (s1, math.max(e1, e0), n + 1) :: rest
+          case _ => (s0, e0, 1L) :: acc
+        }
+      }
+      val lens = islands.map { case (s0, e0, _) => e0 - s0 }
+      (u, islands.size.toLong, ivs.size.toLong, lens.sum, lens.max)
+    }.toSet
+    assert(out.toSet === want)
+    // covered time can never exceed the sum of interval lengths
+    for ((u, _, _, covered, longest) <- out) {
+      val wall = evs.filter(_._1 == u).map(i => i._3 - i._2).sum
+      assert(covered <= wall && longest <= covered)
+    }
+  }
+
   test("q57: fingerprints match an in-memory recompute and detect mutation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

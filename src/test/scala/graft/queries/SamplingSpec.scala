@@ -145,6 +145,36 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("p12: survivors + thresholds match an in-memory d01 recompute; " +
+      "duplicated sources deflate") {
+    import graft.Tables.t
+    val docs = t(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val keepIds = docs.groupBy(_._3).values.map(_.map(_._2).min).toSet
+    val raw = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val kept = docs.filter(d => keepIds(d._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val mxRaw = raw.values.max
+    val mxKept = kept.values.max
+    def thr(n: Long, mx: Long): Long =
+      math.floor(65536.0 * (math.sqrt(n.toDouble) / math.sqrt(mx.toDouble)))
+        .toLong
+    val want = raw.keys.map { src =>
+      val k = kept.getOrElse(src, 0L)
+      (src, raw(src), k, k * 1000000L / raw(src),
+        thr(raw(src), mxRaw), thr(k, mxKept))
+    }.toSet
+    val out = Sampling.dedupAwareMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSet === want)
+    // the design claim: survival is a per-source quantity (if any source
+    // is duplicated at all, at least one source deflates below 1e6 ppm)
+    if (docs.length > keepIds.size)
+      assert(out.exists(_._4 < 1000000L))
+  }
+
   test("p11: water-filling saturates small sources, caps big ones, and " +
     "fills the budget to within the integer remainder") {
     import spark.implicits._
