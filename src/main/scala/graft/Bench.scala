@@ -77,17 +77,22 @@ object Bench {
     val total = results.map(_._2.min).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}"""
-    // Known-file channel: sbt wraps stdout in [info] noise; the driver can
-    // read this file instead. Defaults next to the repo so it is always found.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
-    // The driver keeps only a ~2.3 KB stdout TAIL: the full line above
+    // The driver keeps only a ~2.3 KB stdout TAIL: the full line
     // (~14 KB with spread) truncates mid-stream and parses as null
     // (BENCH_r03/r04). Print it first for humans, then emit a compact
     // self-contained final line — per-query integer ms keyed by the
     // short query prefix (unique across the contract), no whitespace,
-    // ~1.7 KB — so the LAST line the driver sees is parseable JSON.
+    // ~1.9 KB — so the LAST line the driver sees is parseable JSON.
     println(line)
+    // Known-file channel: sbt wraps stdout in [info] noise; the driver
+    // can read this file instead. Best-effort — a bad out-path must
+    // not cost the stdout channel the results.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.write(Paths.get(outPath),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     val shortMs = results
       .map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + Math.round(v.min * 1000)

@@ -206,10 +206,18 @@ object StreamBench {
           if !failedBeforeStop =>
         // The pre-stop snapshot alone has a check-then-act window: a
         // query that genuinely dies between the sample and stop()
-        // would be misread as a stop-time abort. Only swallow when
-        // progress history shows the query actually produced batches
-        // during the window — a dead bench has none and rethrows.
-        if (q.recentProgress.exists(_.numInputRows > 0))
+        // would be misread as a stop-time abort. A whole-run
+        // "ever produced a batch" check doesn't close it either (a
+        // query can die mid-run after healthy batches). Swallow only
+        // when the query was demonstrably alive AT stop time: its
+        // most recent progress event is within a few trigger
+        // intervals of now — a query that died mid-run stopped
+        // emitting progress well before the stop.
+        val lastProgressMs = q.recentProgress.lastOption
+          .map(p => java.time.Instant.parse(p.timestamp).toEpochMilli)
+        val aliveAtStop = lastProgressMs
+          .exists(t => System.currentTimeMillis() - t < 5000L)
+        if (aliveAtStop)
           System.err.println(s"[streambench] stop-time abort ignored: " +
             e.getMessage.takeWhile(_ != '\n'))
         else throw e

@@ -259,16 +259,13 @@ object MultimodalQueries {
        |  FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
        |pairs AS MATERIALIZED (
-       |  SELECT media_a, media_b FROM cand
+       |  SELECT media_a, media_b, hamming FROM cand
        |  WHERE hamming <= $phashMaxHamming)"""
   }
 
   private val phashPairsSql: String =
-    s"""WITH $phashCandCtes,
-       |out AS (
-       |  SELECT media_a, media_b, hamming FROM cand
-       |  WHERE hamming <= $phashMaxHamming)
-       |SELECT media_a, media_b, hamming FROM out
+    s"""WITH $phashCandCtes
+       |SELECT media_a, media_b, hamming FROM pairs
        |ORDER BY media_a, media_b""".stripMargin
 
 

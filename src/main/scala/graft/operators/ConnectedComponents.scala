@@ -37,8 +37,9 @@ object ConnectedComponents {
     * lineage differs. */
   val checkpointModeKey = "graft.cc.checkpoint"
 
-  /** Per-round lineage truncation honoring [[checkpointModeKey]]. */
-  private def truncate(df: DataFrame): DataFrame =
+  /** Per-round lineage truncation honoring [[checkpointModeKey]] —
+    * shared by every bounded-round propagation (also g07's LPA). */
+  private[graft] def truncate(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(checkpointModeKey, "local") match {
       case "reliable" => df.checkpoint()
       case _          => df.localCheckpoint()

@@ -653,16 +653,21 @@ object Graph {
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairCounts.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // per-round lineage truncation (the ConnectedComponents discipline):
+    // labels is referenced TWICE per round (message join + self-vote
+    // union), so an un-truncated analyzed plan doubles per round —
+    // 2^rounds copies of the pair-expansion seed subtree
+    import graft.operators.ConnectedComponents.truncate
+    var labels = truncate(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     for (_ <- 1 to lpRounds) {
-      labels = edges.join(labels, edges("src") === labels("node"))
+      labels = truncate(edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"))
         .unionByName(labels.select(col("node"), col("lbl")))
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("top"))
-        .select(col("node"), (-col("top.nl")).as("lbl"))
+        .select(col("node"), (-col("top.nl")).as("lbl")))
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),

@@ -666,7 +666,7 @@ object Sampling {
   }
 
   private val p12Sql =
-    s"""WITH docs AS (
+    s"""WITH docs AS MATERIALIZED (
        |  SELECT source, doc_id, md5(text) AS h FROM documents),
        |keepers AS (
        |  SELECT h, MIN(doc_id) AS keep_id FROM docs GROUP BY h),
@@ -674,7 +674,7 @@ object Sampling {
        |  SELECT d.source, COUNT(*) AS n_kept
        |  FROM docs d JOIN keepers k ON d.doc_id = k.keep_id
        |  GROUP BY d.source),
-       |base AS (
+       |base AS MATERIALIZED (
        |  SELECT d.source, COUNT(*) AS n_raw,
        |    COALESCE(MAX(k.n_kept), 0) AS n_kept
        |  FROM docs d LEFT JOIN kept k ON d.source = k.source

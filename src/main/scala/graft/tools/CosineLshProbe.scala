@@ -34,9 +34,12 @@ object CosineLshProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val embs = Tables.t(spark, sfDir, "embeddings")
-    val (autoPlanes, autoBands) = Dedup.cosParamsFor(embs.count())
-    val planes = if (explicit) args(1).toInt else autoPlanes
-    val bands = if (args.length > 2) args(2).toInt else autoBands
+    // corpus count only when the rule picks the parameters — an
+    // explicit sweep must not pay a scan before its timed runs
+    val (planes, bands) =
+      if (explicit)
+        (args(1).toInt, if (args.length > 2) args(2).toInt else 4)
+      else Dedup.cosParamsFor(embs.count())
     def timed(p: Int, b: Int): (Double, org.apache.spark.sql.DataFrame) = {
       val df = Dedup.embeddingCosineDf(embs, p, b).persist()
       val t0 = System.nanoTime()

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,13 +45,35 @@ class ContractShapeSpec extends SparkSpec {
           s"driver-green envelope: ${wide.mkString(", ")}")
 
       // -0.0 renders as "-0.0" under CAST AS STRING in Spark; count
-      // offending cells distributedly (one collected row per query)
-      val floatCols = df.schema.fields.filter(f =>
-        f.dataType == DoubleType || f.dataType == FloatType)
+      // offending cells distributedly (one collected row per query),
+      // recursing into arrays/structs/maps — a nested double is the
+      // same driver-hash channel as a top-level one
+      def hasFloat(dt: DataType): Boolean = dt match {
+        case DoubleType | FloatType => true
+        case a: ArrayType => hasFloat(a.elementType)
+        case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+        case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+        case _ => false
+      }
+      def nz(c: Column, dt: DataType): Column = dt match {
+        case DoubleType | FloatType =>
+          when(c.cast("string") === "-0.0", 1L).otherwise(0L)
+        case a: ArrayType if hasFloat(a.elementType) =>
+          coalesce(aggregate(c, lit(0L),
+            (acc, x) => acc + nz(x, a.elementType)), lit(0L))
+        case s: StructType =>
+          s.fields.filter(f => hasFloat(f.dataType))
+            .map(f => nz(c.getField(f.name), f.dataType))
+            .reduceOption(_ + _).getOrElse(lit(0L))
+        case m: MapType if hasFloat(m.valueType) =>
+          coalesce(aggregate(map_values(c), lit(0L),
+            (acc, x) => acc + nz(x, m.valueType)), lit(0L))
+        case _ => lit(0L)
+      }
+      val floatCols = df.schema.fields.filter(f => hasFloat(f.dataType))
       if (floatCols.nonEmpty) {
         val checks = floatCols.map(f =>
-          sum(when(col(f.name).cast("string") === "-0.0", 1L)
-            .otherwise(0L)).as(f.name))
+          sum(nz(col(f.name), f.dataType)).as(f.name))
         val row = df.agg(checks.head, checks.tail: _*).collect()(0)
         val bad = floatCols.indices
           .filter(i => !row.isNullAt(i) && row.getLong(i) > 0)

@@ -14,7 +14,7 @@ outside the proven driver-green envelope (r4: q01/q55/q59).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, os, json
+import sys, os, json, decimal
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -90,20 +90,31 @@ def compare(got, want):
     if type_notes: notes.append("TYPE MISMATCH " + "; ".join(type_notes))
     return True, "; ".join(notes)
 
+def canon(v):
+    """Driver-canonical rendering, recursive into lists/structs so a
+    nested float's -0.0 is as visible as a top-level one."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        # repr is the shortest bit-faithful rendering: -0.0 -> '-0.0',
+        # 1-ulp differences -> different strings, nan == nan
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # exact digit string at the declared scale — float() would pass
+        # -0.0 vs 0.0 and scale differences the driver's text hash fails
+        return str(v)
+    if isinstance(v, list):
+        return [canon(x) for x in v]
+    if isinstance(v, dict):
+        return {k: canon(x) for k, x in v.items()}
+    return v
+
 def norm_col(c):
     vals = c.to_pylist()
     t = c.type
     if pa.types.is_timestamp(t):
         return [v.isoformat() if v is not None else None for v in vals]
-    if pa.types.is_decimal(t):
-        # exact digit string at the declared scale — float() would pass
-        # -0.0 vs 0.0 and scale differences the driver's text hash fails
-        return [str(v) if v is not None else None for v in vals]
-    if pa.types.is_floating(t):
-        # repr is the shortest bit-faithful rendering: -0.0 -> '-0.0',
-        # 1-ulp differences -> different strings, nan == nan
-        return [repr(float(v)) if v is not None else None for v in vals]
-    return vals
+    return [canon(v) for v in vals]
 
 def sort_key(row):
     return tuple((v is None, str(type(v)), v) for v in row)
