@@ -213,12 +213,83 @@ object Pipeline {
        |ORDER BY shard""".stripMargin
   }
 
+
+  // ------------------------------------------------------------- e03
+  /** e03: snapshot diff / reconciliation report — the audit companion
+    * to e02's refresh (Iceberg/Delta `snapshot diff`, data-recon
+    * between a vendor drop and the loaded table): given two corpus
+    * snapshots, classify every doc as added / removed / changed /
+    * unchanged by CONTENT HASH (never by payload compare) and report
+    * per (source, status) counts and character mass. The two
+    * snapshots are deterministic derivations of the documents table
+    * (old = ids outside the %10=7 slice; new = ids outside the %17=3
+    * slice, with the %13=0 slice content-edited) so both engines
+    * diff the identical pair without extra fixtures.
+    *
+    * Scale: the diff moves (doc_id, source, md5, n_chars) rows — the
+    * e01/e02 40-byte dedup-shuffle shape, one full-outer join on the
+    * id, payloads never shuffled; the report is |sources × 4| rows. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiffDf(t(s, dir, "documents"))
+
+  def snapshotDiffDf(documents: DataFrame): DataFrame = {
+    val slim = documents.select(col("doc_id"), col("source"),
+      col("text"), col("n_chars"))
+    val old = slim.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"),
+        col("n_chars").as("chars_old"))
+    val neu = slim.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text2",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("source_n"),
+        md5(col("text2")).as("h_new"),
+        (col("n_chars") + when(col("doc_id") % 13 === 0, 5L)
+          .otherwise(0L)).as("chars_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("source_n")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("chars_new"), col("chars_old")).as("chars"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"))
+      .orderBy("source", "status")
+  }
+
+  private val snapshotDiffSql =
+    """WITH old AS (
+      |  SELECT doc_id, source, md5(text) AS h_old, n_chars AS chars_old
+      |  FROM documents WHERE doc_id % 10 <> 7),
+      |neu AS (
+      |  SELECT doc_id, source AS source_n,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+      |             ELSE text END) AS h_new,
+      |    n_chars + CASE WHEN doc_id % 13 = 0 THEN 5 ELSE 0 END
+      |      AS chars_new
+      |  FROM documents WHERE doc_id % 17 <> 3),
+      |d AS (
+      |  SELECT COALESCE(old.source, neu.source_n) AS source,
+      |    CASE WHEN h_old IS NULL THEN 'added'
+      |         WHEN h_new IS NULL THEN 'removed'
+      |         WHEN h_old <> h_new THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    COALESCE(chars_new, chars_old) AS chars
+      |  FROM old FULL OUTER JOIN neu USING (doc_id))
+      |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS n_chars
+      |FROM d GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e03_snapshot_diff" -> snapshotDiff _,
     "e01_corpus_build" -> corpusBuild _,
     "e02_corpus_refresh" -> corpusRefresh _)
 
   val oracle: Map[String, String] = Map(
+    "e03_snapshot_diff" -> snapshotDiffSql,
     "e01_corpus_build" -> corpusBuildSql,
     "e02_corpus_refresh" -> corpusRefreshSql)
 }

@@ -2397,8 +2397,125 @@ object Relational {
       |  CAST(MAX(covered_us) AS BIGINT) AS longest_island_us
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+
+  // ---------------------------------------------------------------- q61
+  /** Skyline / Pareto frontier — the preference-query operator class
+    * (Börzsönyi et al.'s SKYLINE OF): per nation, the 1997 orders not
+    * STRICTLY dominated on (totalprice, orderdate) — no other same-
+    * nation order has BOTH a higher price and a later date. The
+    * operator behind "best tradeoff" shortlists (price × recency,
+    * quality × cost) that a plain ORDER BY cannot express.
+    *
+    * Shape: sort-based skyline — within each nation, descending by
+    * exact integer cents, a RANGE frame ending 1 cent before the
+    * current row sees exactly the strictly-higher-priced orders; a
+    * row survives iff their max date does not exceed its own. One
+    * partitioned sort, no self-join (the textbook NOT EXISTS
+    * formulation is O(n²) per partition — the ORACLE deliberately
+    * uses it, so the window algebra is checked against the naive
+    * definition rather than a mirror of itself). All comparisons are
+    * exact integers (cents, epoch days). */
+  def q61Skyline(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr("unix_date(CAST(o_orderdate AS DATE))").as("day"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("max_day_higher", max(col("day")).over(w))
+      .filter(col("max_day_higher").isNull ||
+        col("max_day_higher") <= col("day"))
+      .select(col("n_name"), col("o_orderkey"), col("cents"),
+        col("day").cast("long").as("day"))
+      .orderBy(col("n_name"), col("cents").desc, col("o_orderkey"))
+  }
+
+  private val q61Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, n_name,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT n_name, o_orderkey, cents, CAST(day AS BIGINT) AS day
+      |FROM o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o o2
+      |  WHERE o2.n_name = o.n_name
+      |    AND o2.cents > o.cents AND o2.day > o.day)
+      |ORDER BY n_name, cents DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Event-sequence pattern matching (the MATCH_RECOGNIZE / CEP
+    * class): each user's event history becomes an ordered letter
+    * string (first letter of the event type under the (ts, event_id)
+    * total order) and regular expressions count behavioral motifs —
+    * view-runs ending in purchase, signup→clicks→purchase quick
+    * conversions, the longest error burst. Regex over a per-key
+    * ordered encoding IS how sequence mining ships on engines without
+    * a CEP operator, and the motif counts are exact integers.
+    *
+    * Scale: one user-keyed sort-agg (the q37 string_agg discipline);
+    * the per-user sequence must fit in memory — the documented
+    * contract of every sequence encoder; a production run windows the
+    * history first (q24's sessions) exactly like this op composed
+    * over session_id. */
+  def q62EventRegex(s: SparkSession, dir: String): DataFrame =
+    q62EventRegexDf(t(s, dir, "events"))
+
+  /** @param events the [[graft.Tables.t]]-normalized relation (ts =
+    *               BIGINT epoch-nanos). */
+  def q62EventRegexDf(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ep_us"),
+        expr("substring(event_type, 1, 1)").as("ch"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ep_us"), col("event_id"),
+          col("ch")))), x => x.getField("ch")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(regexp_extract_all(col("seq"), lit("v+p"), lit(0)))
+          .cast("long").as("n_view_purchase"),
+        size(regexp_extract_all(col("seq"), lit("sc*p"), lit(0)))
+          .cast("long").as("n_quick_convert"),
+        coalesce(array_max(transform(
+          regexp_extract_all(col("seq"), lit("e+"), lit(0)),
+          x => length(x))), lit(0)).cast("long").as("longest_error_run"))
+      .orderBy("user_id")
+
+  private val q62Sql =
+    """WITH sq AS (
+      |  SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), ''
+      |      ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+      |    AS n_view_purchase,
+      |  CAST(len(regexp_extract_all(seq, 'sc*p')) AS BIGINT)
+      |    AS n_quick_convert,
+      |  CAST(COALESCE(list_max(list_transform(
+      |    regexp_extract_all(seq, 'e+'), x -> len(x))), 0) AS BIGINT)
+      |    AS longest_error_run
+      |FROM sq ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_event_regex"     -> q62EventRegex _,
+    "q61_skyline"         -> q61Skyline _,
     "q60_interval_union"  -> q60IntervalUnion _,
     "q59_ratio_to_report" -> q59RatioToReport _,
     "q58_pit_join"        -> q58PitJoin _,
@@ -2461,6 +2578,8 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q62_event_regex"     -> q62Sql,
+    "q61_skyline"         -> q61Sql,
     "q60_interval_union"  -> q60Sql,
     "q59_ratio_to_report" -> q59Sql,
     "q58_pit_join"        -> q58Sql,

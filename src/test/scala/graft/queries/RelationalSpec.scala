@@ -359,6 +359,86 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q61: skyline equals the naive dominance filter; frontier is a " +
+      "price-date staircase") {
+    import graft.Tables.t
+    import org.apache.spark.sql.functions._
+    val out = Relational.q61Skyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val o = t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("n_name", "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = o.filter { case (nat, _, c0, d0) =>
+      !o.exists { case (n2, _, c2, d2) => n2 == nat && c2 > c0 && d2 > d0 }
+    }.toSet
+    assert(out.toSet === want)
+    // staircase law: within a nation, walking price-descending, dates
+    // are non-decreasing (strict-dominance frontiers are monotone up
+    // to price ties)
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (-r._3, r._2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a._3 != b._3 =>
+          assert(a._4 <= b._4, s"frontier not monotone: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("q62: motif counts match java-regex recompute on a constructed " +
+      "history") {
+    import spark.implicits._
+    // user 1: v v p v p  -> two view-runs ending in purchase
+    // user 2: s c c p e e e -> one quick conversion, error run 3
+    // user 3: p v v  -> nothing ends in p after views
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "purchase"),
+      (1L, 4L, "view"), (1L, 5L, "purchase"),
+      (2L, 6L, "signup"), (2L, 7L, "click"), (2L, 8L, "click"),
+      (2L, 9L, "purchase"), (2L, 10L, "error"), (2L, 11L, "error"),
+      (2L, 12L, "error"),
+      (3L, 13L, "purchase"), (3L, 14L, "view"), (3L, 15L, "view"))
+      .map { case (u, i, et) => (i, i * 1000000000L, u, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Relational.q62EventRegexDf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSet === Set(
+      (1L, 5L, 2L, 0L, 0L),
+      (2L, 7L, 0L, 1L, 3L),
+      (3L, 3L, 0L, 0L, 0L)))
+  }
+
+  test("e03: statuses partition both snapshots; counts reconcile with " +
+      "the slice predicates") {
+    import graft.Tables.t
+    val out = graft.queries.Pipeline.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = t(spark, sf, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def status(id: Long): String =
+      if (id % 10 == 7 && id % 17 == 3) "absent"
+      else if (id % 10 == 7) "added"
+      else if (id % 17 == 3) "removed"
+      else if (id % 13 == 0) "changed"
+      else "unchanged"
+    val want = docs.map { case (id, src) => (src, status(id)) }
+      .filter(_._2 != "absent")
+      .groupBy(identity).map { case ((src, st), g) => (src, st, g.size.toLong) }
+      .toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet === want)
+  }
+
   test("q57: fingerprints match an in-memory recompute and detect mutation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
