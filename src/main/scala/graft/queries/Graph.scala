@@ -711,7 +711,92 @@ object Graph {
        |FROM l$lpRounds GROUP BY lbl ORDER BY community""".stripMargin
   }
 
+
+  // ------------------------------------------------------------- g08
+  /** g08: common-neighbor / Jaccard link prediction — for every
+    * co-purchase pair sharing ≥ [[cnMinCommon]] neighbors, the exact
+    * overlap, both (pruned) degrees, and the Jaccard score in integer
+    * ppm. This is the classic link-prediction / "customers also
+    * bought" primitive: a high-Jaccard NON-edge is a recommendation,
+    * a high-Jaccard edge a confirmation.
+    *
+    * Skew posture (the d03 stop-shingle discipline applied to
+    * graphs): common-neighbor enumeration through a center costs
+    * deg², so centers with degree > [[cnMaxDeg]] are dropped before
+    * the pair expansion — a hub co-neighbor carries no signal exactly
+    * as a stop-shingle carries none, and the cap hard-bounds every
+    * join bucket at deg² ≤ 10⁴ pairs. Degrees and Jaccard are then
+    * EXACT over the pruned neighborhood (standard stop-feature
+    * semantics, identical in the twin).
+    *
+    * Scale: one degree agg, one semi-join prune, one streamed
+    * self-join on the center key (the g02 lesson: never materialize a
+    * center's neighbor array), partial-agged pair counts; the ppm
+    * numerator widens before ×10⁶ (the q59 rule). */
+  val cnMaxDeg = 100
+  val cnMinCommon = 5
+
+  def commonNeighbors(s: SparkSession, dir: String): DataFrame =
+    commonNeighborsDf(t(s, dir, "lineitem"))
+
+  def commonNeighborsDf(lineitem: DataFrame): DataFrame = {
+    val pairs = coPairsDf(lineitem)
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    val keptCenters = deg.filter(col("d") <= cnMaxDeg)
+      .select(col("dst").as("c"))
+    // edges whose CENTER endpoint survives the hub cap, persisted: the
+    // pruned-degree agg and both self-join sides read it
+    val e = und.join(keptCenters, und("dst") === keptCenters("c"))
+      .select(col("src").as("node"), col("c"))
+      .persist()
+    val pd = e.groupBy(col("node")).agg(count(lit(1)).as("pdeg"))
+    val cn = e.as("x").join(e.as("y"),
+        col("x.c") === col("y.c") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= cnMinCommon)
+    cn.join(pd.select(col("node").as("na"), col("pdeg").as("deg_a")),
+        col("a") === col("na"))
+      .join(pd.select(col("node").as("nb"), col("pdeg").as("deg_b")),
+        col("b") === col("nb"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("""CAST(common AS DECIMAL(38,0)) * 1000000
+                div (deg_a + deg_b - common)""").as("jaccard_ppm"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB twin: the quadratic pair-count form of coPairs (the g03
+    * oracle's choice — the oracle may afford it), identical hub cap
+    * and pruned-degree semantics. */
+  private val commonNeighborsSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT dst, COUNT(*) AS d FROM und GROUP BY dst),
+       |e AS MATERIALIZED (
+       |  SELECT u.src AS node, u.dst AS c
+       |  FROM und u JOIN deg ON u.dst = deg.dst
+       |  WHERE deg.d <= $cnMaxDeg),
+       |pd AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS pdeg FROM e GROUP BY node),
+       |cn AS (
+       |  SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT)
+       |      AS common
+       |  FROM e x JOIN e y ON x.c = y.c AND x.node < y.node
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $cnMinCommon)
+       |SELECT a, b, common, pa.pdeg AS deg_a, pb.pdeg AS deg_b,
+       |  CAST(CAST(common AS HUGEINT) * 1000000
+       |    // (pa.pdeg + pb.pdeg - common) AS BIGINT) AS jaccard_ppm
+       |FROM cn JOIN pd pa ON a = pa.node JOIN pd pb ON b = pb.node
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g08_common_neighbors" -> commonNeighbors _,
     "g07_label_prop" -> labelProp _,
     "g06_degree_profile" -> degreeProfile _,
     "g01_pagerank"  -> pageRank _,
@@ -721,6 +806,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g08_common_neighbors" -> commonNeighborsSql,
     "g07_label_prop" -> labelPropSql,
     "g06_degree_profile" -> degreeProfileSql,
     "g01_pagerank"  -> pageRankSql,

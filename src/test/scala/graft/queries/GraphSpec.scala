@@ -186,6 +186,34 @@ class GraphSpec extends SparkSpec {
     assert(b.toSet === out.toSet, "LPA not partition-invariant")
   }
 
+  test("g08: overlap counts and jaccard match an in-memory recompute " +
+      "over the hub-capped graph") {
+    val out = Graph.commonNeighborsDf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byOrder = li.select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    byOrder.values.foreach { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        und += ((ps(i), ps(j))); und += ((ps(j), ps(i)))
+      }
+    }
+    val degIn = und.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val adj = und.toSeq.filter(e => degIn(e._2) <= Graph.cnMaxDeg)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- adj.toSeq; (b, nb) <- adj.toSeq if a < b
+      common = (na & nb).size.toLong if common >= Graph.cnMinCommon
+    } yield {
+      val (da, db) = (na.size.toLong, nb.size.toLong)
+      (a, b, common, da, db, common * 1000000L / (da + db - common))
+    }).toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+  }
+
   test("g06: buckets partition the degree range; mass sums to 2|E|") {
     import org.apache.spark.sql.functions.col
     val li = graft.Tables.t(spark, sf, "lineitem")
