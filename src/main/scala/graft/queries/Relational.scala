@@ -2512,8 +2512,95 @@ object Relational {
       |    AS longest_error_run
       |FROM sq ORDER BY user_id""".stripMargin
 
+
+  // ---------------------------------------------------------------- q63
+  /** percentile_cont — the INTERPOLATED quantile (SQL standard's other
+    * percentile; q47 ships percentile_disc): per order status, the
+    * p25/p50/p75 of the price distribution with linear interpolation
+    * between the two straddling order statistics.
+    *
+    * The interpolation is EXACT integer arithmetic, not float: at
+    * quartile k over n rows the continuous position is
+    * 1 + (n−1)·k/4, whose fractional part is always a quarter —
+    * so the result is emitted in QUARTER-CENTS,
+    * `lo·(4−rem) + hi·rem` with `rem = ((n−1)·k) mod 4`. No float
+    * multiply exists anywhere, so the cell is bit-identical on any
+    * engine (a naive `percentile_cont` call would interpolate in
+    * doubles with engine-specific rounding — exactly the class the
+    * s05 lesson bans).
+    *
+    * Shape: one status-partitioned rank window + a broadcast n join +
+    * one conditional agg picking the 6 straddling statistics — the
+    * q47 cost class. */
+  def q63PercentileCont(s: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("rn", row_number().over(wq).cast("long"))
+    val n = ranked.groupBy(col("o_orderstatus"))
+      .agg(max(col("rn")).as("n"))
+    val marked = ranked.join(broadcast(n), "o_orderstatus")
+      .withColumn("i1", expr("1L + ((n - 1) * 1) div 4"))
+      .withColumn("r1", expr("((n - 1) * 1) % 4"))
+      .withColumn("i2", expr("1L + ((n - 1) * 2) div 4"))
+      .withColumn("r2", expr("((n - 1) * 2) % 4"))
+      .withColumn("i3", expr("1L + ((n - 1) * 3) div 4"))
+      .withColumn("r3", expr("((n - 1) * 3) % 4"))
+    marked.groupBy(col("o_orderstatus"))
+      .agg(max(col("n")).as("n_orders"),
+        max(when(col("rn") === col("i1"), col("cents"))).as("lo1"),
+        max(when(col("rn") === col("i1") + 1, col("cents"))).as("hi1"),
+        max(col("r1")).as("f1"),
+        max(when(col("rn") === col("i2"), col("cents"))).as("lo2"),
+        max(when(col("rn") === col("i2") + 1, col("cents"))).as("hi2"),
+        max(col("r2")).as("f2"),
+        max(when(col("rn") === col("i3"), col("cents"))).as("lo3"),
+        max(when(col("rn") === col("i3") + 1, col("cents"))).as("hi3"),
+        max(col("r3")).as("f3"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        expr("lo1 * (4 - f1) + COALESCE(hi1, lo1) * f1").as("p25_qc"),
+        expr("lo2 * (4 - f2) + COALESCE(hi2, lo2) * f2").as("p50_qc"),
+        expr("lo3 * (4 - f3) + COALESCE(hi3, lo3) * f3").as("p75_qc"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q63Sql =
+    """WITH rankd AS (
+      |  SELECT o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |        AS BIGINT), o_orderkey) AS BIGINT) AS rn
+      |  FROM orders),
+      |nn AS (SELECT o_orderstatus, MAX(rn) AS n FROM rankd GROUP BY 1),
+      |mk AS (
+      |  SELECT r.o_orderstatus, r.cents, r.rn, nn.n,
+      |    1 + ((nn.n - 1) * 1) // 4 AS i1, ((nn.n - 1) * 1) % 4 AS r1,
+      |    1 + ((nn.n - 1) * 2) // 4 AS i2, ((nn.n - 1) * 2) % 4 AS r2,
+      |    1 + ((nn.n - 1) * 3) // 4 AS i3, ((nn.n - 1) * 3) % 4 AS r3
+      |  FROM rankd r JOIN nn ON r.o_orderstatus = nn.o_orderstatus),
+      |ag AS (
+      |  SELECT o_orderstatus, MAX(n) AS n_orders,
+      |    MAX(CASE WHEN rn = i1 THEN cents END) AS lo1,
+      |    MAX(CASE WHEN rn = i1 + 1 THEN cents END) AS hi1, MAX(r1) AS f1,
+      |    MAX(CASE WHEN rn = i2 THEN cents END) AS lo2,
+      |    MAX(CASE WHEN rn = i2 + 1 THEN cents END) AS hi2, MAX(r2) AS f2,
+      |    MAX(CASE WHEN rn = i3 THEN cents END) AS lo3,
+      |    MAX(CASE WHEN rn = i3 + 1 THEN cents END) AS hi3, MAX(r3) AS f3
+      |  FROM mk GROUP BY 1)
+      |SELECT o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(lo1 * (4 - f1) + COALESCE(hi1, lo1) * f1 AS BIGINT) AS p25_qc,
+      |  CAST(lo2 * (4 - f2) + COALESCE(hi2, lo2) * f2 AS BIGINT) AS p50_qc,
+      |  CAST(lo3 * (4 - f3) + COALESCE(hi3, lo3) * f3 AS BIGINT) AS p75_qc
+      |FROM ag ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_percentile_cont" -> q63PercentileCont _,
     "q62_event_regex"     -> q62EventRegex _,
     "q61_skyline"         -> q61Skyline _,
     "q60_interval_union"  -> q60IntervalUnion _,
@@ -2578,6 +2665,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q63_percentile_cont" -> q63Sql,
     "q62_event_regex"     -> q62Sql,
     "q61_skyline"         -> q61Sql,
     "q60_interval_union"  -> q60Sql,

@@ -359,6 +359,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q63: quarter-cent interpolation equals Spark's own exact " +
+      "percentile") {
+    import graft.Tables.t
+    import org.apache.spark.sql.functions._
+    val out = Relational.q63PercentileCont(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent reference: Spark's builtin percentile() on the same
+    // integer cents — its double interpolation is exact at quarter
+    // fractions (hi/4 and 3*lo/4 are exponent shifts), so qc/4 must
+    // match to the bit
+    val ref = t(spark, sf, "orders")
+      .selectExpr("o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(c, 0.25)").as("p25"),
+        expr("percentile(c, 0.5)").as("p50"),
+        expr("percentile(c, 0.75)").as("p75"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    for ((st, _, p25, p50, p75) <- out) {
+      val (e25, e50, e75) = ref(st)
+      assert(p25 / 4.0 == e25 && p50 / 4.0 == e50 && p75 / 4.0 == e75,
+        s"$st: ($p25,$p50,$p75)/4 != ($e25,$e50,$e75)")
+    }
+  }
+
   test("q61: skyline equals the naive dominance filter; frontier is a " +
       "price-date staircase") {
     import graft.Tables.t
