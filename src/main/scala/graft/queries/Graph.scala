@@ -795,7 +795,101 @@ object Graph {
        |FROM cn JOIN pd pa ON a = pa.node JOIN pd pb ON b = pb.node
        |ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------------------- g09
+  /** g09: bounded-round WEIGHTED shortest paths (Bellman-Ford) from the
+    * g05 hub seeds — the cost-distance upgrade of g05's hop count
+    * (routing cost, weighted influence radius). Edge weight is the
+    * deterministic integer `(src + dst) % 97 + 1` — symmetric, so both
+    * directions of an undirected edge agree by construction.
+    *
+    * Spark runs DELTA relaxation: each round expands only the frontier
+    * of nodes whose distance IMPROVED last round, the classical
+    * Bellman-Ford optimization (a node re-relaxes only after its own
+    * bound drops). After round r both forms yield exactly
+    * min-cost-over-≤r-edge-paths — a path that would improve v via u
+    * has a prefix that improved u in an earlier round, so u was in a
+    * frontier — which is what the oracle computes by FULL relaxation
+    * (whole dist ⋈ edges, [[ssspRounds]] unrolled MATERIALIZED CTEs).
+    * The two shapes meeting is itself the regression test for the
+    * frontier algebra.
+    *
+    * Determinism: integer weights, integer min-combine — order- and
+    * engine-invariant, the g01/g05 discipline. Scale shape: the only
+    * edge-sized join input is the persisted ids+weight edge list; the
+    * frontier SHRINKS once bounds settle (unlike g05's monotone
+    * closure), so late rounds move candidate deltas, not the graph.
+    * Per-round persist truncates lineage (g03 discipline). */
+  val ssspRounds = 3
+
+  def sssp(s: SparkSession, dir: String): DataFrame =
+    ssspDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def ssspDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val und = undirectedEdges(lineitem, orders)
+      .withColumn("w", (col("src") + col("dst")) % 97 + lit(1L))
+      .persist()
+    val seeds = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node"))
+      .limit(bfsSeeds)
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).persist()
+    var frontier = dist
+    for (_ <- 1 to ssspRounds) {
+      // relax ONLY last round's improved set; min-combine candidates
+      // before touching the accumulated dist (map-side partial min)
+      val cand = frontier.as("f")
+        .join(und.as("u"), col("f.node") === col("u.src"))
+        .select(col("u.dst").as("node"),
+          (col("f.dist") + col("u.w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand.as("c")
+        .join(dist.select(col("node").as("dn"), col("dist").as("dd")),
+          col("node") === col("dn"), "left")
+        .filter(col("dd").isNull || col("c.dist") < col("dd"))
+        .select(col("c.node").as("node"), col("c.dist").as("dist"))
+        .persist()
+      dist = dist.union(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist()
+      frontier = improved
+    }
+    dist.select(col("node"), col("dist"),
+      when(col("node") >= custOffset, "customer")
+        .otherwise("supplier").as("role"))
+      .orderBy("node")
+  }
+
+  private val ssspSql = {
+    val rounds = (1 to ssspRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT u.dst AS node, p.dist + u.w AS dist
+         |    FROM d${r - 1} p JOIN u ON u.src = p.node) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |u AS MATERIALIZED (
+       |  SELECT src, dst, (src + dst) % 97 + 1 AS w FROM (
+       |    SELECT src, dst FROM pairs
+       |    UNION ALL SELECT dst, src FROM pairs)),
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS node FROM u GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT $bfsSeeds),
+       |d0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist,
+       |  CASE WHEN node >= $custOffset THEN 'customer'
+       |       ELSE 'supplier' END AS role
+       |FROM d$ssspRounds ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g09_sssp" -> sssp _,
     "g08_common_neighbors" -> commonNeighbors _,
     "g07_label_prop" -> labelProp _,
     "g06_degree_profile" -> degreeProfile _,
@@ -806,6 +900,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g09_sssp" -> ssspSql,
     "g08_common_neighbors" -> commonNeighborsSql,
     "g07_label_prop" -> labelPropSql,
     "g06_degree_profile" -> degreeProfileSql,

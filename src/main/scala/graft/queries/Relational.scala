@@ -2598,8 +2598,229 @@ object Relational {
       |  CAST(lo3 * (4 - f3) + COALESCE(hi3, lo3) * f3 AS BIGINT) AS p75_qc
       |FROM ag ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Exponentially weighted moving average — the time-series smoother
+    * (monitoring dashboards, anomaly baselines) q09's running sum and
+    * q36's range frame cannot express: recent events count more. A
+    * float EWMA is order- AND engine-dependent (α·x + (1−α)·prev
+    * accumulates rounding), so this is the TRUNCATED-kernel form every
+    * production scorer actually ships: α = 1/2 over the last
+    * [[q64Lags]] events, all weights powers of two, all arithmetic
+    * exact integer cents — num = Σⱼ centsₜ₋ⱼ·2^(7−j), den = the CASE
+    * table of partial-window weight sums (256 − 2^(8−m)), ewma = num
+    * div den. Bit-identical on any engine and any partitioning.
+    *
+    * Shape: the lag chain and the latest-row pick ride ONE
+    * user-partitioned sort (same window order), so the whole query is
+    * a single user_id exchange + one broadcast-free projection — at
+    * 100 TB the state per row is 8 lags of 8 bytes, never a buffer. */
+  val q64Lags = 8
+  def q64Ewma(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val num = (1 until q64Lags).foldLeft(
+      col("cents") * lit(1L << (q64Lags - 1))) { (acc, j) =>
+      acc + coalesce(lag(col("cents"), j).over(byUser), lit(0L)) *
+        lit(1L << (q64Lags - 1 - j))
+    }
+    val denCases = (1 to q64Lags).map { m =>
+      s"WHEN $m THEN ${(1L << q64Lags) - (1L << (q64Lags - m))}"
+    }.mkString(" ")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("rn", row_number().over(byUser).cast("long"))
+      .withColumn("num", num)
+      .withColumn("den",
+        expr(s"CASE least(rn, $q64Lags) $denCases END"))
+      .withColumn("ewma_c", expr("num div den"))
+      .withColumn("last_rn",
+        max(col("rn")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === col("last_rn"))
+      .select(col("user_id"), col("rn").as("n_events"),
+        col("cents").as("last_cents"), col("ewma_c"))
+      .orderBy("user_id")
+  }
+
+  private val q64Sql = {
+    val lagTerms = (1 until q64Lags).map { j =>
+      s"COALESCE(LAG(cents, $j) OVER w, 0) * ${1L << (q64Lags - 1 - j)}"
+    }.mkString(" + ")
+    val denCases = (1 to q64Lags).map { m =>
+      s"WHEN $m THEN ${(1L << q64Lags) - (1L << (q64Lags - m))}"
+    }.mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |lagd AS (
+       |  SELECT user_id, cents,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       |    cents * ${1L << (q64Lags - 1)} + $lagTerms AS num
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |scored AS (
+       |  SELECT *,
+       |    num // (CASE LEAST(rn, $q64Lags) $denCases END) AS ewma_c,
+       |    MAX(rn) OVER (PARTITION BY user_id) AS last_rn
+       |  FROM lagd)
+       |SELECT user_id, rn AS n_events, cents AS last_cents,
+       |  CAST(ewma_c AS BIGINT) AS ewma_c
+       |FROM scored WHERE rn = last_rn ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Per-group OLS regression — the `regr_slope`/`regr_r2` family, done
+    * exactly: price-vs-quantity fit per part brand. Engine `regr_*`
+    * aggregates accumulate FLOATS in partition order (the s05 failure
+    * class), so the moments here are exact integer sums — n, Σx, Σy,
+    * Σxy as BIGINT; Σx², Σy² as DECIMAL(38,0) (y is cents ~1e7, so y²
+    * ~1e14 overflows a BIGINT sum past ~9·10⁴ rows per group — the sf1
+    * trap) — and the closed forms are integer division on DECIMAL(38,0)
+    * (the q59 HUGEINT-twin pattern): slope_ppm = (nΣxy−ΣxΣy)·10⁶ div
+    * (nΣxx−Σx²), intercept_c = (ΣyΣxx−ΣxΣxy) div (nΣxx−Σx²), and
+    * r2_ppm = slope_ppm²·(nΣxx−Σx²) div ((nΣyy−Σy²)·10⁶) — r² from the
+    * already-floored slope rather than cov²/(vx·vy) directly, because
+    * cov² overflows 38 digits at sf0.1 while slope_ppm² keeps every
+    * intermediate under ~10³⁴ to ~10⁸ rows per group (a DOUBLE r²
+    * was tried first and failed the gate by one ulp: DuckDB's
+    * HUGEINT→DOUBLE and Spark's Decimal→DOUBLE round >2⁵³ operands
+    * differently — the conversion itself is the non-portable step, so
+    * r² must stay integer). Degenerate groups (zero variance) emit
+    * NULL on both sides rather than engine-specific div-by-zero
+    * behavior.
+    *
+    * Shape: ONE partial+final hash agg over the fact scan (six moments
+    * combine map-side), then scalar math on brand-sized rows. The part
+    * join is key-shuffled, not broadcast — at 100 TB the part table is
+    * fact-sized. */
+  def q65Regression(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_quantity").cast("long").as("x"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("y"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y").cast("decimal(38,0)")) * col("y")).as("syy"))
+      .select(col("p_brand"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("cov_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("vx_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy")
+          .as("vy_n"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"))
+      .select(col("p_brand"), col("n"), col("vx_n"), col("vy_n"),
+        expr("CASE WHEN vx_n = 0 THEN NULL " +
+          "ELSE cov_n * 1000000 div vx_n END").as("slope_ppm"),
+        expr("CASE WHEN vx_n = 0 THEN NULL ELSE " +
+          "(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy) " +
+          "div vx_n END").as("intercept_c"))
+      .select(col("p_brand"), col("n"), col("slope_ppm"), col("intercept_c"),
+        expr("CASE WHEN slope_ppm IS NULL OR vy_n = 0 THEN NULL ELSE " +
+          "(CAST(slope_ppm AS DECIMAL(38,0)) * slope_ppm * vx_n) " +
+          "div (vy_n * 1000000) END").as("r2_ppm"))
+      .orderBy("p_brand")
+  }
+
+  private val q65Sql =
+    """WITH m AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM (
+      |    SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+      |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |  GROUP BY p_brand),
+      |c AS (
+      |  SELECT p_brand, n,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx_n,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy_n,
+      |    sx, sy, sxx, sxy
+      |  FROM m),
+      |sl AS (
+      |  SELECT p_brand, n, vx_n, vy_n,
+      |    CASE WHEN vx_n = 0 THEN NULL
+      |      ELSE cov_n * 1000000 // vx_n END AS slope_ppm,
+      |    CASE WHEN vx_n = 0 THEN NULL ELSE
+      |      (CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy) // vx_n
+      |      END AS intercept_c
+      |  FROM c)
+      |SELECT p_brand, n, CAST(slope_ppm AS BIGINT) AS slope_ppm,
+      |  CAST(intercept_c AS BIGINT) AS intercept_c,
+      |  CAST(CASE WHEN slope_ppm IS NULL OR vy_n = 0 THEN NULL ELSE
+      |    (CAST(slope_ppm AS HUGEINT) * slope_ppm * vx_n)
+      |    // (vy_n * 1000000) END AS BIGINT) AS r2_ppm
+      |FROM sl ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** Gaps-and-islands streaks — consecutive-day activity runs per user
+    * (retention "current streak / longest streak" analytics; the DAU
+    * engagement primitive). q24 sessionizes by time GAPS inside a day;
+    * this is the calendar-day dual: distinct active days collapse into
+    * maximal consecutive runs via the textbook day − row_number()
+    * grouping key. All arithmetic is exact epoch-day integers.
+    *
+    * Shape: events reduce to distinct (user, day) FIRST — one partial-
+    * aggregating exchange shrinks the fact to ≤ users × days rows —
+    * then the run detection is a window + two user-sized aggregates on
+    * that reduced relation. At 100 TB the only fact-sized move is the
+    * dedup shuffle, which partial-aggregates map-side. */
+  def q66Streaks(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    t(s, dir, "events")
+      .select(col("user_id"),
+        // ts is exact integer nanos in Spark (nanosAsLong); one epoch
+        // day = 86 400·10⁹ ns — the twin divides epoch_us by 86 400·10⁶
+        expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("grp",
+        col("day") - row_number().over(byUser).cast("long"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("end_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_days"),
+        sum(col("len")).as("active_days"),
+        max(col("end_day")).as("last_day"))
+      .orderBy("user_id")
+  }
+
+  private val q66Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY day) AS BIGINT) AS grp
+      |  FROM d),
+      |isl AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MAX(day) AS end_day
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_days,
+      |  CAST(SUM(len) AS BIGINT) AS active_days,
+      |  CAST(MAX(end_day) AS BIGINT) AS last_day
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_streaks"         -> q66Streaks _,
+    "q65_regression"      -> q65Regression _,
+    "q64_ewma"            -> q64Ewma _,
     "q63_percentile_cont" -> q63PercentileCont _,
     "q62_event_regex"     -> q62EventRegex _,
     "q61_skyline"         -> q61Skyline _,
@@ -2665,6 +2886,9 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q66_streaks"         -> q66Sql,
+    "q65_regression"      -> q65Sql,
+    "q64_ewma"            -> q64Sql,
     "q63_percentile_cont" -> q63Sql,
     "q62_event_regex"     -> q62Sql,
     "q61_skyline"         -> q61Sql,

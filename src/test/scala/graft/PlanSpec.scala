@@ -470,6 +470,41 @@ class PlanSpec extends SparkSpec {
     assert(ranges <= 1, s"$ranges range exchanges (q51 sort leaked):\n" + p)
   }
 
+  test("q64: the lag chain, latest-row pick and ewma ride ONE user_id " +
+    "exchange") {
+    val p = plan(Relational.q64Ewma(spark, sf))
+      .split("== Initial Plan ==").head
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(hashEx == 1,
+      s"$hashEx user_id exchanges (both windows must share one):\n" + p)
+  }
+
+  test("q65: the six regression moments partial-aggregate map-side") {
+    val p = plan(Relational.q65Regression(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q66: the day dedup partial-aggregates before its shuffle") {
+    val p = plan(Relational.q66Streaks(spark, sf))
+      .split("== Initial Plan ==").head
+    // distinct = HashAggregate(keys=[user_id, day]) on BOTH sides of
+    // its exchange — the fact-sized move is pre-deduped map-side
+    val dedupAggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[user_id") && l.contains("day"))
+    assert(dedupAggs >= 2, s"day-dedup not map-side-combined:\n" + p)
+  }
+
+  test("g09: seeds are a TakeOrdered; rounds probe the persisted " +
+    "weighted edges") {
+    val p = plan(graft.queries.Graph.sssp(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "seed selection global-sorts:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "edge list recomputed per round:\n" + p)
+  }
+
   test("e02: no shuffle carries the document body; the exact novelty " +
     "join keys on the 32 B hash") {
     val p = plan(graft.queries.Pipeline.corpusRefresh(spark, sf))

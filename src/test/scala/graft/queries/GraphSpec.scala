@@ -214,6 +214,43 @@ class GraphSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("g09: frontier Bellman-Ford equals full-relaxation recompute; " +
+      "dist bounded by hops x max weight") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val ord = graft.Tables.t(spark, sf, "orders")
+    val out = Graph.ssspDf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // independent reference: FULL Bellman-Ford (every settled node
+    // relaxes every round) in plain Scala — the oracle's shape
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + Graph.custOffset))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .map { case (s0, d0) => (s0, d0, (s0 + d0) % 97 + 1) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(Graph.bfsSeeds).map(_._1)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.ssspRounds) {
+      val cand = edges.flatMap { case (s0, d0, w) =>
+        dist.get(s0).map(ds => (d0, ds + w))
+      }
+      dist = (dist.toSeq ++ cand).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val want = dist.map { case (n, d) =>
+      (n, d, if (n >= Graph.custOffset) "customer" else "supplier")
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+    // any ≤3-edge path costs at most 3·97; seeds stay at zero
+    out.foreach { case (n, d, _) =>
+      assert(d >= 0 && d <= Graph.ssspRounds * 97L)
+      if (seeds.contains(n)) assert(d === 0L)
+    }
+  }
+
   test("g06: buckets partition the degree range; mass sums to 2|E|") {
     import org.apache.spark.sql.functions.col
     val li = graft.Tables.t(spark, sf, "lineitem")

@@ -468,6 +468,90 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2, r._3)).toSet === want)
   }
 
+  test("q64: ewma matches an in-memory exact recompute; bounds hold") {
+    import graft.Tables.t
+    val out = Relational.q64Ewma(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent reference: the same truncated power-of-two kernel in
+    // plain Scala Long math over the (ts, event_id)-sorted cents
+    val evs = t(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val k = Relational.q64Lags
+    val want = evs.groupBy(_._1).map { case (u, rows) =>
+      val cents = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val tail = cents.takeRight(k).reverse // tail(0) = latest
+      val num = tail.zipWithIndex
+        .map { case (c, j) => c * (1L << (k - 1 - j)) }.sum
+      val den = (1L << k) - (1L << (k - tail.length))
+      (u, cents.length.toLong, cents.last, num / den)
+    }.toSet
+    assert(out.toSet === want)
+    // an average of cents must sit inside the window's [min, max]
+    for ((u, _, _, ewma) <- out) {
+      val cents = evs.filter(_._1 == u).sortBy(r => (r._2, r._3))
+        .map(_._4).takeRight(k)
+      assert(ewma >= cents.min - 1 && ewma <= cents.max)
+    }
+  }
+
+  test("q65: slope/intercept/r2 match BigInt closed forms on raw rows") {
+    import graft.Tables.t
+    import org.apache.spark.sql.functions.col
+    val out = Relational.q65Regression(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val rows = t(spark, sf, "lineitem")
+      .join(t(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("p_brand", "CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (b, g) =>
+      val n = BigInt(g.size)
+      val sx = g.map(r => BigInt(r._2)).sum
+      val sy = g.map(r => BigInt(r._3)).sum
+      val sxy = g.map(r => BigInt(r._2) * r._3).sum
+      val sxx = g.map(r => BigInt(r._2) * r._2).sum
+      val syy = g.map(r => BigInt(r._3) * r._3).sum
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val slope = cov * 1000000 / vx
+      (b, g.size.toLong, slope.toLong,
+        ((sy * sxx - sx * sxy) / vx).toLong,
+        (slope * slope * vx / (vy * 1000000)).toLong)
+    }.toSet
+    assert(out.toSet === want)
+    for ((b, _, _, _, r2) <- out)
+      assert(r2 >= 0L && r2 <= 1000000L, s"$b r2_ppm=$r2 outside [0,1e6]")
+  }
+
+  test("q66: streaks match an in-memory islands recompute") {
+    import graft.Tables.t
+    val out = Relational.q66Streaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val days = t(spark, sf, "events")
+      .selectExpr("user_id", "ts div 86400000000000")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = days.groupBy(_._1).map { case (u, g) =>
+      val ds = g.map(_._2).sorted
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, d) if d == e0 + 1 => (s0, d) :: rest
+        case (acc, d) => (d, d) :: acc
+      }
+      val lens = runs.map { case (s0, e0) => e0 - s0 + 1 }
+      (u, runs.size.toLong, lens.max, lens.sum, ds.last)
+    }.toSet
+    assert(out.toSet === want)
+    // streak algebra: islands partition the active days
+    for ((_, nStreaks, longest, total, _) <- out)
+      assert(nStreaks >= 1 && longest <= total && nStreaks <= total)
+  }
+
   test("q57: fingerprints match an in-memory recompute and detect mutation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
