@@ -691,7 +691,102 @@ object Sampling {
        |    AS thr_dedup
        |FROM base CROSS JOIN mx ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- p13
+  /** p13: variance-weighted sample allocation with largest-remainder
+    * rounding — the survey-design step before a QC sample is drawn:
+    * split a fixed audit budget of [[p13Budget]] draws across sources
+    * proportional to each stratum's total variance N_h·Var(n_chars)
+    * (high-variance strata need more draws for the same estimator
+    * error — the optimal-allocation idea, with the weight kept on the
+    * exact-integer side). p02 stratifies by fixed rate; this computes
+    * the RATES. The integer allocation is exact: base_h = B·w_h div W,
+    * then the B − Σ base leftover goes to the largest remainders
+    * (deterministic tie-break on source) — so Σ alloc = B exactly,
+    * the invariant naive per-stratum rounding violates.
+    *
+    * Exactness: weights come from the q65 moment discipline
+    * (N·Σx² − (Σx)² on DECIMAL(38,0) — a BIGINT x² sum wraps on big
+    * strata), floored to w_h = max(vx div N_h, 1) so zero-variance
+    * strata keep a minimal claim and W > 0 always. Remainders are
+    * compared as exact decimals (B·w − base·W). A float-share
+    * version of this query would re-open the s05 rounding-boundary
+    * class on every remainder tie.
+    *
+    * Scale: ONE corpus-pass moment aggregate (map-side partial);
+    * everything after is |sources|-sized with broadcast one-row
+    * totals; the ranking window is over the strata relation, never
+    * rows (the q47/a05 aggregate-sized-window precedent). */
+  val p13Budget = 10000L
+
+  def varAllocation(s: SparkSession, dir: String): DataFrame =
+    varAllocationDf(t(s, dir, "documents"))
+
+  def varAllocationDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist the one corpus-sized stage (p11's lesson): the totals
+    // aggregate, the allocation relation and the leftover aggregate
+    // all re-derive from here — unpersisted, the documents scan
+    // re-executes 5× (plan-pinned to exactly one scan)
+    val m = docs
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+        sum((col("x").cast("decimal(38,0)")) * col("x")).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        expr("greatest((CAST(n_docs AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx) div n_docs, 1L)").as("w"))
+      .persist()
+    val tot = m.agg(sum(col("w")).as("wsum"))
+    val b = m.crossJoin(broadcast(tot))
+      .withColumn("base",
+        expr(s"CAST($p13Budget AS DECIMAL(38,0)) * w div wsum"))
+      .withColumn("rem",
+        expr(s"CAST($p13Budget AS DECIMAL(38,0)) * w - " +
+          "CAST(base AS DECIMAL(38,0)) * wsum"))
+    val lo = b.agg((lit(p13Budget) - sum(col("base"))).as("leftover"))
+    b.crossJoin(broadcast(lo))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(w div n_docs AS BIGINT)").as("var_est"),
+        col("base"),
+        expr("CASE WHEN rn <= leftover THEN base + 1 ELSE base END")
+          .as("alloc"))
+      .orderBy("source")
+  }
+
+  private val p13Sql =
+    s"""WITH m AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+       |  FROM documents GROUP BY source),
+       |wt AS (
+       |  SELECT source, n_docs,
+       |    greatest((CAST(n_docs AS HUGEINT) * sxx
+       |      - CAST(sx AS HUGEINT) * sx) // n_docs, 1) AS w
+       |  FROM m),
+       |tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS wsum FROM wt),
+       |b AS (
+       |  SELECT source, n_docs, w, wsum,
+       |    CAST($p13Budget AS HUGEINT) * w // wsum AS base,
+       |    CAST($p13Budget AS HUGEINT) * w
+       |      - (CAST($p13Budget AS HUGEINT) * w // wsum) * wsum AS rem
+       |  FROM wt CROSS JOIN tot),
+       |lo AS (
+       |  SELECT $p13Budget - CAST(SUM(base) AS BIGINT) AS leftover FROM b),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+       |    AS BIGINT) AS rn
+       |  FROM b CROSS JOIN lo)
+       |SELECT source, n_docs, CAST(w // n_docs AS BIGINT) AS var_est,
+       |  CAST(base AS BIGINT) AS base,
+       |  CAST(CASE WHEN rn <= leftover THEN base + 1 ELSE base END
+       |    AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_var_allocation"    -> varAllocation _,
     "p12_dedup_aware_mix"   -> dedupAwareMix _,
     "p11_budget_caps"       -> budgetCaps _,
     "p10_curriculum"        -> curriculum _,
@@ -706,6 +801,7 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p13_var_allocation"    -> p13Sql,
     "p12_dedup_aware_mix"   -> p12Sql,
     "p11_budget_caps"       -> p11Sql,
     "p10_curriculum"        -> p10Sql,

@@ -1613,7 +1613,77 @@ object TextOps {
       |    // SUM(n_occ) OVER (PARTITION BY lang) AS BIGINT) AS mass_ppm
       |FROM spec ORDER BY lang, bucket""".stripMargin
 
+  // ------------------------------------------------------------- t28
+  /** t28: Good–Turing frequency adjustment — the smoothing table a
+    * count-based LM or quality scorer actually consumes, built from
+    * t27's count-of-counts idea taken to exact per-r resolution: for
+    * each language and each raw count r ≤ [[gtMaxR]], the number of
+    * token types seen exactly r times (N_r), N_{r+1}, the adjusted
+    * count r* = (r+1)·N_{r+1}/N_r in ppm, and the Good–Turing unseen
+    * mass estimate p₀ = N₁/N in ppm. (Gale & Sampson's simple GT
+    * without smoothing of the N_r themselves — low r only, where N_r
+    * is large and the raw estimator is the textbook one.)
+    *
+    * All integer: counts, count-of-counts, and ppm numerators are
+    * BIGINTs; both divisions are integer div — bit-identical on any
+    * engine. Shape: ONE corpus-pass token count (the t27 exchange),
+    * then everything downstream is vocabulary- then lang-sized; the
+    * N_r ⋈ N_{r+1} self-join and the totals join run on relations of
+    * at most |langs|·max_count rows. */
+  val gtMaxR = 10L
+
+  def goodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringDf(t(s, dir, "documents"))
+
+  def goodTuringDf(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val fof = cnt.groupBy(col("lang"), col("c"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = cnt.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_occ"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+    fof.filter(col("c") <= gtMaxR)
+      .join(broadcast(fof.select(col("lang").as("l2"),
+        col("c").as("c2"), col("n_r").as("n_r1"))),
+        col("lang") === col("l2") && col("c2") === col("c") + 1, "left")
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("c").as("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+        col("n_occ"), col("n1"))
+      .select(col("lang"), col("r"), col("n_r"), col("n_r1"),
+        expr("(r + 1) * n_r1 * 1000000 div n_r").as("rstar_ppm"),
+        expr("n1 * 1000000 div n_occ").as("p0_ppm"))
+      .orderBy("lang", "r")
+  }
+
+  private val goodTuringSql =
+    s"""WITH cnt AS (
+       |  SELECT lang, tok, COUNT(*) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |fof AS (
+       |  SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS n_r
+       |  FROM cnt GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_occ,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM cnt GROUP BY 1)
+       |SELECT a.lang, CAST(a.c AS BIGINT) AS r, a.n_r,
+       |  CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+       |  CAST((a.c + 1) * COALESCE(b.n_r, 0) * 1000000 // a.n_r
+       |    AS BIGINT) AS rstar_ppm,
+       |  CAST(t.n1 * 1000000 // t.n_occ AS BIGINT) AS p0_ppm
+       |FROM fof a
+       |LEFT JOIN fof b ON a.lang = b.lang AND b.c = a.c + 1
+       |JOIN tot t ON a.lang = t.lang
+       |WHERE a.c <= $gtMaxR
+       |ORDER BY a.lang, r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_good_turing" -> goodTuring _,
     "t27_zipf_spectrum" -> zipfSpectrum _,
     "t26_readability" -> readabilityReport _,
     "t25_code_switch" -> codeSwitch _,
@@ -1644,6 +1714,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t28_good_turing" -> goodTuringSql,
     "t27_zipf_spectrum" -> zipfSpectrumSql,
     "t26_readability" -> readabilitySql,
     "t25_code_switch" -> codeSwitchSql,

@@ -505,6 +505,25 @@ class PlanSpec extends SparkSpec {
       "edge list recomputed per round:\n" + p)
   }
 
+  test("t28: the token count partial-aggregates; GT joins broadcast") {
+    val p = plan(graft.queries.TextOps.goodTuring(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("p13: one corpus moment pass; totals broadcast; ranking window " +
+    "is strata-sized") {
+    val p = plan(graft.queries.Sampling.varAllocation(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the corpus is scanned ONCE into the persisted moment relation —
+    // every later stage re-reads the strata-sized cache (each
+    // InMemoryTableScan PRINTS the cached subtree, so counting
+    // "Scan parquet" lines overcounts; the cache nodes are the pin)
+    assert(p.contains("InMemoryTableScan"),
+      "moment relation not persisted — corpus re-scans per stage:\n" + p)
+  }
+
   test("e02: no shuffle carries the document body; the exact novelty " +
     "join keys on the 32 B hash") {
     val p = plan(graft.queries.Pipeline.corpusRefresh(spark, sf))

@@ -119,4 +119,14 @@ class EmptyInputSpec extends SparkSpec {
     // a10: empty fact → no leaf sketches, so every level joins empty
     assert(Sketches.sketchRollupDf(noLi).count() === 0)
   }
+
+  test("round-7 ops yield zero rows on empty input") {
+    val noFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    assert(TextOps.goodTuringDf(noFull).count() === 0)
+    assert(Sampling.varAllocationDf(noFull).count() === 0)
+    assert(Graph.ssspDf(noLi, noOrd).count() === 0)
+  }
 }

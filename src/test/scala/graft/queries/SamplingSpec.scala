@@ -145,6 +145,39 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("p13: allocation matches a BigInt recompute and sums exactly " +
+      "to the budget") {
+    import graft.Tables.t
+    val out = Sampling.varAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val rows = t(spark, sf, "documents")
+      .selectExpr("source", "CAST(n_chars AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b = BigInt(Sampling.p13Budget)
+    val ws = rows.groupBy(_._1).map { case (src, g) =>
+      val n = BigInt(g.size)
+      val sx = g.map(r => BigInt(r._2)).sum
+      val sxx = g.map(r => BigInt(r._2) * r._2).sum
+      val w = ((n * sxx - sx * sx) / n).max(BigInt(1))
+      (src, n, w)
+    }.toSeq
+    val wsum = ws.map(_._3).sum
+    val based = ws.map { case (src, n, w) =>
+      (src, n, w, b * w / wsum, b * w - (b * w / wsum) * wsum)
+    }
+    val leftover = (b - based.map(_._4).sum).toLong
+    val ranked = based.sortBy { case (src, _, _, _, rem) => (-rem, src) }
+      .zipWithIndex
+    val want = ranked.map { case ((src, n, w, base, _), i) =>
+      val alloc = if (i < leftover) base + 1 else base
+      (src, n.toLong, (w / n).toLong, base.toLong, alloc.toLong)
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.map(_._5).sum === Sampling.p13Budget,
+      "largest-remainder allocation must sum exactly to the budget")
+  }
+
   test("p12: survivors + thresholds match an in-memory d01 recompute; " +
       "duplicated sources deflate") {
     import graft.Tables.t

@@ -16,6 +16,40 @@ class TextOpsSpec extends SparkSpec {
     assert(viaExe.nonEmpty)
   }
 
+  test("t28: Good–Turing table matches an exact recompute on a " +
+      "constructed corpus") {
+    val docs = Seq(
+      (0L, "a a a a b b c d", "en", "web", 8L),
+      (1L, "a a b c c c e", "en", "web", 7L),
+      (2L, "x y z x", "de", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.goodTuringDf(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // exact recompute: counts → count-of-counts → GT formulas
+    val toks = Seq("en" -> "a a a a b b c d", "en" -> "a a b c c c e",
+      "de" -> "x y z x")
+      .flatMap { case (l, t) => t.split(" ").map(l -> _) }
+    val freq = toks.groupBy(identity).toSeq.map { case ((l, _), o) =>
+      (l, o.size.toLong) }
+    val want = freq.groupBy(_._1).flatMap { case (lang, fs) =>
+      val fof = fs.groupBy(_._2).map { case (r, g) => r -> g.size.toLong }
+      val n = fs.map(_._2).sum
+      val n1 = fof.getOrElse(1L, 0L)
+      fof.filter(_._1 <= TextOps.gtMaxR).map { case (r, nr) =>
+        val nr1 = fof.getOrElse(r + 1, 0L)
+        (lang, r, nr, nr1, (r + 1) * nr1 * 1000000L / nr,
+          n1 * 1000000L / n)
+      }
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+    // GT sanity: total adjusted mass of seen types never exceeds raw
+    for ((lang, r, nr, _, rstarPpm, p0) <- out) {
+      assert(rstarPpm >= 0 && p0 >= 0 && p0 <= 1000000L)
+      assert(nr >= 1)
+    }
+  }
+
   test("t27: spectrum buckets partition the frequency range; mass and " +
       "ppm add up") {
     val docs = Seq(
