@@ -740,7 +740,11 @@ object Graph {
     commonNeighborsDf(t(s, dir, "lineitem"))
 
   def commonNeighborsDf(lineitem: DataFrame): DataFrame = {
-    val pairs = coPairsDf(lineitem)
+    // persist the quadratic co-pair expansion: the degree aggregate
+    // and the center-filtered edge list BOTH read `und`, so without
+    // this the per-order pair join executes twice (measured ~2× the
+    // pair-generation cost at sf0.1)
+    val pairs = coPairsDf(lineitem).persist()
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = und.groupBy(col("dst")).agg(count(lit(1)).as("d"))
