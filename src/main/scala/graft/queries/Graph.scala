@@ -161,9 +161,18 @@ object Graph {
     * callers that consume it more than once persist it themselves. */
   private[graft] def orientedEdgesDf(lineitem: DataFrame): DataFrame = {
     val edges = coPairsDf(lineitem)
-    val deg = edges.select(col("a").as("n"))
+    orientedFromEdgesDf(edges, undirectedDegreesDf(edges))
+  }
+
+  /** Undirected degree (= #distinct co-purchase neighbors) from the
+    * canonical distinct pair list — shared by the orientation rule and
+    * g10's clustering-coefficient denominator. */
+  private[graft] def undirectedDegreesDf(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  private def orientedFromEdgesDf(edges: DataFrame, deg: DataFrame): DataFrame = {
     val da = deg.select(col("n").as("na"), col("d").as("dega"))
     val db = deg.select(col("n").as("nb"), col("d").as("degb"))
     // ties break toward (a,b), which is already canonical (a < b)
@@ -175,8 +184,18 @@ object Graph {
   }
 
   def trianglesDf(lineitem: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
     val oriented = orientedEdgesDf(lineitem).persist()
+    nodeTriangleCountsDf(oriented)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(triTopN)
+  }
+
+  /** Per-node triangle participation counts from a PERSISTED oriented
+    * edge list (the caller persists — the relation is consumed three
+    * times: both wedge sides + the closing probe). Shared by g02's
+    * top-N and g10's clustering coefficient. */
+  private[graft] def nodeTriangleCountsDf(oriented: DataFrame): DataFrame = {
+    val spark = oriented.sparkSession
     // wedge enumeration stays a STREAMED self-join on u: an array
     // expansion (collect_set per center + O(deg²) pair array, the
     // coPairsDf trick) was measured 9× SLOWER here (82 s vs 9 s at
@@ -229,8 +248,6 @@ object Graph {
       .select(col("u"), col("v"), col("w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node"))
-      .limit(triTopN)
   }
 
   /** DuckDB twin: identical orientation rule and wedge-close join.
@@ -238,30 +255,83 @@ object Graph {
     * three times (both wedge sides + the closing probe) and each inline
     * copy re-runs the lineitem self-join + DISTINCT — disk-exhausted at
     * sf1 before the hint. */
+  /** Shared DuckDB CTE core: canonical pairs → degrees → oriented edges
+    * → triangles → per-node corner counts. Composed into the g02 and
+    * g10 twins (one definition — a drifted copy would fail both). */
+  private val triCoreCtes =
+    """pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS MATERIALIZED (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
+      |  GROUP BY n),
+      |o AS MATERIALIZED (
+      |  SELECT CASE WHEN da.d <= db.d THEN a ELSE b END AS u,
+      |         CASE WHEN da.d <= db.d THEN b ELSE a END AS v
+      |  FROM pairs JOIN deg da ON pairs.a = da.n
+      |             JOIN deg db ON pairs.b = db.n),
+      |tri AS (
+      |  SELECT o1.u, o1.v, o2.v AS w
+      |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v
+      |  JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
+      |corners AS (
+      |  SELECT u AS node FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri),
+      |tcnt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node)"""
+      .stripMargin
+
   private val trianglesSql =
-    s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |deg AS MATERIALIZED (
-       |  SELECT n, COUNT(*) AS d FROM (
-       |    SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
-       |  GROUP BY n),
-       |o AS MATERIALIZED (
-       |  SELECT CASE WHEN da.d <= db.d THEN a ELSE b END AS u,
-       |         CASE WHEN da.d <= db.d THEN b ELSE a END AS v
-       |  FROM pairs JOIN deg da ON pairs.a = da.n
-       |             JOIN deg db ON pairs.b = db.n),
-       |tri AS (
-       |  SELECT o1.u, o1.v, o2.v AS w
-       |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v
-       |  JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
-       |corners AS (
-       |  SELECT u AS node FROM tri
-       |  UNION ALL SELECT v FROM tri
-       |  UNION ALL SELECT w FROM tri)
-       |SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
+    s"""WITH $triCoreCtes
+       |SELECT node, n_tri FROM tcnt
        |ORDER BY n_tri DESC, node LIMIT $triTopN""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  /** g10: local clustering coefficient — per-node `2·tri / (d·(d−1))`
+    * over the co-purchase graph (the community-density score under
+    * recommender "tight cluster" detection; the per-node refinement of
+    * g02's raw triangle counts). The ratio is exact integer ppm
+    * (`n_tri·2·10⁶ div d(d−1)`), so no float division touches the
+    * output, and ties order by (coeff, n_tri, node) — fully
+    * deterministic.
+    *
+    * Shape: g02's degree-oriented triangle core verbatim (persisted
+    * oriented edges, Bloom-pruned wedge stream) plus one LEFT join of
+    * the node-sized degree relation against the node-sized triangle
+    * counts — nothing new moves at fact scale, and both node relations
+    * key-shuffle on node id (at 10⁹ nodes neither side broadcasts). */
+  val ccTopN = 50
+
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeffDf(t(s, dir, "lineitem"))
+
+  def clusteringCoeffDf(lineitem: DataFrame): DataFrame = {
+    val edges = coPairsDf(lineitem).persist()
+    val deg = undirectedDegreesDf(edges)
+    val oriented = orientedFromEdgesDf(edges, deg).persist()
+    val tcnt = nodeTriangleCountsDf(oriented)
+    deg.filter(col("d") >= 2)
+      .join(tcnt, col("n") === col("node"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        expr("n_tri * 2000000 div (degree * (degree - 1))"))
+      .orderBy(col("coeff_ppm").desc, col("n_tri").desc, col("node"))
+      .limit(ccTopN)
+  }
+
+  private val clusteringCoeffSql =
+    s"""WITH $triCoreCtes
+       |SELECT n AS node, CAST(d AS BIGINT) AS degree,
+       |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(COALESCE(t.n_tri, 0) * 2000000 // (d * (d - 1))
+       |    AS BIGINT) AS coeff_ppm
+       |FROM deg LEFT JOIN tcnt t ON deg.n = t.node
+       |WHERE d >= 2
+       |ORDER BY coeff_ppm DESC, n_tri DESC, node LIMIT $ccTopN""".stripMargin
 
   // ------------------------------------------------------------------
 
@@ -893,6 +963,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_clustering" -> clusteringCoeff _,
     "g09_sssp" -> sssp _,
     "g08_common_neighbors" -> commonNeighbors _,
     "g07_label_prop" -> labelProp _,
@@ -904,6 +975,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g10_clustering" -> clusteringCoeffSql,
     "g09_sssp" -> ssspSql,
     "g08_common_neighbors" -> commonNeighborsSql,
     "g07_label_prop" -> labelPropSql,

@@ -2816,8 +2816,117 @@ object Relational {
       |  CAST(MAX(end_day) AS BIGINT) AS last_day
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** First-order Markov transition matrix over per-user event streams —
+    * the behavioral-model primitive (next-action prediction features,
+    * funnel leak analysis) that q54's fixed funnel cannot express: ALL
+    * type→type transition probabilities at once. Probabilities are
+    * exact integer ppm (`n·10⁶ div row_total`), so no float ever
+    * touches the output.
+    *
+    * Shape: ONE user-partitioned sort produces every adjacent pair via
+    * `lag` (no self-join of the fact against itself shifted — the
+    * classic quadratic trap), then the transition counts hash-aggregate
+    * partial/final down to |types|² rows; the per-prev totals are a
+    * window over that tiny matrix, never over events. At 100 TB the
+    * only fact-sized move is the one user_id exchange. */
+  def q67Markov(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div row_total").as("ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val q67Sql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |m AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type)
+      |    AS BIGINT) AS ppm
+      |FROM m ORDER BY prev_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Exact k-sigma outlier profile per event type — the data-quality
+    * screen (fraud/telemetry anomaly counts) done WITHOUT a float
+    * z-score: `|x − μ| > k·σ` is decided by the cross-multiplied
+    * integer test `(n·x − Σ)² > k²·(n·Σx² − Σ²)` (both sides exact —
+    * multiply the float inequality through by n²), so the discrete
+    * choice never touches a sqrt or a division, per the gate's
+    * no-float-choice rule. Squares overflow BIGINT past ~10⁵ rows per
+    * group (n·x ~ 2·10¹⁰ at sf1), so both engines compute them in
+    * 38-digit integer arithmetic (DECIMAL(38,0) / HUGEINT — the q65
+    * moment pattern), good to ~10¹⁴ rows per group at observed cents.
+    *
+    * Shape: the standard exact two-pass profile — one partial/final
+    * hash agg for the moments (|types| rows), broadcast back into a
+    * second fact scan for the flag-and-count. Both passes combine
+    * map-side; nothing wider than (type, cents) ever shuffles. */
+  val q68K = 3
+  def q68Outliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), cents.as("cents"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum((col("cents").cast("decimal(38,0)")) * col("cents")).as("ss"))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("dev_n",
+        expr("CAST(n AS DECIMAL(38,0)) * cents - CAST(s AS DECIMAL(38,0))"))
+      .withColumn("is_out",
+        expr(s"CASE WHEN dev_n * dev_n > ${q68K * q68K} * " +
+          "(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s) " +
+          "THEN 1 ELSE 0 END"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("is_out")).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        col("n_outliers").cast("long").as("n_outliers"),
+        expr("CAST(n_outliers * 1000000 div n AS BIGINT)").as("outlier_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val q68Sql =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cents) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+       |  FROM ev GROUP BY 1),
+       |f AS (
+       |  SELECT ev.event_type, m.n,
+       |    CASE WHEN (CAST(m.n AS HUGEINT) * ev.cents - m.s)
+       |           * (CAST(m.n AS HUGEINT) * ev.cents - m.s)
+       |         > ${q68K * q68K} * (CAST(m.n AS HUGEINT) * m.ss
+       |           - CAST(m.s AS HUGEINT) * m.s)
+       |      THEN 1 ELSE 0 END AS is_out
+       |  FROM ev JOIN m ON ev.event_type = m.event_type)
+       |SELECT event_type, MAX(n) AS n,
+       |  CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       |  CAST(SUM(is_out) * 1000000 // MAX(n) AS BIGINT) AS outlier_ppm
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_outliers"        -> q68Outliers _,
+    "q67_markov"          -> q67Markov _,
     "q66_streaks"         -> q66Streaks _,
     "q65_regression"      -> q65Regression _,
     "q64_ewma"            -> q64Ewma _,
@@ -2886,6 +2995,8 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q68_outliers"        -> q68Sql,
+    "q67_markov"          -> q67Sql,
     "q66_streaks"         -> q66Sql,
     "q65_regression"      -> q65Sql,
     "q64_ewma"            -> q64Sql,

@@ -1027,8 +1027,74 @@ object Similarity {
        |FROM sel$mmrK ORDER BY query_id, pick_rank""".stripMargin
   }
 
+  // ------------------------------------------- filtered (hybrid) search
+  /** s12: metadata-FILTERED exact top-k — "nearest neighbors with the
+    * same label" (the hybrid vector + structured-predicate search every
+    * production vector store ships: RAG with tenant/language/source
+    * filters). The pre-filter is the point: the label predicate becomes
+    * an equi-join KEY, so Catalyst plans a HASH join probing only the
+    * ~N/|labels| same-label candidates per query — versus s01's
+    * broadcast nested loop over all N — and the distance math runs
+    * AFTER the filter (pre-filtering). Post-filtering an unfiltered
+    * ANN result (the naive composition) under-fills k whenever the
+    * filter is selective; this is the correct-k shape.
+    *
+    * Scoring is s01's exact fold + ROUND(…, 4) — bit-portable — and at
+    * 100 TB the same plan holds with the corpus label-bucketed so the
+    * probe side is partition-pruned to the filter value. */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame =
+    filteredTopKDf(t(s, dir, "embeddings"))
+
+  def filteredTopKDf(embs: DataFrame): DataFrame = {
+    val e = embs
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+    val queries = e.filter(isQuery)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    queries.as("q")
+      .join(e.as("c"),
+        col("q.label") === col("c.label") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("q.label").as("label"),
+        col("c.vec_id").as("neighbor_id"), cosCol.as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val filteredSql =
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |d AS (
+       |  SELECT q.vec_id AS query_id, q.label AS label,
+       |    c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+       |  FROM x q JOIN x c ON q.i = c.i AND q.label = c.label
+       |    AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT query_id, label, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nc.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON query_id = nq.vec_id
+       |         JOIN n nc ON neighbor_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT query_id, label, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, label, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_filtered_ann"    -> filteredTopK _,
     "s11_refine_rerank"   -> refineTopK _,
     "s10_mmr_diversify"   -> mmrDiversify _,
     "s08_embedding_quantize" -> embeddingQuantize _,
@@ -1042,6 +1108,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s12_filtered_ann"    -> filteredSql,
     "s11_refine_rerank"   -> refineSql,
     "s10_mmr_diversify"   -> mmrSql,
     "s08_embedding_quantize" -> quantizeSql,

@@ -195,6 +195,65 @@ object Sketches {
        |ORDER BY e.l_returnflag, e.rk""".stripMargin
   }
 
+  /** a12: count-min estimation-error audit — the d15/s09 pattern applied
+    * to the CMS: for EVERY (flag, supplier) key, the sketch's point
+    * estimate is compared against the exact count, and the per-flag
+    * error profile (keys, exact hits, max/total overestimate, mean
+    * error in millionths per key) ships as an oracle-checked relation.
+    * CMS never underestimates, so `err = est − exact ≥ 0` and every
+    * output cell is an exact BIGINT — the sketch's quality is a
+    * DIFFABLE measurement, not a doc claim.
+    *
+    * Scale: the exact side is one partial-agged (flag, key) count; the
+    * sketch side is the same 8 KB-per-group agg a04 ships, broadcast
+    * back onto the key-sized relation. At 100 TB the audit runs on a
+    * sampled key set; the shape is unchanged. */
+  def cmsErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableCountMin
+    val li = t(s, dir, "lineitem")
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(PortableCountMin.portableCms(col("l_suppkey").cast("string"))
+        .as("sketch"))
+    li.groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .join(broadcast(sk), "l_returnflag")
+      .withColumn("err",
+        PortableCountMin.estimate(col("sketch"),
+          col("l_suppkey").cast("string")) - col("exact_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("err") === 0, 1L).otherwise(0L)).as("n_exact"),
+        max(col("err")).as("max_err"),
+        sum(col("err")).as("sum_err"))
+      .select(col("l_returnflag"), col("n_keys"), col("n_exact"),
+        col("max_err"), col("sum_err"),
+        expr("sum_err * 1000000 div n_keys").as("mean_err_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  private val cmsErrorAuditSql = {
+    val bucketOf = cmsBucketOf _
+    s"""WITH $cmsGridCtes,
+       |exact AS (
+       |  SELECT l_returnflag, l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |est AS (
+       |  SELECT e.l_returnflag, e.l_suppkey, e.exact_cnt,
+       |    CAST(MIN(c.c) AS BIGINT) AS cms_est
+       |  FROM exact e JOIN counters c
+       |    ON c.l_returnflag = e.l_returnflag
+       |   AND c.bucket = ${bucketOf("CAST(c.d AS VARCHAR)", "CAST(e.l_suppkey AS VARCHAR)")}
+       |  GROUP BY 1, 2, 3)
+       |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CASE WHEN cms_est = exact_cnt THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact,
+       |  CAST(MAX(cms_est - exact_cnt) AS BIGINT) AS max_err,
+       |  CAST(SUM(cms_est - exact_cnt) AS BIGINT) AS sum_err,
+       |  CAST(SUM(cms_est - exact_cnt) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS mean_err_ppm
+       |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** a05: portable histogram quantiles — the engine-portable answer to
     * a02's native (rows-only) quantile sketch: a fixed
     * [[histBuckets]]-cell equi-width histogram per order status, with
@@ -721,6 +780,7 @@ object Sketches {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_cms_error_audit" -> cmsErrorAudit _,
     "a11_cms_rollup" -> cmsRollup _,
     "a10_sketch_rollup" -> sketchRollup _,
     "a01_hll_distinct" -> hllDistinct _,
@@ -735,6 +795,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a12_cms_error_audit" -> cmsErrorAuditSql,
     "a11_cms_rollup" -> cmsRollupSql,
     "a10_sketch_rollup" -> sketchRollupSql,
     "a03_portable_hll" -> portableHllSql,

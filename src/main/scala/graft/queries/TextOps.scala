@@ -1682,7 +1682,76 @@ object TextOps {
        |WHERE a.c <= $gtMaxR
        |ORDER BY a.lang, r""".stripMargin
 
+  // ------------------------------------------------------------- t29
+  /** Per-source boilerplate/template detection — the shared-shingle
+    * screen (CCNet/RefinedWeb-style: navigation chrome, license
+    * blocks, SEO footers repeat across a crawl source and must be
+    * found BEFORE dedup, which only removes whole near-duplicate
+    * docs). A bigram shingle is boilerplate for a source when it
+    * appears in ≥ 20 % of that source's documents — the threshold is
+    * the exact integer rule `df·5 ≥ n_docs`, so it scales with the
+    * source and never touches a float. Reported: the top
+    * [[bpTopN]] offenders per source by (df, shingle) with an exact
+    * ppm document-frequency.
+    *
+    * Shape: per-doc DISTINCT shingles explode map-side (array ops in
+    * one projection over the scan — the t13 pattern), then ONE
+    * partial/final hash agg on (source, shingle); the per-source doc
+    * totals are a broadcast source-sized dim, and the top-N window
+    * partitions by source over the already-thresholded survivors. At
+    * 100 TB nothing but the (source, shingle) counts ever shuffles,
+    * and those combine map-side. */
+  val bpTopN = 5
+
+  def boilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateDf(t(s, dir, "documents"))
+
+  def boilerplateDf(docs: DataFrame): DataFrame = {
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 1)),
+           i -> concat_ws(' ', slice(toks, i, 2)))"""))).as("shingle"))
+    sh.groupBy(col("source"), col("shingle")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), "source")
+      .filter(col("df") * 5 >= col("n_docs"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("df").desc, col("shingle"))).cast("long"))
+      .filter(col("rk") <= bpTopN)
+      .select(col("source"), col("rk"), col("shingle"), col("df"),
+        expr("df * 1000000 div n_docs").as("doc_ppm"))
+      .orderBy("source", "rk")
+  }
+
+  private val boilerplateSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |nd AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY source),
+       |sh AS (
+       |  SELECT source, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - 1, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS shingle
+       |  FROM d),
+       |df AS (
+       |  SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM sh GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT df.source, shingle, df, n_docs,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY df.source
+       |      ORDER BY df DESC, shingle) AS BIGINT) AS rk
+       |  FROM df JOIN nd ON df.source = nd.source
+       |  WHERE df * 5 >= n_docs)
+       |SELECT source, rk, shingle, df,
+       |  CAST(df * 1000000 // n_docs AS BIGINT) AS doc_ppm
+       |FROM fl WHERE rk <= $bpTopN ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_boilerplate" -> boilerplate _,
     "t28_good_turing" -> goodTuring _,
     "t27_zipf_spectrum" -> zipfSpectrum _,
     "t26_readability" -> readabilityReport _,
@@ -1714,6 +1783,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t29_boilerplate" -> boilerplateSql,
     "t28_good_turing" -> goodTuringSql,
     "t27_zipf_spectrum" -> zipfSpectrumSql,
     "t26_readability" -> readabilitySql,

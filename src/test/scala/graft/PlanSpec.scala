@@ -536,4 +536,53 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("q67: exactly one exchange carries user_id (lag + matrix agg " +
+    "share nothing fact-sized after it)") {
+    val p = plan(Relational.q67Markov(spark, sf))
+      .split("== Initial Plan ==").head
+    val userEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userEx == 1, s"$userEx user_id exchanges:\n" + p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q68: the moment pass partial-aggregates; moments broadcast " +
+    "back into the flag pass") {
+    val p = plan(Relational.q68Outliers(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("t29: shingle df partial-aggregates; doc totals broadcast") {
+    val p = plan(graft.queries.TextOps.boilerplate(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("s12: the label filter is a hash-join KEY, not a post-filter " +
+    "on a nested loop") {
+    val p = plan(Similarity.filteredTopKDf(
+      graft.Tables.t(spark, sf, "embeddings")))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "label predicate did not become a join key:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "s12 planned the unfiltered nested loop:\n" + p)
+  }
+
+  test("g10: reuses the persisted triangle core (no second pair " +
+    "expansion) and the coefficient join is node-keyed") {
+    val p = plan(graft.queries.Graph.clusteringCoeff(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "oriented edges recomputed:\n" + p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("a12: the sketch aggregates once and broadcasts onto the " +
+    "key-sized exact relation") {
+    val p = plan(graft.queries.Sketches.cmsErrorAudit(spark, sf))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -268,4 +268,37 @@ class GraphSpec extends SparkSpec {
       .select(col("l_suppkey"), col("o_custkey")).distinct().count()
     assert(out.map(_._6).sum === 2 * edges, "degree mass != 2|E|")
   }
+
+  test("g10: clustering coefficients match an in-memory recompute") {
+    val out = Graph.clusteringCoeffDf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // in-memory: distinct co-purchase pairs → adjacency → per-node
+    // neighbor-pair closure
+    val rows = li.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((_, ps) <- rows.groupBy(_._1)) {
+      val s0 = ps.map(_._2).distinct.sorted
+      for (i <- s0.indices; j <- i + 1 until s0.length) {
+        adj(s0(i)) += s0(j); adj(s0(j)) += s0(i)
+      }
+    }
+    val scored = adj.toSeq.filter(_._2.size >= 2).map { case (n0, nb) =>
+      val d = nb.size.toLong
+      val nbs = nb.toSeq.sorted
+      val tri = (for {
+        i <- nbs.indices; j <- i + 1 until nbs.length
+        if adj(nbs(i)).contains(nbs(j))
+      } yield 1).size.toLong
+      (n0, d, tri, tri * 2000000L / (d * (d - 1)))
+    }
+    val want = scored.sortBy { case (n0, _, tri, c) => (-c, -tri, n0) }
+      .take(Graph.ccTopN)
+      .map { case (n0, d, tri, c) => (n0, d, tri, c) }
+    assert(out.toSeq === want)
+    assert(out.nonEmpty)
+    // coefficient is a ppm fraction: 0 ≤ c ≤ 1e6
+    assert(out.forall { case (_, _, _, c) => c >= 0L && c <= 1000000L })
+  }
 }

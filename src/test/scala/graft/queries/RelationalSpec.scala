@@ -575,4 +575,47 @@ class RelationalSpec extends SparkSpec {
       }.reduce(_ ^ _)
     assert(mutated !== wantSig)
   }
+
+  test("q67: transition matrix matches an in-memory recompute; " +
+      "ppm rows are floor-exact") {
+    import graft.Tables.t
+    val out = Relational.q67Markov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = t(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.tail)
+    }
+    val counts = trans.groupBy(identity).map { case (k, xs) =>
+      (k._1, k._2, xs.size.toLong) }
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = counts.map { case (p, nx, c) =>
+      (p, nx, c, c * 1000000L / totals(p)) }.toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+  }
+
+  test("q68: outlier counts match an exact BigInt recompute") {
+    import graft.Tables.t
+    val out = Relational.q68Outliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = t(spark, sf, "events").selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k2 = Relational.q68K * Relational.q68K
+    val want = ev.groupBy(_._1).map { case (ty, g) =>
+      val n = BigInt(g.length)
+      val s0 = g.map(e => BigInt(e._2)).sum
+      val ss = g.map(e => BigInt(e._2) * e._2).sum
+      val nOut = g.count { e =>
+        val dev = n * e._2 - s0
+        dev * dev > k2 * (n * ss - s0 * s0)
+      }
+      (ty, g.length.toLong, nOut.toLong, (BigInt(nOut) * 1000000 / n).toLong)
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+  }
 }

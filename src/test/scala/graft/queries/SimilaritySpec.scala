@@ -212,4 +212,33 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._3).distinct.length === rows.length)
     }
   }
+
+  test("s12: filtered top-k stays inside the label partition and " +
+      "matches an in-memory recompute") {
+    val out = Similarity.filteredTopKDf(clustered)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    // mirror the engine's sequential fold order exactly
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+      BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = Seq(0L, 50L, 100L, 150L).flatMap { q =>
+      val lbl = q / 50
+      (lbl * 50 until (lbl + 1) * 50).map(_.toLong).filter(_ != q)
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s0) => (-s0, c) }.take(Similarity.topK)
+        .zipWithIndex
+        .map { case ((c, s0), i) => (q, lbl, c, s0, (i + 1).toLong) }
+    }.toSet
+    assert(out.toSet === want)
+    // the filter is honored: every neighbor shares the query's label
+    assert(out.forall { case (q, lbl, n0, _, _) =>
+      q / 50 == lbl && n0 / 50 == lbl })
+  }
 }

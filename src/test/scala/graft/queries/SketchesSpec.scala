@@ -195,4 +195,24 @@ class SketchesSpec extends SparkSpec {
     assert(tot._4 === li.count())
     assert(out.filter(_._1 == 1L).map(_._4).sum === li.count())
   }
+
+  test("a12: CMS audit — key counts exact, errors non-negative, " +
+      "mean floor-exact") {
+    import graft.Tables.t
+    val out = Sketches.cmsErrorAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val exactKeys = t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_suppkey").distinct().collect()
+      .map(_.getString(0)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    for ((flag, nKeys, nExact, maxErr, sumErr, meanPpm) <- out) {
+      assert(nKeys === exactKeys(flag), s"$flag key count")
+      // CMS never underestimates: every per-key error ≥ 0
+      assert(maxErr >= 0L && sumErr >= 0L && sumErr >= maxErr)
+      assert(nExact >= 0L && nExact <= nKeys)
+      assert(meanPpm === sumErr * 1000000L / nKeys)
+    }
+  }
 }

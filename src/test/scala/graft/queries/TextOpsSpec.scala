@@ -374,4 +374,38 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(vocab === Seq(("ab", 4L, 1L)))
   }
+
+  test("t29: boilerplate shingles match an in-memory recompute on a " +
+      "constructed corpus") {
+    // src A: 4 of 5 docs share the planted template bigram "buy now"
+    // (df·5 ≥ n_docs ⇔ df ≥ 1 at n=5... threshold is 20% so df ≥ 1);
+    // build n=10 docs so the threshold bites at df ≥ 2
+    val docs = ((0 until 10).map { i =>
+      val planted = if (i < 4) "buy now " else ""
+      (i.toLong, s"${planted}unique$i word$i tail$i", "en", "A", 0L)
+    } ++ (0 until 10).map { i =>
+      (100L + i, s"other$i text$i", "en", "B", 0L)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.boilerplateDf(docs)
+      .as[(String, Long, String, Long, Long)].collect()
+    // recompute: per-source distinct bigrams per doc, df counts,
+    // threshold df*5 >= n_docs, top-5 by (df desc, shingle)
+    val rows = docs.select("source", "text").as[(String, String)].collect()
+    val nDocs = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      val dfs = g.flatMap { case (_, text) =>
+        val toks = text.split(" ")
+        val n = math.max(toks.length - 1, 1)
+        (1 to n).map(i => toks.slice(i - 1, i + 1).mkString(" ")).distinct
+      }.groupBy(identity).map { case (sh, xs) => (sh, xs.length.toLong) }
+      dfs.toSeq.filter { case (_, df) => df * 5 >= nDocs(src) }
+        .sortBy { case (sh, df) => (-df, sh) }.take(TextOps.bpTopN)
+        .zipWithIndex.map { case ((sh, df), i) =>
+          (src, (i + 1).toLong, sh, df, df * 1000000L / nDocs(src)) }
+    }.toSet
+    assert(out.toSet === want)
+    // the planted template is the top offender for source A
+    assert(out.exists { case (s0, rk, sh, df, _) =>
+      s0 == "A" && rk == 1L && sh == "buy now" && df == 4L })
+  }
 }
