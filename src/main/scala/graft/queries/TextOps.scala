@@ -1691,8 +1691,12 @@ object TextOps {
     * appears in ≥ 20 % of that source's documents — the threshold is
     * the exact integer rule `df·5 ≥ n_docs`, so it scales with the
     * source and never touches a float. Reported: the top
-    * [[bpTopN]] offenders per source by (df, shingle) with an exact
-    * ppm document-frequency.
+    * [[bpTopN]] most-shared shingles per source by (df, shingle) with
+    * an exact ppm document-frequency and the threshold verdict as a
+    * computed flag — the flag, not a filter, so the report is
+    * non-empty at every corpus scale (this synthetic corpus has no
+    * true boilerplate above 20 % beyond sf0.01; a production crawl
+    * does, and the flag is the decision either way).
     *
     * Shape: per-doc DISTINCT shingles explode map-side (array ops in
     * one projection over the scan — the t13 pattern), then ONE
@@ -1715,13 +1719,14 @@ object TextOps {
            i -> concat_ws(' ', slice(toks, i, 2)))"""))).as("shingle"))
     sh.groupBy(col("source"), col("shingle")).agg(count(lit(1)).as("df"))
       .join(broadcast(nd), "source")
-      .filter(col("df") * 5 >= col("n_docs"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("df").desc, col("shingle"))).cast("long"))
       .filter(col("rk") <= bpTopN)
       .select(col("source"), col("rk"), col("shingle"), col("df"),
-        expr("df * 1000000 div n_docs").as("doc_ppm"))
+        expr("df * 1000000 div n_docs").as("doc_ppm"),
+        expr("CAST(CASE WHEN df * 5 >= n_docs THEN 1 ELSE 0 END AS BIGINT)")
+          .as("is_boilerplate"))
       .orderBy("source", "rk")
   }
 
@@ -1744,10 +1749,11 @@ object TextOps {
        |  SELECT df.source, shingle, df, n_docs,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY df.source
        |      ORDER BY df DESC, shingle) AS BIGINT) AS rk
-       |  FROM df JOIN nd ON df.source = nd.source
-       |  WHERE df * 5 >= n_docs)
+       |  FROM df JOIN nd ON df.source = nd.source)
        |SELECT source, rk, shingle, df,
-       |  CAST(df * 1000000 // n_docs AS BIGINT) AS doc_ppm
+       |  CAST(df * 1000000 // n_docs AS BIGINT) AS doc_ppm,
+       |  CAST(CASE WHEN df * 5 >= n_docs THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_boilerplate
        |FROM fl WHERE rk <= $bpTopN ORDER BY source, rk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -387,9 +387,9 @@ class TextOpsSpec extends SparkSpec {
       (100L + i, s"other$i text$i", "en", "B", 0L)
     }).toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextOps.boilerplateDf(docs)
-      .as[(String, Long, String, Long, Long)].collect()
+      .as[(String, Long, String, Long, Long, Long)].collect()
     // recompute: per-source distinct bigrams per doc, df counts,
-    // threshold df*5 >= n_docs, top-5 by (df desc, shingle)
+    // top-5 by (df desc, shingle), threshold df*5 >= n_docs as a flag
     val rows = docs.select("source", "text").as[(String, String)].collect()
     val nDocs = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val want = rows.groupBy(_._1).toSeq.flatMap { case (src, g) =>
@@ -398,14 +398,18 @@ class TextOpsSpec extends SparkSpec {
         val n = math.max(toks.length - 1, 1)
         (1 to n).map(i => toks.slice(i - 1, i + 1).mkString(" ")).distinct
       }.groupBy(identity).map { case (sh, xs) => (sh, xs.length.toLong) }
-      dfs.toSeq.filter { case (_, df) => df * 5 >= nDocs(src) }
+      dfs.toSeq
         .sortBy { case (sh, df) => (-df, sh) }.take(TextOps.bpTopN)
         .zipWithIndex.map { case ((sh, df), i) =>
-          (src, (i + 1).toLong, sh, df, df * 1000000L / nDocs(src)) }
+          (src, (i + 1).toLong, sh, df, df * 1000000L / nDocs(src),
+            if (df * 5 >= nDocs(src)) 1L else 0L) }
     }.toSet
     assert(out.toSet === want)
-    // the planted template is the top offender for source A
-    assert(out.exists { case (s0, rk, sh, df, _) =>
-      s0 == "A" && rk == 1L && sh == "buy now" && df == 4L })
+    // the planted template is the top offender for source A and is
+    // the ONLY flagged boilerplate there (4 of 10 docs ≥ 20%)
+    assert(out.exists { case (s0, rk, sh, df, _, flag) =>
+      s0 == "A" && rk == 1L && sh == "buy now" && df == 4L && flag == 1L })
+    assert(out.count { case (s0, _, _, _, _, flag) =>
+      s0 == "A" && flag == 1L } == 1)
   }
 }
