@@ -962,7 +962,108 @@ object Graph {
        |FROM d$ssspRounds ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+
+  /** g11: HITS hubs & authorities (Kleinberg) on the DIRECTED
+    * supplier→customer shipment graph — the "who supplies the
+    * important customers / who is supplied by the important
+    * suppliers" mutual-reinforcement score PageRank's single rank
+    * can't express. Two fixed update rounds (auth ← Σ in-hub,
+    * hub ← Σ out-auth), each followed by the standard L1
+    * normalization so scores stay comparable across rounds.
+    *
+    * Determinism: scores are integer micro-units; normalization is
+    * `floor(raw · 10¹² / Σraw)` computed in DECIMAL(38,0) — the
+    * numerator multiply keeps scale 0 (never rounds) and `div` is
+    * integral, so no float touches a decision or an output cell
+    * (the g01/q63–q68 discipline). Headroom: raw·10¹² ≤ 10¹⁸·|E|,
+    * inside 38 digits to |E| ≈ 10²⁰ edges.
+    *
+    * Scale shape: the directed edge list is ids-only, persisted once
+    * and reused by all four message rounds (each round = one hash
+    * join + one partial-agged groupBy — the g01 shape). The L1 total
+    * is a one-row aggregate broadcast back (never a global window);
+    * top-N per side via orderBy+limit (TakeOrdered, never collected).
+    * Reference analogue: the reverse-web-graph exe pair
+    * (linked_graph_map.cpp / linked_graph_reduce.cpp) is exactly one
+    * un-normalized authority round; g11 is its fixed-point closure. */
+  val hitsScale = 1000000000000L          // 1.0 in pico-score units
+  val hitsTopN = 50
+
+  def hits(s: SparkSession, dir: String): DataFrame =
+    hitsDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def hitsDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+    val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + custOffset).as("dst"))
+      .distinct().persist()
+    // floor(raw·10¹²/Σraw) in DECIMAL(38,0): `div` is integral, the
+    // multiply never rounds (scale 0), Σ over a one-row broadcast
+    def l1Normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(
+        sum(col("raw").cast("decimal(38,0)")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"cast(raw as decimal(38,0)) * ${hitsScale}L div tot")
+            .as("score"))
+    }
+    val h0 = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("score"))
+    def authFrom(hub: DataFrame): DataFrame = l1Normalize(
+      e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("raw"))
+        .select(col("dst").as("node"), col("raw")))
+    def hubFrom(auth: DataFrame): DataFrame = l1Normalize(
+      e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("score")).as("raw"))
+        .select(col("src").as("node"), col("raw")))
+    val a1 = authFrom(h0).persist()
+    val h1 = hubFrom(a1).persist()
+    val a2 = authFrom(h1)
+    val top = (side: DataFrame, role: String) =>
+      side.orderBy(col("score").desc, col("node")).limit(hitsTopN)
+        .select(lit(role).as("role"), col("node"), col("score"))
+    top(a2, "authority").unionAll(top(h1, "hub"))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** DuckDB twin: identical integer recurrence in HUGEINT (128-bit,
+    * same ≥38-digit headroom as the Spark DECIMAL(38,0) path; `//`
+    * truncates like `div` for the non-negative operands here). */
+  private val hitsSql = {
+    def norm(rawCte: String) =
+      s"""SELECT node, CAST(CAST(raw AS HUGEINT) * $hitsScale
+         |  // (SELECT SUM(CAST(raw AS HUGEINT)) FROM $rawCte)
+         |  AS BIGINT) AS score FROM $rawCte""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
+       |       FROM e GROUP BY src),
+       |a1r AS (SELECT dst AS node, SUM(score) AS raw
+       |        FROM e JOIN h0 ON e.src = h0.node GROUP BY dst),
+       |a1 AS MATERIALIZED (${norm("a1r")}),
+       |h1r AS (SELECT src AS node, SUM(score) AS raw
+       |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY src),
+       |h1 AS MATERIALIZED (${norm("h1r")}),
+       |a2r AS (SELECT dst AS node, SUM(score) AS raw
+       |        FROM e JOIN h1 ON e.src = h1.node GROUP BY dst),
+       |a2 AS (${norm("a2r")})
+       |SELECT role, node, score FROM (
+       |  SELECT 'authority' AS role, node, score FROM a2
+       |  ORDER BY score DESC, node LIMIT $hitsTopN)
+       |UNION ALL
+       |SELECT role, node, score FROM (
+       |  SELECT 'hub' AS role, node, score FROM h1
+       |  ORDER BY score DESC, node LIMIT $hitsTopN)
+       |ORDER BY role, score DESC, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_hits" -> hits _,
     "g10_clustering" -> clusteringCoeff _,
     "g09_sssp" -> sssp _,
     "g08_common_neighbors" -> commonNeighbors _,
@@ -975,6 +1076,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g11_hits" -> hitsSql,
     "g10_clustering" -> clusteringCoeffSql,
     "g09_sssp" -> ssspSql,
     "g08_common_neighbors" -> commonNeighborsSql,

@@ -2923,8 +2923,81 @@ object Relational {
        |  CAST(SUM(is_out) * 1000000 // MAX(n) AS BIGINT) AS outlier_ppm
        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Exact chi-square contingency audit: is order priority independent
+    * of customer market segment? The categorical-bias screen a
+    * training-data pipeline runs over source × language or source ×
+    * quality-bucket cells, on the dims at hand. Per cell it emits the
+    * observed count, the expected count under independence in
+    * milli-units (`⌊r·c·1000/n⌋`), and the cell's chi-square
+    * contribution in ppm via the cross-multiplied exact form
+    * `⌊(O·n − r·c)²·10⁶ / (n·r·c)⌋` — multiply `(O−E)²/E` through by
+    * n², so no float division or rounding ever decides or renders
+    * (the q68 discipline). 38-digit arithmetic holds `(O·n−r·c)²·10⁶ ≤
+    * n⁴·10⁶` exactly to n ≈ 10⁸ fact rows; past that, compute the
+    * statistic over the (tiny) cell relation with the q01 exact-int →
+    * DOUBLE pattern — the heavy pass below is unaffected.
+    *
+    * Shape: ONE fact-scan hash agg to the |seg|×|prio| cell relation
+    * (partial map-side combine; the customer dim join is broadcast);
+    * margins and the grand total are re-aggregated from the 25-row
+    * cell relation, never from a second fact pass, and join back cell-
+    * side. Nothing after the first agg is larger than |cells|. */
+  def q69ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("obs"))
+      .persist()                 // margins re-read the 25-row cells,
+                                 // never the fact table
+    val rowT = cells.groupBy(col("seg").as("rs"))
+      .agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("prio").as("cp"))
+      .agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    cells
+      .join(broadcast(rowT), col("seg") === col("rs"))
+      .join(broadcast(colT), col("prio") === col("cp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d",
+        expr("CAST(obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct"))
+      .select(col("seg"), col("prio"), col("obs"),
+        expr("CAST(rt AS DECIMAL(38,0)) * ct * 1000 div n")
+          .as("expected_milli"),
+        expr("d * d * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * rt * ct)").as("chi2_ppm"))
+      .orderBy("seg", "prio")
+  }
+
+  private val q69Sql =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+       |    CAST(COUNT(*) AS BIGINT) AS obs
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |rt AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS rt
+       |       FROM cells GROUP BY seg),
+       |ct AS (SELECT prio, CAST(SUM(obs) AS BIGINT) AS ct
+       |       FROM cells GROUP BY prio),
+       |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+       |SELECT cells.seg, cells.prio, obs,
+       |  CAST(CAST(rt AS HUGEINT) * ct * 1000 // n AS BIGINT)
+       |    AS expected_milli,
+       |  CAST((CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+       |     * (CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+       |     * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+       |    AS chi2_ppm
+       |FROM cells
+       |JOIN rt ON cells.seg = rt.seg
+       |JOIN ct ON cells.prio = ct.prio
+       |CROSS JOIN tot
+       |ORDER BY cells.seg, cells.prio""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_chi_square"      -> q69ChiSquare _,
     "q68_outliers"        -> q68Outliers _,
     "q67_markov"          -> q67Markov _,
     "q66_streaks"         -> q66Streaks _,
@@ -2995,6 +3068,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q69_chi_square"      -> q69Sql,
     "q68_outliers"        -> q68Sql,
     "q67_markov"          -> q67Sql,
     "q66_streaks"         -> q66Sql,

@@ -269,6 +269,51 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_._6).sum === 2 * edges, "degree mass != 2|E|")
   }
 
+  test("g11: HITS matches an in-memory BigInt recompute and is " +
+      "partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val out = Graph.hitsDf(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent reference: the same two-round recurrence in plain
+    // Scala BigInt (exact — any quotient mismatch is an engine bug)
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + Graph.custOffset))
+    val scale = BigInt(Graph.hitsScale)
+    def l1(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = raw.values.sum
+      raw.view.mapValues(v => v * scale / tot).toMap
+    }
+    val h0 = edges.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+    def auth(h: Map[Long, BigInt]) = l1(
+      edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap)
+    def hub(a: Map[Long, BigInt]) = l1(
+      edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap)
+    val a1 = auth(h0); val h1 = hub(a1); val a2 = auth(h1)
+    def top(m: Map[Long, BigInt], role: String) =
+      m.toSeq.map { case (n, s0) => (role, n, s0.toLong) }
+        .sortBy { case (_, n, s0) => (-s0, n) }.take(Graph.hitsTopN)
+    val want = (top(a2, "authority") ++ top(h1, "hub"))
+      .sortBy { case (role, n, s0) => (role, -s0, n) }
+    assert(out.toSeq === want)
+    assert(out.nonEmpty)
+    // normalized scores are an L1 share of 1.0 in pico-units
+    assert(out.forall { case (_, _, s0) =>
+      s0 >= 0L && s0 <= Graph.hitsScale })
+    // bipartite graph: authorities are customers, hubs are suppliers
+    out.foreach {
+      case ("authority", n, _) => assert(n >= Graph.custOffset)
+      case ("hub", n, _)       => assert(n < Graph.custOffset)
+      case other               => fail(s"unexpected role row $other")
+    }
+    val b = Graph.hitsDf(li.repartition(7, col("l_suppkey")),
+      ord.repartition(3)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("g10: clustering coefficients match an in-memory recompute") {
     val out = Graph.clusteringCoeffDf(li).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

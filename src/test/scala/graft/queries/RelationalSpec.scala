@@ -618,4 +618,36 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSet === want)
     assert(out.nonEmpty)
   }
+
+  test("q69: chi-square cells match an exact BigInt recompute; " +
+      "margins telescope") {
+    import graft.Tables.t
+    import org.apache.spark.sql.functions.col
+    val out = Relational.q69ChiSquare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val pairs = t(spark, sf, "orders")
+      .join(t(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = pairs.groupBy(identity).view.mapValues(_.length).toMap
+    val rt = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    val ct = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = BigInt(pairs.length)
+    val want = cells.toSeq.map { case ((seg, prio), obs) =>
+      val (r0, c0) = (BigInt(rt(seg)), BigInt(ct(prio)))
+      val d = BigInt(obs) * n - r0 * c0
+      (seg, prio, obs.toLong, (r0 * c0 * 1000 / n).toLong,
+        (d * d * 1000000 / (n * r0 * c0)).toLong)
+    }.sortBy(x => (x._1, x._2))
+    assert(out.toSeq === want)
+    assert(out.nonEmpty)
+    // observed cells partition the fact rows; expectations sum back to
+    // ~1000·n (short only by the per-cell floor)
+    assert(out.map(_._3).sum === pairs.length.toLong)
+    val em = out.map(_._4).sum
+    assert(em <= 1000L * pairs.length &&
+      em > 1000L * pairs.length - out.length)
+    assert(out.forall(_._5 >= 0L))
+  }
 }
