@@ -585,4 +585,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("g11: message rounds probe the persisted edge list; L1 totals " +
+    "broadcast; top-N never global-sorts; no unpartitioned window") {
+    val p = plan(graft.queries.Graph.hits(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "edge list recomputed per round:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "L1 total not broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-side top-N planned as a global sort:\n" + p)
+    assert(!p.contains("Window"), "unexpected window operator:\n" + p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q69: one fact pass — the customer dim and all margins join " +
+    "broadcast onto the cell relation") {
+    val p = plan(Relational.q69ChiSquare(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "customer dim did not broadcast:\n" + p)
+    assert(p.contains("partial_count"), p)
+    // margins read the persisted cell relation, not the fact table:
+    // cells + row/col margins + grand total = 4 cache reads (the plan
+    // text repeats the cached CHILD per site, so count scans, not
+    // FileScan mentions)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+      "margins did not all read the persisted cells:\n" + p)
+  }
 }
