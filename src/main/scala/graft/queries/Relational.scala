@@ -2995,8 +2995,64 @@ object Relational {
        |CROSS JOIN tot
        |ORDER BY cells.seg, cells.prio""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** k-anonymity audit over the customer quasi-identifier
+    * (nation, market segment, $1000 account-balance bucket) — the
+    * privacy/governance screen run before releasing or training on
+    * user-adjacent records: how many rows sit in QI groups smaller
+    * than k, i.e. are re-identifiable by those attributes alone. Emits
+    * the full group-size histogram (k → groups, rows, row share in
+    * exact floored ppm, at-risk flag for k < [[q70K]]).
+    *
+    * Determinism: the balance bucket is integer cents `(c+10⁸) div 10⁵`
+    * — the +10⁸ offset keeps the dividend positive so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree (negative
+    * balances exist); shares are `⌊rows·10⁶/total⌋` on BIGINTs.
+    *
+    * Shape: fact → QI-group sizes is ONE partial-agged hash agg; the
+    * k histogram and its total are re-aggregated from the group
+    * relation (already tiny) with the total broadcast back — the q69
+    * margin discipline. At 100 TB the only fact-sized movement is the
+    * first shuffle, keyed on the QI tuple itself. */
+  val q70K = 5
+  def q70KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " + 100000000) div 100000").as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"))
+    val hist = groups.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+      .persist()
+    val tot = hist.agg(sum(col("n_rows")).as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_groups"), col("n_rows"),
+        expr("n_rows * 1000000 div total").as("rows_ppm"),
+        when(col("k") < q70K, 1L).otherwise(0L).as("at_risk"))
+      .orderBy("k")
+  }
+
+  private val q70Sql =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |     + 100000000) // 100000 AS bal_bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM customer GROUP BY 1, 2, 3),
+       |h AS (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |    CAST(SUM(k) AS BIGINT) AS n_rows
+       |  FROM g GROUP BY k),
+       |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM h)
+       |SELECT k, n_groups, n_rows,
+       |  CAST(n_rows * 1000000 // total AS BIGINT) AS rows_ppm,
+       |  CAST(CASE WHEN k < $q70K THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+       |FROM h CROSS JOIN tot ORDER BY k""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_k_anonymity"     -> q70KAnonymity _,
     "q69_chi_square"      -> q69ChiSquare _,
     "q68_outliers"        -> q68Outliers _,
     "q67_markov"          -> q67Markov _,
@@ -3068,6 +3124,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q70_k_anonymity"     -> q70Sql,
     "q69_chi_square"      -> q69Sql,
     "q68_outliers"        -> q68Sql,
     "q67_markov"          -> q67Sql,

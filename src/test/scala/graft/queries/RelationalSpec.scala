@@ -650,4 +650,31 @@ class RelationalSpec extends SparkSpec {
       em > 1000L * pairs.length - out.length)
     assert(out.forall(_._5 >= 0L))
   }
+
+  test("q70: the k histogram matches an in-memory QI recompute and " +
+      "partitions every customer row") {
+    import graft.Tables.t
+    val out = Relational.q70KAnonymity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rows = t(spark, sf, "customer")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " + 100000000) div 100000").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ks = rows.groupBy(identity).values.map(_.length).toSeq
+    val total = rows.length.toLong
+    val want = ks.groupBy(identity).toSeq.map { case (k, g) =>
+      val nRows = k.toLong * g.length
+      (k.toLong, g.length.toLong, nRows, nRows * 1000000L / total,
+        if (k < Relational.q70K) 1L else 0L)
+    }.sortBy(_._1)
+    assert(out.toSeq === want)
+    assert(out.nonEmpty)
+    // histogram rows partition the table; at-risk flag is consistent
+    assert(out.map(_._3).sum === total)
+    out.foreach { case (k, _, _, _, risk) =>
+      assert(risk === (if (k < Relational.q70K) 1L else 0L))
+    }
+  }
 }
