@@ -53,6 +53,7 @@ object StreamBench {
     val drift = benchDrift(spark, rps, runSecs)
     val sess = benchSessionize(spark, rps, runSecs)
     val hll = benchHllSketch(spark, rps, runSecs)
+    val cms = benchCmsSketch(spark, rps, runSecs)
 
     def js(r: OpResult): String =
       s"""{"rows_per_sec":${r.rowsPerSec.round},"total_rows":${r.totalRows},""" +
@@ -62,7 +63,7 @@ object StreamBench {
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
         s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
         s""""drift_monitor":${js(drift)},"sessionize":${js(sess)},""" +
-        s""""hll_sketch":${js(hll)}}"""
+        s""""hll_sketch":${js(hll)},"cms_sketch":${js(cms)}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
@@ -98,6 +99,23 @@ object StreamBench {
         (col("value") % 65536).as("user_id"))
     runQuery(spark,
       EventStreams.distinctSketchTumbling(events,
+        width = "1 second", watermark = "2 seconds"),
+      secs)
+  }
+
+  /** Rate source → windowed heavy-hitter CMS grid (1-second tumbling
+    * windows, 2-second watermark): state is one 8 KB counter grid per
+    * open window regardless of key cardinality (65536 users here) —
+    * the additive-merge analogue of the HLL bench; an exact per-key
+    * count would hold all 65536 rows per window. */
+  private def benchCmsSketch(spark: SparkSession, rps: Int, secs: Int): OpResult = {
+    import graft.streaming.EventStreams
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("timestamp").as("ts"),
+        (col("value") % 65536).as("user_id"))
+    runQuery(spark,
+      EventStreams.heavyHitterSketchTumbling(events,
         width = "1 second", watermark = "2 seconds"),
       secs)
   }

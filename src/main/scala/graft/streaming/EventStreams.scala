@@ -62,6 +62,31 @@ object EventStreams {
         round(col("hll.estimate"), 4).as("approx_users"),
         col("n_events"))
 
+  /** Tumbling-window HEAVY-HITTER SKETCH — the a04 count-min story in
+    * streaming state: the [[graft.functions.PortableCountMin]] counter
+    * grid (depth·width = 1024 longs, 8 KB per window) lives in the
+    * state store; its merge is element-wise ADDITION, so associativity
+    * across micro-batch boundaries is exact and the emitted grid is
+    * bit-identical to a batch run over the same rows (spec-proven, the
+    * distinctSketchTumbling discipline). An exact per-key streaming
+    * count would hold every key per window — unbounded state for
+    * high-cardinality keys; this holds 8 KB per window regardless of
+    * key cardinality, and any key's count is recoverable downstream
+    * via [[graft.functions.PortableCountMin.estimate]] (point query
+    * over the emitted array — never a re-scan). Works on both batch
+    * and streaming frames with (ts, user_id). */
+  def heavyHitterSketchTumbling(events: DataFrame,
+      width: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.functions.PortableCountMin
+        .portableCms(col("user_id").cast("string")).as("cms"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("cms"),
+        col("n_events"))
+
   /** Sliding window (width, slide). */
   def sliding(events: DataFrame, width: String = "30 minutes",
       slide: String = "10 minutes", watermark: String = "1 hour"): DataFrame =

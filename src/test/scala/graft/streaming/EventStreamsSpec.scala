@@ -74,6 +74,57 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS heavy-hitter grid is bit-identical to the batch " +
+    "sketch across micro-batch boundaries; estimates dominate truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = heavyHitterSketchTumbling(mem.toDF(), width = "15 minutes",
+        watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    // one event per micro-batch: every boundary forces an additive
+    // state-store merge of the counter grid
+    sample.foreach { e => mem.addData(e); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cms_out")
+      .select(col("window_start").cast("long"), col("cms"), col("n_events"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map { case (w, g, n) => (w, g.toVector, n) }.toSet
+    val batch = heavyHitterSketchTumbling(sample.toDF(),
+        width = "15 minutes")
+      .select(col("window_start").cast("long"), col("cms"), col("n_events"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map { case (w, g, n) => (w, g.toVector, n) }.toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // count-min never under-counts: per window, the point estimate of
+    // every true user is >= the exact count, and the grid's per-row
+    // mass equals n_events
+    val est = spark.table("cms_out").select(
+        col("window_start").cast("long").as("w"),
+        explode(lit((sample.map(_.user_id).distinct.sorted: Seq[Long])
+          .toArray)).as("uid"))
+      .join(spark.table("cms_out")
+        .select(col("window_start").cast("long").as("w2"), col("cms")),
+        col("w") === col("w2"))
+      .select(col("w"), col("uid"), graft.functions.PortableCountMin
+        .estimate(col("cms"), col("uid").cast("string")).as("e"))
+      .as[(Long, Long, Long)].collect()
+    val exact = sample.groupBy(e => (e.ts.getTime / 1000 / 900 * 900,
+        e.user_id)).view.mapValues(_.size.toLong).toMap
+    est.foreach { case (w, uid, e) =>
+      assert(e >= exact.getOrElse((w, uid), 0L),
+        s"CMS under-counted user $uid in window $w")
+    }
+    val mass = spark.table("cms_out")
+      .select(col("window_start").cast("long"),
+        expr("aggregate(slice(cms, 1, 256), 0L, (a, x) -> a + x)"),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect()
+    mass.foreach { case (w, m, n) =>
+      assert(m === n, s"window $w row-0 mass $m != n_events $n") }
+  }
+
   test("built-in session window closes on the gap") {
     val got = sessionWindow(sample.toDF(), gap = "30 minutes")
       .filter(col("user_id") === 2)
