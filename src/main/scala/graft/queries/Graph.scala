@@ -1010,8 +1010,6 @@ object Graph {
           expr(s"cast(raw as decimal(38,0)) * ${hitsScale}L div tot")
             .as("score"))
     }
-    val h0 = e.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("score"))
     def authFrom(hub: DataFrame): DataFrame = l1Normalize(
       e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("score")).as("raw"))
@@ -1020,7 +1018,12 @@ object Graph {
       e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("score")).as("raw"))
         .select(col("src").as("node"), col("raw")))
-    val a1 = authFrom(h0).persist()
+    // round-1 authority under the uniform h0 = 10⁶ is just
+    // in_deg·10⁶ — fold the would-be constant join into the agg
+    // (Σ of a constant = count·constant, exact)
+    val a1 = l1Normalize(
+      e.groupBy(col("dst")).agg((count(lit(1)) * 1000000L).as("raw"))
+        .select(col("dst").as("node"), col("raw"))).persist()
     val h1 = hubFrom(a1).persist()
     val a2 = authFrom(h1)
     val top = (side: DataFrame, role: String) =>
@@ -1041,10 +1044,9 @@ object Graph {
     s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |h0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
-       |       FROM e GROUP BY src),
-       |a1r AS (SELECT dst AS node, SUM(score) AS raw
-       |        FROM e JOIN h0 ON e.src = h0.node GROUP BY dst),
+       |a1r AS (SELECT dst AS node,
+       |          CAST(COUNT(*) AS BIGINT) * 1000000 AS raw
+       |        FROM e GROUP BY dst),
        |a1 AS MATERIALIZED (${norm("a1r")}),
        |h1r AS (SELECT src AS node, SUM(score) AS raw
        |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY src),
