@@ -282,13 +282,84 @@ object Pipeline {
       |  CAST(SUM(chars) AS BIGINT) AS n_chars
       |FROM d GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 
+  // ------------------------------------------------------------- e04
+  /** e04: per-source corpus report card — the daily governance
+    * dashboard a training-data org reads before shipping a corpus:
+    * for every source, document volume, t08-gate pass rate, exact-
+    * duplicate rate (d01's content-hash definition), and token mass /
+    * mean length, each in exact floored integer units (ppm / milli).
+    * The gate spelling is [[TextOps.gateScored]] — the SAME rule
+    * chain e01/e02 filter on, so the report's pass rate and the
+    * build's kept set can never drift apart.
+    *
+    * Scale shape: ONE pass over the corpus projecting
+    * (source, md5(text), n_tokens, ok) — the e01 40-byte discipline,
+    * payloads never shuffle; the distinct-hash count partial-
+    * aggregates on (source, hash) before the per-source rollup, and
+    * the report is |sources| rows. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    corpusReportDf(t(s, dir, "documents"))
+
+  def corpusReportDf(documents: DataFrame): DataFrame =
+    TextOps.gateScored(documents)
+      .select(col("source"), md5(col("text")).as("h"), col("n_tokens"),
+        when(col("reason") === "ok", 1L).otherwise(0L).as("ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ok")).as("ok_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("ok_docs"),
+        expr("ok_docs * 1000000 div n_docs").as("gate_pass_ppm"),
+        col("n_unique"),
+        expr("(n_docs - n_unique) * 1000000 div n_docs").as("dup_ppm"),
+        col("total_tokens"),
+        expr("total_tokens * 1000 div n_docs").as("mean_tokens_milli"))
+      .orderBy("source")
+
+  /** DuckDB twin: the shared t08 gate rules spelled identically over
+    * ALL docs (the report scores the whole corpus, not just the kept
+    * set), d01's md5 dup definition, floored integer rates. */
+  private val corpusReportSql =
+    s"""WITH d AS (
+       |  SELECT source, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, md5(text) AS h,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> t IN (${TextOps.stopList})))
+       |      AS BIGINT) AS n_stop
+       |  FROM d),
+       |r AS (
+       |  SELECT source, h, n_tokens,
+       |    CASE WHEN NOT (n_tokens < 5 OR n_tokens > 500
+       |      OR n_distinct * 2 < n_tokens OR n_stop = 0)
+       |    THEN 1 ELSE 0 END AS ok
+       |  FROM st),
+       |g AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ok) AS BIGINT) AS ok_docs,
+       |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM r GROUP BY source)
+       |SELECT source, n_docs, ok_docs,
+       |  CAST(ok_docs * 1000000 // n_docs AS BIGINT) AS gate_pass_ppm,
+       |  n_unique,
+       |  CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       |  total_tokens,
+       |  CAST(total_tokens * 1000 // n_docs AS BIGINT) AS mean_tokens_milli
+       |FROM g ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e04_corpus_report" -> corpusReport _,
     "e03_snapshot_diff" -> snapshotDiff _,
     "e01_corpus_build" -> corpusBuild _,
     "e02_corpus_refresh" -> corpusRefresh _)
 
   val oracle: Map[String, String] = Map(
+    "e04_corpus_report" -> corpusReportSql,
     "e03_snapshot_diff" -> snapshotDiffSql,
     "e01_corpus_build" -> corpusBuildSql,
     "e02_corpus_refresh" -> corpusRefreshSql)

@@ -39,6 +39,29 @@ class PipelineSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("e04 report card: hand-computable fixture rates are exact and " +
+      "consistent with the e01 gate") {
+    val out = Pipeline.corpusReportDf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    // srcA: docs 0,1 — both gate-ok but exact dups (1 unique hash)
+    // srcB: doc 2 too_short + doc 3 ok; srcC: both gated out
+    val bTok = 3L + 11L
+    val cTok = 12L + 10L
+    assert(out.toSeq === Seq(
+      ("srcA", 2L, 2L, 1000000L, 1L, 500000L, 24L, 12000L),
+      ("srcB", 2L, 1L, 500000L, 2L, 0L, bTok, bTok * 1000 / 2),
+      ("srcC", 2L, 0L, 0L, 2L, 0L, cTok, cTok * 1000 / 2)))
+    // gate-pass mass across sources == e01's survivor count + the
+    // dup it removed (docs 0 and 1 both pass the gate; e01 keeps 1)
+    val e01Docs = Pipeline.corpusBuildDf(docs).collect()
+      .map(_.getLong(1)).sum
+    val okMass = out.map(_._3).sum
+    val dupsAmongOk = 1L
+    assert(okMass === e01Docs + dupsAmongOk)
+  }
+
   test("e01 at sf0.001: manifest totals bounded by the corpus, shards disjoint") {
     val table = graft.Tables.t(spark, sf, "documents")
     val out = Pipeline.corpusBuildDf(table).collect()
