@@ -779,7 +779,112 @@ object Sketches {
        |ORDER BY level, rfs""".stripMargin
   }
 
+  // ------------------------------------------------------------- a13
+  /** Histogram-quantile cube — the third mergeable-sketch algebra next
+    * to a10 (HLL, max-merge) and a11 (CMS, sum-merge): leaf equi-width
+    * bucket-count grids over price cents, computed in ONE fact pass at
+    * the finest grain, roll up to every coarser level by ADDING bucket
+    * counts; per-level p50/p95 come from integer prefix sums over the
+    * rolled grid. A naive percentile rollup re-shuffles (and re-sorts)
+    * the fact once per level; this shuffles it once and every level
+    * re-aggregates a ≤ groups×[[a13Buckets]]-row grid.
+    *
+    * Everything that DECIDES is integer: the bucket is
+    * `(cents−lo)·B div span` (global [lo,hi] cents bounds, broadcast),
+    * rank cuts are cross-multiplied prefix-sum tests (`2·cum ≥ n`,
+    * `20·cum ≥ 19·n`), and the estimates are bucket lower bounds in
+    * cents — no float touches a choice or a cell (the q63/q68
+    * discipline; a05 keeps the float spelling as the contrast). The
+    * oracle computes each level DIRECTLY from the rows via GROUPING
+    * SETS — equality proves the additive merge exact. */
+  val a13Buckets = 256
+  def histRollup(s: SparkSession, dir: String): DataFrame =
+    histRollupDf(t(s, dir, "lineitem"))
+
+  def histRollupDf(li: DataFrame): DataFrame = {
+    val cents = li.select(col("l_returnflag").as("rf"),
+      col("l_linestatus").as("ls"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("c"))
+    val bounds = cents.agg(min(col("c")).as("lo"),
+      (max(col("c")) - min(col("c")) + 1L).as("span"))
+    val leaf = cents.crossJoin(broadcast(bounds))
+      .select(col("rf"), col("ls"), col("lo"), col("span"),
+        expr(s"(c - lo) * $a13Buckets div span").as("b"))
+      .groupBy(col("rf"), col("ls"), col("lo"), col("span"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    def rollLevel(grid: DataFrame, lvl: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("rfs"), col("lss"))
+      val cum = grid
+        .withColumn("cum", sum(col("cnt")).over(
+          w.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(w))
+      cum.groupBy(col("rfs"), col("lss"), col("lo"), col("span"))
+        .agg(max(col("n")).as("n_rows"),
+          min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("b"))).as("b95"))
+        .select(lit(lvl.toLong).as("level"), col("rfs"), col("lss"),
+          col("n_rows"), col("b50"), col("b95"),
+          expr(s"lo + (b50 * span) div $a13Buckets").as("est_p50_cents"),
+          expr(s"lo + (b95 * span) div $a13Buckets").as("est_p95_cents"))
+    }
+    val lvl2 = rollLevel(leaf.select(col("rf").as("rfs"),
+      col("ls").as("lss"), col("lo"), col("span"), col("b"), col("cnt")), 2)
+    val lvl1 = rollLevel(leaf
+      .groupBy(col("rf").as("rfs"), col("lo"), col("span"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("rfs"), lit("*").as("lss"), col("lo"), col("span"),
+        col("b"), col("cnt")), 1)
+    val lvl0 = rollLevel(leaf
+      .groupBy(col("lo"), col("span"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(lit("*").as("rfs"), lit("*").as("lss"), col("lo"),
+        col("span"), col("b"), col("cnt")), 0)
+    lvl2.unionByName(lvl1).unionByName(lvl0)
+      .orderBy("level", "rfs", "lss")
+  }
+
+  /** DuckDB twin: identical integer bucket/rank math, each level
+    * computed directly from the rows under GROUPING SETS — matching
+    * the Spark side's added-up leaf grids proves the sum-merge exact. */
+  private val histRollupSql =
+    s"""WITH c AS (
+       |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS c
+       |  FROM lineitem),
+       |bounds AS (SELECT MIN(c) AS lo, MAX(c) - MIN(c) + 1 AS span FROM c),
+       |g AS (
+       |  SELECT CASE WHEN GROUPING(rf) = 1 THEN '*' ELSE rf END AS rfs,
+       |    CASE WHEN GROUPING(ls) = 1 THEN '*' ELSE ls END AS lss,
+       |    CAST(2 - GROUPING(rf) - GROUPING(ls) AS BIGINT) AS level,
+       |    lo, span, (c - lo) * $a13Buckets // span AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM c CROSS JOIN bounds
+       |  GROUP BY GROUPING SETS ((rf, ls, lo, span, b), (rf, lo, span, b),
+       |    (lo, span, b))),
+       |p AS (
+       |  SELECT level, rfs, lss, lo, span, b, cnt,
+       |    SUM(cnt) OVER (PARTITION BY level, rfs, lss ORDER BY b
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY level, rfs, lss) AS n
+       |  FROM g)
+       |SELECT level, rfs, lss, CAST(MAX(n) AS BIGINT) AS n_rows,
+       |  CAST(MIN(CASE WHEN cum * 2 >= n THEN b END) AS BIGINT) AS b50,
+       |  CAST(MIN(CASE WHEN cum * 20 >= n * 19 THEN b END) AS BIGINT)
+       |    AS b95,
+       |  CAST(lo + (MIN(CASE WHEN cum * 2 >= n THEN b END) * span)
+       |    // $a13Buckets AS BIGINT) AS est_p50_cents,
+       |  CAST(lo + (MIN(CASE WHEN cum * 20 >= n * 19 THEN b END) * span)
+       |    // $a13Buckets AS BIGINT) AS est_p95_cents
+       |FROM p GROUP BY level, rfs, lss, lo, span
+       |ORDER BY level, rfs, lss""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_hist_rollup" -> histRollup _,
     "a12_cms_error_audit" -> cmsErrorAudit _,
     "a11_cms_rollup" -> cmsRollup _,
     "a10_sketch_rollup" -> sketchRollup _,
@@ -795,6 +900,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a13_hist_rollup" -> histRollupSql,
     "a12_cms_error_audit" -> cmsErrorAuditSql,
     "a11_cms_rollup" -> cmsRollupSql,
     "a10_sketch_rollup" -> sketchRollupSql,

@@ -196,6 +196,50 @@ class SketchesSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._4).sum === li.count())
   }
 
+  test("a13: rolled histogram quantiles match an in-memory exact-" +
+      "bucket recompute at every level") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val out = Sketches.histRollupDf(li).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val rows = li.selectExpr("l_returnflag", "l_linestatus",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val lo = rows.map(_._3).min
+    val span = rows.map(_._3).max - lo + 1
+    val B = Sketches.a13Buckets.toLong
+    def want(sel: ((String, String)) => (String, String), lvl: Long) =
+      rows.groupBy(t0 => sel((t0._1, t0._2))).map { case ((rf, ls), g) =>
+        val grid = g.map(t0 => (t0._3 - lo) * B / span)
+          .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val n = g.length.toLong
+        var cum = 0L
+        var b50 = -1L; var b95 = -1L
+        grid.foreach { case (b, cnt) =>
+          cum += cnt
+          if (b50 < 0 && cum * 2 >= n) b50 = b
+          if (b95 < 0 && cum * 20 >= n * 19) b95 = b
+        }
+        (lvl, rf, ls, n, b50, b95, lo + b50 * span / B, lo + b95 * span / B)
+      }.toSeq
+    val expect = (want(identity, 2L) ++
+      want(p => (p._1, "*"), 1L) ++ want(_ => ("*", "*"), 0L))
+      .sortBy(x => (x._1, x._2, x._3))
+    assert(out.toSeq === expect)
+    assert(out.nonEmpty)
+    // bucket mass conservation: every level's n_rows telescopes
+    assert(out.filter(_._1 == 0L).map(_._4).sum === rows.length.toLong)
+    assert(out.filter(_._1 == 1L).map(_._4).sum === rows.length.toLong)
+    assert(out.filter(_._1 == 2L).map(_._4).sum === rows.length.toLong)
+    // estimates live inside the value range; p95 bucket >= p50 bucket
+    out.foreach { case (_, _, _, _, b50, b95, e50, e95) =>
+      assert(b95 >= b50 && e95 >= e50)
+      assert(e50 >= lo && e95 <= lo + span)
+    }
+  }
+
   test("a12: CMS audit — key counts exact, errors non-negative, " +
       "mean floor-exact") {
     import graft.Tables.t
