@@ -1033,7 +1033,62 @@ object Dedup {
        |    ELSE 0 END) * 1000000 // SUM(c) AS BIGINT) AS precision_ppm
        |FROM j""".stripMargin
 
+  // ------------------------------------- d16: edit-distance verification
+  /** Prefix length for the d16 edit-distance key. Levenshtein is
+    * O(len²) per pair, so the verifier runs on a fixed normalized
+    * prefix — cost per pair is a constant independent of document
+    * length, which is what makes exact edit distance affordable as a
+    * verification tier at 100 TB (the candidate set is LSH-sized, and
+    * each check is 120×120 cells). */
+  private val editPrefixLen = 120
+
+  /** Edit distance ≤ 10% of the prefix counts as a duplicate. */
+  private val editDupMaxTenth = 1
+
+  def editVerify(s: SparkSession, dir: String): DataFrame =
+    editVerifyDf(t(s, dir, "documents"))
+
+  /** d16: exact Levenshtein verification of the banded-MinHash
+    * candidate pairs — the character-level second opinion after the
+    * shingle-level LSH vote. MinHash estimates set overlap; edit
+    * distance certifies sequence-level closeness (catches e.g.
+    * shuffled-sentence false positives that share shingles). Pipeline
+    * shape every near-dup system ships: cheap sketch proposes, exact
+    * verifier on the tiny candidate relation disposes.
+    *
+    * Scale: the only corpus-sized work is the shared MinHash index
+    * (one shuffle, reused from d02/d07); the Levenshtein runs on
+    * candidate pairs only — never all-pairs — and each evaluation is
+    * capped at [[editPrefixLen]]² cells. Distance and verdict are
+    * integers; no float anywhere. */
+  def editVerifyDf(docs: DataFrame): DataFrame = {
+    val cand = minHashCandidates(minHashSigs(docs))
+    val keys = docs.select(col("doc_id"),
+      substring(lower(col("text")), 1, editPrefixLen).as("k"))
+    cand.join(keys.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(keys.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("x.k"), col("y.k")).cast("long").as("edit_dist"))
+      .withColumn("is_dup",
+        when(col("edit_dist") * 10 <= lit(editPrefixLen * editDupMaxTenth), 1L)
+          .otherwise(0L))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val editVerifySql: String =
+    s"""WITH $minHashCandSql,
+       |k AS (SELECT doc_id, substring(lower(text), 1, $editPrefixLen) AS k
+       |      FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(x.k, y.k) AS BIGINT) AS edit_dist,
+       |  CAST(CASE WHEN levenshtein(x.k, y.k) * 10 <=
+       |    ${editPrefixLen * editDupMaxTenth} THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_dup
+       |FROM cand JOIN k x ON doc_a = x.doc_id JOIN k y ON doc_b = y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_edit_verify"     -> editVerify _,
     "d15_lsh_recall"      -> lshRecall _,
     "d13_semdedup"        -> semDedup _,
     "d14_span_dedup"      -> spanDedup _,
@@ -1051,6 +1106,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d16_edit_verify"     -> editVerifySql,
     "d15_lsh_recall"      -> lshRecallSql,
     "d13_semdedup"        -> semDedupSql,
     "d14_span_dedup"      -> spanDedupSql,

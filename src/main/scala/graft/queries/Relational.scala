@@ -3050,8 +3050,63 @@ object Relational {
        |  CAST(CASE WHEN k < $q70K THEN 1 ELSE 0 END AS BIGINT) AS at_risk
        |FROM h CROSS JOIN tot ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** q71: exact weighted median price per brand — weight = quantity,
+    * value = extended price in cents. The robust-center statistic for
+    * skewed monetary data (a mean is distorted by one whale order; the
+    * weighted median is not).
+    *
+    * Scale shape — the g04 histogram lesson applied to a weighted
+    * order statistic: the fact table collapses FIRST into a
+    * (brand, cents) weight histogram (one partial-aggregated shuffle),
+    * and the prefix-sum window runs over that histogram, whose size is
+    * capped by the PRICE DOMAIN (≤ ~10⁷ distinct cent values per
+    * brand) no matter how many fact rows exist — at 100 TB the window
+    * input is unchanged while a row-level window would be a 4-billion-
+    * row single-partition sort per brand. The median is the smallest
+    * cent value whose cumulative weight reaches half the total;
+    * everything that decides or renders is BIGINT. */
+  def q71WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val h = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("cents"))
+      .agg(sum(col("qty")).as("wq"))
+    val cum = h.withColumn("cum", sum(col("wq")).over(
+      Window.partitionBy(col("p_brand")).orderBy(col("cents"))))
+    val tot = h.groupBy(col("p_brand")).agg(sum(col("wq")).as("w_total"))
+    cum.join(broadcast(tot), "p_brand")
+      .groupBy(col("p_brand"))
+      .agg(max(col("w_total")).as("total_qty"),
+        min(when(col("cum") * 2 >= col("w_total"), col("cents")))
+          .as("wmedian_cents"))
+      .orderBy("p_brand")
+  }
+
+  private val q71Sql =
+    """WITH h AS (
+      |  SELECT p_brand,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS wq
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT p_brand, cents,
+      |    SUM(wq) OVER (PARTITION BY p_brand ORDER BY cents) AS cum,
+      |    SUM(wq) OVER (PARTITION BY p_brand) AS w_total
+      |  FROM h)
+      |SELECT p_brand, CAST(MAX(w_total) AS BIGINT) AS total_qty,
+      |  CAST(MIN(CASE WHEN cum * 2 >= w_total THEN cents END) AS BIGINT)
+      |    AS wmedian_cents
+      |FROM c GROUP BY 1 ORDER BY p_brand""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_weighted_median" -> q71WeightedMedian _,
     "q70_k_anonymity"     -> q70KAnonymity _,
     "q69_chi_square"      -> q69ChiSquare _,
     "q68_outliers"        -> q68Outliers _,
@@ -3124,6 +3179,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q71_weighted_median" -> q71Sql,
     "q70_k_anonymity"     -> q70Sql,
     "q69_chi_square"      -> q69Sql,
     "q68_outliers"        -> q68Sql,

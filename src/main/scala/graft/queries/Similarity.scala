@@ -1092,8 +1092,101 @@ object Similarity {
        |SELECT query_id, label, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- s13: binary MIH search
+  /** Bands × bits-per-band for the sign-code multi-index: 8 bands of
+    * 8 bits cover the 64 dims. The pigeonhole guarantee of multi-index
+    * hashing (Norouzi & Fleet, "Fast Search in Hamming Space with
+    * Multi-Index Hashing", CVPR 2012): any code within Hamming
+    * distance < 8 of the query MUST match it exactly in at least one
+    * 8-bit band, so near neighbors are found exactly and only far
+    * pairs are (deliberately) pruned. */
+  private val mihBandBits = 8
+  private val mihNumBands = 8
+
+  /** One 8-bit sign-quantized subcode: bit i set iff component
+    * `b*8 + i` is strictly positive. A float-sign test involves no
+    * arithmetic, so both engines agree bit-exactly; the subcode is a
+    * small INT and every downstream comparison is integer. */
+  private def mihWord(b: Int): Column = expr(
+    s"CAST(aggregate(sequence(0, ${mihBandBits - 1}), 0, (acc, i) -> " +
+      s"acc + (CASE WHEN v[i + ${b * mihBandBits}] > CAST(0 AS DOUBLE) " +
+      s"THEN CAST(shiftleft(1, i) AS INT) ELSE 0 END)) AS INT)")
+
+  def mihHammingTopK(s: SparkSession, dir: String): DataFrame =
+    mihHammingTopKDf(t(s, dir, "embeddings"))
+
+  /** s13: sign-binarized top-k by exact Hamming distance with
+    * multi-index candidate generation — the 64×-compressed search tier
+    * below PQ (s06): 8 bytes/vector, pure integer distance.
+    *
+    * Scale shape: the code table is 9 ints/vector; candidates come
+    * from an equi-join on (band, subcode) — never an all-pairs scan —
+    * and the bounded query side broadcasts. Hamming = Σ popcount(xor)
+    * over the 8 words stays in whole-stage codegen, and every decide
+    * and render is integer, so no float boundary exists anywhere. */
+  def mihHammingTopKDf(embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val coded = e.select(col("vec_id") +:
+      (0 until mihNumBands).map(b => mihWord(b).as(s"w$b")): _*)
+    val bandRows = coded.select(col("vec_id"), explode(array(
+        (0 until mihNumBands).map(b =>
+          struct(lit(b).as("band"), col(s"w$b").as("sub"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sub").as("sub"))
+    val cand = broadcast(bandRows.filter(isQuery)).as("q")
+      .join(bandRows.as("c"),
+        col("q.band") === col("c.band") && col("q.sub") === col("c.sub") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val ham = (0 until mihNumBands)
+      .map(b => expr(s"bit_count(x.w$b ^ y.w$b)").cast("long"))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    cand.join(coded.as("x"), col("query_id") === col("x.vec_id"))
+      .join(coded.as("y"), col("neighbor_id") === col("y.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), ham.as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val mihSql: String = {
+    val words = (0 until mihNumBands).map(b =>
+      s"CAST(list_sum(list_transform(generate_series(0, ${mihBandBits - 1}), " +
+        s"i -> CASE WHEN CAST(embedding[i + ${b * mihBandBits} + 1] AS DOUBLE) > 0 " +
+        s"THEN (1 << i) ELSE 0 END)) AS INTEGER) AS w$b").mkString(", ")
+    val bandCase = (0 until mihNumBands).map(b => s"WHEN $b THEN w$b").mkString(" ")
+    val vals = (0 until mihNumBands).map(b => s"($b)").mkString(", ")
+    val ham = (0 until mihNumBands)
+      .map(b => s"bit_count(xor(x.w$b, y.w$b))").mkString(" + ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $words FROM embeddings),
+       |bands AS MATERIALIZED (
+       |  SELECT vec_id, b.band, CASE b.band $bandCase END AS sub
+       |  FROM e CROSS JOIN (VALUES $vals) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c
+       |    ON q.band = c.band AND q.sub = c.sub AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}),
+       |h AS (
+       |  SELECT query_id, neighbor_id, CAST($ham AS BIGINT) AS hamming
+       |  FROM cand JOIN e x ON query_id = x.vec_id
+       |            JOIN e y ON neighbor_id = y.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+       |  FROM h)
+       |SELECT query_id, neighbor_id, hamming, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_mih_hamming"     -> mihHammingTopK _,
     "s12_filtered_ann"    -> filteredTopK _,
     "s11_refine_rerank"   -> refineTopK _,
     "s10_mmr_diversify"   -> mmrDiversify _,
@@ -1108,6 +1201,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s13_mih_hamming"     -> mihSql,
     "s12_filtered_ann"    -> filteredSql,
     "s11_refine_rerank"   -> refineSql,
     "s10_mmr_diversify"   -> mmrSql,

@@ -613,4 +613,36 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
       "margins did not all read the persisted cells:\n" + p)
   }
+
+  test("q71: the fact table collapses into the price histogram BEFORE " +
+    "the window (partial agg + broadcast dim, no row-level window)") {
+    val p = plan(Relational.q71WeightedMedian(spark, sf))
+    assert(p.contains("partial_sum"),
+      "histogram agg does not combine map-side:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "part dim did not broadcast:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("s13: MIH candidates come from a broadcast hash join on " +
+    "(band, subcode) — never a nested-loop all-pairs scan") {
+    val p = plan(Similarity.mihHammingTopKDf(
+      graft.Tables.t(spark, sf, "embeddings")))
+    assert(p.contains("BroadcastHashJoin"),
+      "band index did not hash-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "s13 planned an all-pairs scan:\n" + p)
+  }
+
+  test("d16: the Levenshtein verifier joins the candidate relation — " +
+    "no cartesian, signature agg combines map-side") {
+    val p = plan(Dedup.editVerifyDf(
+      graft.Tables.t(spark, sf, "documents")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "d16 planned an all-pairs scan:\n" + p)
+    assert(p.contains("partial_min"),
+      "minhash signatures do not combine map-side:\n" + p)
+  }
 }

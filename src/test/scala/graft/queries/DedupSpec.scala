@@ -273,4 +273,29 @@ class DedupSpec extends SparkSpec {
     assert(row.getLong(3) === nF * 1000000L / nT)
     assert(row.getLong(4) === nF * 1000000L / nC)
   }
+
+  test("d16: edit verification certifies LSH candidates with exact " +
+      "Levenshtein on the normalized prefix") {
+    // classic DP Levenshtein as the in-memory reference
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val got = Dedup.editVerifyDf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val texts = docs.as[(Long, String)].collect().toMap
+      .map { case (k, v) => k -> v.toLowerCase.take(120) }
+    assert(got.map(r => (r._1, r._2)).contains((0L, 2L)))
+    for ((a, b, dist, isDup) <- got) {
+      assert(dist === lev(texts(a), texts(b)),
+        s"pair ($a,$b) distance mismatch")
+      assert(isDup === (if (dist * 10 <= 120) 1L else 0L))
+    }
+    // the exact copy certifies at distance 0
+    assert(got.find(r => (r._1, r._2) == (0L, 2L)).get._3 === 0L)
+  }
 }

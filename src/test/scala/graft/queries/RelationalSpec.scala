@@ -677,4 +677,30 @@ class RelationalSpec extends SparkSpec {
       assert(risk === (if (k < Relational.q70K) 1L else 0L))
     }
   }
+
+  test("q71: weighted median matches an in-memory recompute and sits " +
+      "at the cumulative-weight midpoint") {
+    import graft.Tables.t
+    val out = Relational.q71WeightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = t(spark, sf, "lineitem").join(
+        t(spark, sf, "part"),
+        org.apache.spark.sql.functions.expr("l_partkey = p_partkey"))
+      .selectExpr("p_brand",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).toSeq.map { case (brand, g) =>
+      val total = g.map(_._3).sum
+      val sorted = g.map(x => (x._2, x._3)).groupBy(_._1).toSeq
+        .map { case (c, ws) => (c, ws.map(_._2).sum) }.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.collectFirst {
+        case (c, w) if { cum += w; cum * 2 >= total } => c
+      }.get
+      (brand, total, med)
+    }.sortBy(_._1)
+    assert(out === want)
+    assert(out.nonEmpty)
+  }
 }

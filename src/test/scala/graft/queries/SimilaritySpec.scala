@@ -241,4 +241,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall { case (q, lbl, n0, _, _) =>
       q / 50 == lbl && n0 / 50 == lbl })
   }
+
+  test("s13: MIH finds every neighbor inside the pigeonhole radius " +
+      "with exact popcount distances; an all-bands-flipped vector " +
+      "(hamming 8) is correctly pruned") {
+    // deterministic ±1 vectors over 64 dims; `flips` negates those dims
+    def pm(flips: Set[Int]): Array[Float] = Array.tabulate(64) { i =>
+      val s = if (i % 3 == 0) 1f else -1f
+      if (flips(i)) -s else s
+    }
+    val rows = Seq(
+      (0L, pm(Set.empty), 0), // the only query (vec_id % 50 == 0)
+      (7L, pm(Set(1, 2, 3)), 0), // 3 flips in band 0 -> hamming 3
+      (11L, pm(Set(16, 17, 18, 19, 20)), 0), // 5 flips in band 2
+      (12L, pm((0 until 7).map(_ * 8).toSet), 0), // 7 bands touched
+      (9L, pm((0 until 8).map(_ * 8).toSet), 0)) // every band differs
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mihHammingTopKDf(rows)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    // hamming < 8 MUST share a band (pigeonhole over 8 bands); vec 9
+    // sits exactly AT distance 8 with one flip per band, so no band
+    // matches and MIH prunes it — the guarantee's sharp boundary
+    assert(got === Seq((0L, 7L, 3L, 1L), (0L, 11L, 5L, 2L),
+      (0L, 12L, 7L, 3L)))
+  }
 }
