@@ -1064,7 +1064,64 @@ object Graph {
        |ORDER BY role, score DESC, node""".stripMargin
   }
 
+  // ------------------------------------------------------------- g12
+  /** g12: joint degree distribution — edge counts between log₂-degree
+    * buckets of the two endpoints, per source role. The SCALABLE form
+    * of the assortativity audit (Newman 2002): a Pearson r over raw
+    * degrees needs Σ(deg_a·deg_b)²-class moments that overflow any
+    * fixed-width integer on a 10¹²-edge graph, while the joint bucket
+    * matrix is additive, bounded (≤ roles × 40 × 40 rows forever) and
+    * loses nothing a mixing analysis needs — compute r FROM the
+    * matrix if wanted, it is bucket-sized. Hub-heavy rows jump out as
+    * mass in (high, low) cells — the skew screen g06 gives per node,
+    * here per EDGE.
+    *
+    * Scale: one degree agg over the edge list, then the edge list
+    * re-joins the node-bucket relation on each endpoint — two
+    * node-keyed hash joins and a partial-agged count; nothing beyond
+    * edge-sized ever moves, no window anywhere. */
+  def jointDegree(s: SparkSession, dir: String): DataFrame =
+    jointDegreeDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def jointDegreeDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val und = undirectedEdges(lineitem, orders)
+    val b = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"),
+        expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("bucket"))
+    und.join(b.as("x"), col("src") === col("x.node"))
+      .join(b.as("y"), col("dst") === col("y.node"))
+      .select(
+        when(col("src") >= custOffset, "customer")
+          .otherwise("supplier").as("src_role"),
+        col("x.bucket").as("src_bucket"),
+        col("y.bucket").as("dst_bucket"))
+      .groupBy(col("src_role"), col("src_bucket"), col("dst_bucket"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("src_role", "src_bucket", "dst_bucket")
+  }
+
+  /** Twin: und is referenced three times (degree agg + both endpoint
+    * joins run off it), so it is MATERIALIZED here — the g03/d07
+    * re-inlining lesson. */
+  private val jointDegreeSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS MATERIALIZED (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst, src FROM pairs),
+       |b AS MATERIALIZED (
+       |  SELECT src AS node,
+       |    CAST(len(bin(CAST(COUNT(*) AS BIGINT))) - 1 AS BIGINT) AS bucket
+       |  FROM und GROUP BY src)
+       |SELECT CASE WHEN u.src >= $custOffset THEN 'customer'
+       |    ELSE 'supplier' END AS src_role,
+       |  x.bucket AS src_bucket, y.bucket AS dst_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_edges
+       |FROM und u JOIN b x ON u.src = x.node JOIN b y ON u.dst = y.node
+       |GROUP BY 1, 2, 3 ORDER BY src_role, src_bucket, dst_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_joint_degree" -> jointDegree _,
     "g11_hits" -> hits _,
     "g10_clustering" -> clusteringCoeff _,
     "g09_sssp" -> sssp _,
@@ -1078,6 +1135,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g12_joint_degree" -> jointDegreeSql,
     "g11_hits" -> hitsSql,
     "g10_clustering" -> clusteringCoeffSql,
     "g09_sssp" -> ssspSql,

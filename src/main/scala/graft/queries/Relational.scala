@@ -3104,8 +3104,96 @@ object Relational {
       |    AS wmedian_cents
       |FROM c GROUP BY 1 ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** q72: exact lag-k autocorrelation (k = 1..3) of each event type's
+    * daily revenue series — the seasonality/trend screen run before
+    * trusting any time-windowed metric. ACF is the q65 moment
+    * discipline applied to a self-joined series: with integer daily
+    * cents x_t, n days and S = Σx, every deviation n·x_t − S is an
+    * exact integer, so numerator Σ dev_t·dev_{t+k} and denominator
+    * Σ dev_t² are exact in 38-digit arithmetic and the ppm ratio is
+    * engine-identical. Negative numerators use an explicit
+    * sign-split floor (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they agree only on non-negative operands).
+    *
+    * Headroom: dev ≤ n·max(x); at 10³ days × 10¹² cents/day
+    * ($10 B/day) dev² ≈ 10³⁰ and the sum ≈ 10³³ — five digits spare
+    * in DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale: ONE fact pass (the daily agg, partial map-side); the
+    * deviations relation is (types × days)-sized and persisted, so
+    * the den pass and the single lag-dimension join all probe the
+    * tiny cache, never the corpus. Lag alignment is positional over
+    * observed days (gaps close ranks — spelled identically in the
+    * twin). */
+  def q72Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dd = daily.join(broadcast(stats), "event_type")
+      .withColumn("rn", row_number().over(byType).cast("long"))
+      .select(col("event_type"), col("rn"),
+        expr("CAST(n AS DECIMAL(38,0)) * x - CAST(s AS DECIMAL(38,0))")
+          .as("dev"))
+      .persist()
+    val den = dd.groupBy(col("event_type"))
+      .agg(sum(expr("dev * dev")).as("den"))
+      .join(broadcast(stats.select(col("event_type"), col("n").as("n_days"))),
+        "event_type")
+    val lagDim = s.range(1, 4).withColumnRenamed("id", "lag")
+    val num = dd.as("t").crossJoin(broadcast(lagDim))
+      .join(dd.as("u"),
+        col("u.event_type") === col("t.event_type") &&
+          col("u.rn") === col("t.rn") + col("lag"))
+      .groupBy(col("t.event_type"), col("lag"))
+      .agg(sum(expr("t.dev * u.dev")).as("num"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"),
+        expr("""CAST(CASE WHEN num < 0
+                THEN -((-num) * 1000000 div den)
+                ELSE num * 1000000 div den END AS BIGINT)""")
+          .as("acf_ppm"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val q72Sql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+      |       FROM daily GROUP BY 1),
+      |d AS MATERIALIZED (
+      |  SELECT daily.event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type
+      |      ORDER BY day) AS BIGINT) AS rn,
+      |    CAST(st.n AS HUGEINT) * x - CAST(st.s AS HUGEINT) AS dev
+      |  FROM daily JOIN st USING (event_type)),
+      |den AS (
+      |  SELECT d.event_type, SUM(dev * dev) AS den, MAX(st.n) AS n_days
+      |  FROM d JOIN st USING (event_type) GROUP BY 1),
+      |num AS (
+      |  SELECT t.event_type, k.lag, SUM(t.dev * u.dev) AS num
+      |  FROM d t CROSS JOIN (VALUES (1), (2), (3)) k(lag)
+      |  JOIN d u ON u.event_type = t.event_type AND u.rn = t.rn + k.lag
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+      |    ELSE num * 1000000 // den END AS BIGINT) AS acf_ppm
+      |FROM num JOIN den USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_autocorrelation" -> q72Autocorr _,
     "q71_weighted_median" -> q71WeightedMedian _,
     "q70_k_anonymity"     -> q70KAnonymity _,
     "q69_chi_square"      -> q69ChiSquare _,
@@ -3179,6 +3267,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q72_autocorrelation" -> q72Sql,
     "q71_weighted_median" -> q71Sql,
     "q70_k_anonymity"     -> q70Sql,
     "q69_chi_square"      -> q69Sql,

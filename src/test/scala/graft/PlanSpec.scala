@@ -635,6 +635,25 @@ class PlanSpec extends SparkSpec {
       "s13 planned an all-pairs scan:\n" + p)
   }
 
+  test("q72: deviations persist — den and the lag join probe the " +
+    "cache, never the fact table twice; stats broadcast") {
+    val p = plan(Relational.q72Autocorr(spark, sf))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "lag join or den pass re-derived the deviations:\n" + p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("g12: joint-degree matrix is two node-keyed hash joins + one " +
+    "partial-agged count — no window, no nested loop") {
+    val p = plan(graft.queries.Graph.jointDegree(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window"), "unexpected window:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "g12 planned an all-pairs scan:\n" + p)
+  }
+
   test("d16: the Levenshtein verifier joins the candidate relation — " +
     "no cartesian, signature agg combines map-side") {
     val p = plan(Dedup.editVerifyDf(

@@ -346,4 +346,26 @@ class GraphSpec extends SparkSpec {
     // coefficient is a ppm fraction: 0 ≤ c ≤ 1e6
     assert(out.forall { case (_, _, _, c) => c >= 0L && c <= 1000000L })
   }
+
+  test("g12: joint degree matrix matches an in-memory recompute and " +
+      "its mass equals the directed edge count") {
+    val out = Graph.jointDegree(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = t(spark, sf, "lineitem")
+      .join(t(spark, sf, "orders"), expr("l_orderkey = o_orderkey"))
+      .selectExpr("CAST(l_suppkey AS BIGINT)",
+        s"CAST(o_custkey + ${Graph.custOffset} AS BIGINT)")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def bucket(d: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(d)
+    val want = und.groupBy { case (s0, d0) =>
+        (if (s0 >= Graph.custOffset) "customer" else "supplier",
+          bucket(deg(s0)), bucket(deg(d0)))
+      }.toSeq
+      .map { case ((r0, bs, bd), g) => (r0, bs, bd, g.length.toLong) }
+      .sortBy(x => (x._1, x._2, x._3))
+    assert(out.toSeq === want)
+    assert(out.map(_._4).sum === und.length.toLong)
+  }
 }

@@ -678,6 +678,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q72: autocorrelation matches an exact BigInt recompute of the " +
+      "deviation products") {
+    import graft.Tables.t
+    val out = Relational.q72Autocorr(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = t(spark, sf, "events")
+      .selectExpr("event_type", "ts div 86400000000000",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val daily = rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((et, d), g) => (et, d, g.map(_._3).sum) }
+    for ((et, g) <- daily.groupBy(_._1)) {
+      val xs = g.sortBy(_._2).map(x => BigInt(x._3))
+      val n = BigInt(xs.length)
+      val sTot = xs.sum
+      val dev = xs.map(x => n * x - sTot)
+      val den = dev.map(d => d * d).sum
+      for (k <- 1 to 3) {
+        val num = (0 until xs.length - k).map(i => dev(i) * dev(i + k)).sum
+        val want =
+          if (num < 0) -((-num) * 1000000 / den) else num * 1000000 / den
+        assert(out((et, k.toLong)) === (xs.length.toLong, want.toLong),
+          s"type $et lag $k")
+      }
+    }
+    assert(out.size === daily.map(_._1).distinct.size * 3)
+  }
+
   test("q71: weighted median matches an in-memory recompute and sits " +
       "at the cumulative-weight midpoint") {
     import graft.Tables.t
