@@ -3191,8 +3191,100 @@ object Relational {
       |FROM num JOIN den USING (event_type)
       |ORDER BY event_type, lag""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** q73: first-/last-touch marketing attribution — each purchase's
+    * revenue assigned to the click/view touch that opened (first) or
+    * closed (last) its 24 h lookback window, `direct` when none. The
+    * revenue-allocation analytic every funnel report (q54) feeds.
+    *
+    * Scale shape — the q22/q25 as-of discipline: the naive
+    * formulation is an inequality join (purchases × all earlier
+    * touches per user — unbounded pair explosion on active users).
+    * Here each purchase explodes into its TWO covering day buckets
+    * and joins touches on (user, day) equi-keys with the 24 h window
+    * as a residual predicate — every join bucket is bounded by one
+    * user-day of touches. The per-purchase argmax/argmin are
+    * `max/min(struct(ts, id, type))` hash aggregates ((ts, id) is
+    * unique, so the struct order is total — no window, no float, no
+    * tie ambiguity). The oracle deliberately uses the definitional
+    * inequality join + ROW_NUMBER so the banded decomposition is
+    * checked against the definition, not a mirror (the q61 rule). */
+  def q73Attribution(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("pts"), col("cents"))
+    val tch = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("ts").as("tts"), col("event_type").as("typ"),
+        expr(s"ts div $dayNs").as("bday"))
+    val pb = p.withColumn("bday",
+      explode(array(expr(s"pts div $dayNs - 1"), expr(s"pts div $dayNs"))))
+    val touched = pb.join(tch, Seq("user_id", "bday"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - dayNs)
+      .groupBy(col("pid"))
+      .agg(
+        max(struct(col("tts"), col("tid"), col("typ"))).as("lastT"),
+        min(struct(col("tts"), col("tid"), col("typ"))).as("firstT"))
+      .select(col("pid"), col("lastT.typ").as("last_typ"),
+        col("firstT.typ").as("first_typ"))
+    val f = p.join(touched, Seq("pid"), "left")
+      .select(col("cents"),
+        coalesce(col("last_typ"), lit("direct")).as("last_typ"),
+        coalesce(col("first_typ"), lit("direct")).as("first_typ"))
+    f.select(lit("last").as("model"), col("last_typ").as("touch_type"),
+        col("cents"))
+      .unionByName(f.select(lit("first").as("model"),
+        col("first_typ").as("touch_type"), col("cents")))
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy("model", "touch_type")
+  }
+
+  private val q73Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) * 1000 AS tsn,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS pid, tsn AS pts, cents FROM e
+      |      WHERE event_type = 'purchase'),
+      |tch AS (SELECT user_id, event_id AS tid, tsn AS tts,
+      |          event_type AS typ
+      |        FROM e WHERE event_type IN ('click', 'view')),
+      |j AS (
+      |  SELECT p.pid, t.typ, t.tts, t.tid
+      |  FROM p JOIN tch t ON p.user_id = t.user_id
+      |    AND t.tts <= p.pts AND t.tts >= p.pts - 86400000000000),
+      |r AS (
+      |  SELECT pid, typ,
+      |    ROW_NUMBER() OVER (PARTITION BY pid
+      |      ORDER BY tts DESC, tid DESC) AS rl,
+      |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rf
+      |  FROM j),
+      |f AS (
+      |  SELECT p.pid, p.cents,
+      |    COALESCE(l.typ, 'direct') AS last_typ,
+      |    COALESCE(fi.typ, 'direct') AS first_typ
+      |  FROM p
+      |  LEFT JOIN (SELECT pid, typ FROM r WHERE rl = 1) l USING (pid)
+      |  LEFT JOIN (SELECT pid, typ FROM r WHERE rf = 1) fi USING (pid))
+      |SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |FROM (
+      |  SELECT 'last' AS model, last_typ AS touch_type, cents FROM f
+      |  UNION ALL
+      |  SELECT 'first' AS model, first_typ AS touch_type, cents FROM f)
+      |GROUP BY 1, 2 ORDER BY model, touch_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_attribution"     -> q73Attribution _,
     "q72_autocorrelation" -> q72Autocorr _,
     "q71_weighted_median" -> q71WeightedMedian _,
     "q70_k_anonymity"     -> q70KAnonymity _,
@@ -3267,6 +3359,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q73_attribution"     -> q73Sql,
     "q72_autocorrelation" -> q72Sql,
     "q71_weighted_median" -> q71Sql,
     "q70_k_anonymity"     -> q70Sql,

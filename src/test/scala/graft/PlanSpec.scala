@@ -644,6 +644,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q73: the 24 h lookback is a banded EQUI-join on (user, day) — " +
+    "never an inequality nested loop") {
+    val p = plan(Relational.q73Attribution(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "q73 planned the unbounded inequality join:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("g12: joint-degree matrix is two node-keyed hash joins + one " +
     "partial-agged count — no window, no nested loop") {
     val p = plan(graft.queries.Graph.jointDegree(spark, sf))

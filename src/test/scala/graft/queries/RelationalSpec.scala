@@ -678,6 +678,44 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q73: attribution matches an in-memory first/last-touch " +
+      "recompute over the raw event log") {
+    import graft.Tables.t
+    val dayNs = 86400000000000L
+    val out = Relational.q73Attribution(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type", "ts",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    val rows = for {
+      (u, _, et, pts, cents) <- ev.toSeq if et == "purchase"
+      p = (pts, cents)
+    } yield {
+      val touches = byUser(u).filter(x =>
+        (x._3 == "click" || x._3 == "view") &&
+          x._4 <= p._1 && x._4 >= p._1 - dayNs)
+        .map(x => (x._4, x._2, x._3)).sorted
+      val lastT = if (touches.isEmpty) "direct" else touches.last._3
+      val firstT = if (touches.isEmpty) "direct" else touches.head._3
+      (lastT, firstT, p._2)
+    }
+    val want =
+      (rows.map(r => ("last", r._1, r._3)) ++
+        rows.map(r => ("first", r._2, r._3)))
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(out === want)
+    assert(out.nonEmpty)
+    // both models allocate exactly the total purchase revenue
+    val total = rows.map(_._3).sum
+    for (m <- Seq("first", "last"))
+      assert(out.collect { case ((`m`, _), (_, c)) => c }.sum === total)
+  }
+
   test("q72: autocorrelation matches an exact BigInt recompute of the " +
       "deviation products") {
     import graft.Tables.t
