@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: recognize the declarative sliding-window (as-of /
+  * lookback) inequality join
+  *
+  * {{{ a.join(b, keyEq... && b.t <= a.t && b.t >= a.t - W) }}}
+  *
+  * — what users naturally write for "events of `b` in the `W`-window
+  * before each row of `a`" — and rewrite it into the banded form: the
+  * anchor side explodes into its two covering `W`-width time buckets,
+  * the ranged side computes its single bucket, and the join gains a
+  * bucket EQUI-key with the original range predicates kept as
+  * residual. Every join bucket is then bounded by one (key, window)
+  * cell of rows instead of a full per-key (or, with no equi key, full
+  * cartesian) pairing:
+  *
+  *  - with equi keys, Spark plans the naive form as a hash/SMJ on the
+  *    keys and filters the range per key-group pair — O(|a_k|·|b_k|)
+  *    per key, unbounded on active keys;
+  *  - with NO equi key it plans BroadcastNestedLoopJoin — O(|a|·|b|).
+  *
+  * After the rewrite both plan as hash joins on the bucket key. The
+  * result multiset is IDENTICAL: a matching pair agrees on exactly
+  * one of the anchor's two buckets (the ranged row's own), so no
+  * duplicates are introduced, and the retained original predicates
+  * filter exactly as before (including null semantics — a null
+  * timestamp produces a null bucket, which fails the added equi-key
+  * just as the null range predicate failed the original join).
+  *
+  * Safety conditions (no rewrite otherwise):
+  *  - INNER join only (the anchor-row duplication is invisible only
+  *    when unmatched rows don't survive);
+  *  - the two range conjuncts bound one LongType attribute of one
+  *    side to a closed-or-open window `[t − W, t]` of a LongType
+  *    attribute of the other side, `W` a positive integer literal
+  *    (strict variants accepted — the bucket containment argument
+  *    only needs the interval length ≤ W);
+  *  - the condition does not already carry this rule's band key (the
+  *    fixed-point guard);
+  *  - `graft.rangejoin.rewrite.enabled` (default true) is not false.
+  *
+  * Bucketing uses true floor division `(t − pmod(t, W)) div W` (not
+  * `div`'s truncation toward zero), so negative timestamps band
+  * correctly. The q73/q22 manual decomposition is this rule applied
+  * by hand; with the rule installed the manual form is no longer
+  * required — q73 ships the naive spelling and gets this plan.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val enabledKey = "graft.rangejoin.rewrite.enabled"
+  private val bandName = "__graft_band"
+  private val bucketName = "__graft_rbucket"
+
+  /** `(ranged, anchor)` for `ranged <= anchor` / `ranged < anchor`. */
+  private def asUpper(e: Expression)
+      : Seq[(AttributeReference, AttributeReference)] = e match {
+    case LessThanOrEqual(r: AttributeReference, l: AttributeReference) =>
+      Seq((r, l))
+    case LessThan(r: AttributeReference, l: AttributeReference) => Seq((r, l))
+    case GreaterThanOrEqual(l: AttributeReference, r: AttributeReference) =>
+      Seq((r, l))
+    case GreaterThan(l: AttributeReference, r: AttributeReference) =>
+      Seq((r, l))
+    case _ => Seq.empty
+  }
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** `(ranged, anchor, W)` for `ranged >= anchor − W` (or strict, or
+    * the `ranged + W >= anchor` spelling). */
+  private def asLower(e: Expression)
+      : Seq[(AttributeReference, AttributeReference, Long)] = e match {
+    case GreaterThanOrEqual(r: AttributeReference,
+        Subtract(l: AttributeReference, w, _)) =>
+      litLong(w).map((r, l, _)).toSeq
+    case GreaterThan(r: AttributeReference,
+        Subtract(l: AttributeReference, w, _)) =>
+      litLong(w).map((r, l, _)).toSeq
+    case LessThanOrEqual(Subtract(l: AttributeReference, w, _),
+        r: AttributeReference) =>
+      litLong(w).map((r, l, _)).toSeq
+    case LessThan(Subtract(l: AttributeReference, w, _),
+        r: AttributeReference) =>
+      litLong(w).map((r, l, _)).toSeq
+    case GreaterThanOrEqual(Add(r: AttributeReference, w, _),
+        l: AttributeReference) =>
+      litLong(w).map((r, l, _)).toSeq
+    case LessThanOrEqual(l: AttributeReference,
+        Add(r: AttributeReference, w, _)) =>
+      litLong(w).map((r, l, _)).toSeq
+    case _ => Seq.empty
+  }
+
+  /** True floor-division bucket of `t` at width `w` — exact on longs,
+    * floor (not truncate-toward-zero) for negatives. */
+  private def bucket(t: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(t, Pmod(t, Literal(w))), Literal(w))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(enabledKey, "true").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !cond.references.exists(_.name == bandName) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val windows = for {
+          c1 <- conjuncts; (ru, au) <- asUpper(c1)
+          c2 <- conjuncts; (rl, al, w) <- asLower(c2)
+          if c1 != c2 && ru.exprId == rl.exprId && au.exprId == al.exprId &&
+            w > 0 && ru.dataType == LongType && au.dataType == LongType &&
+            ((left.outputSet.contains(au) && right.outputSet.contains(ru)) ||
+              (right.outputSet.contains(au) && left.outputSet.contains(ru)))
+        } yield (ru, au, w)
+        windows.headOption match {
+          case Some((ranged, anchor, w)) =>
+            val anchorOnLeft = left.outputSet.contains(anchor)
+            val (anchorSide, rangedSide) =
+              if (anchorOnLeft) (left, right) else (right, left)
+            // anchor side: explode into the two covering buckets
+            val b = bucket(anchor, w)
+            val gen = Explode(CreateArray(Seq(
+              Subtract(b, Literal(1L)), b)))
+            val el = gen.elementSchema.fields.head
+            val bandAttr = AttributeReference(bandName, el.dataType,
+              el.nullable)()
+            val banded = Generate(gen, Nil, outer = false, None,
+              Seq(bandAttr), anchorSide)
+            // ranged side: its single bucket
+            val bAlias = Alias(bucket(ranged, w), bucketName)()
+            val bucketed = Project(rangedSide.output :+ bAlias, rangedSide)
+            val newCond = (EqualTo(bandAttr, bAlias.toAttribute) +:
+              conjuncts).reduce(And)
+            val newJoin =
+              if (anchorOnLeft) Join(banded, bucketed, Inner, Some(newCond), hint)
+              else Join(bucketed, banded, Inner, Some(newCond), hint)
+            Project(j.output, newJoin)
+          case _ => j
+        }
+    }
+  }
+}

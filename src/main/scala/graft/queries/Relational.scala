@@ -3197,18 +3197,19 @@ object Relational {
     * closed (last) its 24 h lookback window, `direct` when none. The
     * revenue-allocation analytic every funnel report (q54) feeds.
     *
-    * Scale shape — the q22/q25 as-of discipline: the naive
-    * formulation is an inequality join (purchases × all earlier
-    * touches per user — unbounded pair explosion on active users).
-    * Here each purchase explodes into its TWO covering day buckets
-    * and joins touches on (user, day) equi-keys with the 24 h window
-    * as a residual predicate — every join bucket is bounded by one
-    * user-day of touches. The per-purchase argmax/argmin are
-    * `max/min(struct(ts, id, type))` hash aggregates ((ts, id) is
-    * unique, so the struct order is total — no window, no float, no
-    * tie ambiguity). The oracle deliberately uses the definitional
-    * inequality join + ROW_NUMBER so the banded decomposition is
-    * checked against the definition, not a mirror (the q61 rule). */
+    * Scale shape — the q22/q25 as-of discipline, now applied BY THE
+    * OPTIMIZER: the Spark side is written as the natural inequality
+    * join (touches in `[pts − 24 h, pts]` per user — exactly what the
+    * oracle says), and [[graft.plans.RangeJoinRewrite]] rewrites it
+    * into the banded form (purchases explode into their two covering
+    * day buckets, touches join on the (user, bucket) equi-key with
+    * the window as residual) — every join bucket bounded by one
+    * user-day of touches, plan-pinned via the `__graft_band` key.
+    * The per-purchase argmax/argmin are `max/min(struct(ts, id,
+    * type))` hash aggregates ((ts, id) is unique, so the struct order
+    * is total — no window, no float, no tie ambiguity). The oracle
+    * uses the same definitional inequality join + ROW_NUMBER, so the
+    * rewrite is checked against the definition (the q61 rule). */
   def q73Attribution(s: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400000000000L
     val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
@@ -3218,14 +3219,11 @@ object Relational {
       .select(col("user_id"), col("event_id").as("pid"),
         col("ts").as("pts"), col("cents"))
     val tch = e.filter(col("event_type").isin("click", "view"))
-      .select(col("user_id"), col("event_id").as("tid"),
-        col("ts").as("tts"), col("event_type").as("typ"),
-        expr(s"ts div $dayNs").as("bday"))
-    val pb = p.withColumn("bday",
-      explode(array(expr(s"pts div $dayNs - 1"), expr(s"pts div $dayNs"))))
-    val touched = pb.join(tch, Seq("user_id", "bday"))
-      .filter(col("tts") <= col("pts") &&
-        col("tts") >= col("pts") - dayNs)
+      .select(col("user_id").as("tu"), col("event_id").as("tid"),
+        col("ts").as("tts"), col("event_type").as("typ"))
+    val touched = p.join(tch,
+        col("user_id") === col("tu") &&
+          col("tts") <= col("pts") && col("tts") >= col("pts") - dayNs)
       .groupBy(col("pid"))
       .agg(
         max(struct(col("tts"), col("tid"), col("typ"))).as("lastT"),
@@ -3282,8 +3280,62 @@ object Relational {
       |  SELECT 'first' AS model, first_typ AS touch_type, cents FROM f)
       |GROUP BY 1, 2 ORDER BY model, touch_type""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** q74: surge context — for every audited purchase (every 10th),
+    * the count of platform-wide events and distinct active users in
+    * the 60 s before it. The "was the system busy when this
+    * happened" feature a fraud/load model joins onto each
+    * transaction.
+    *
+    * This is the KEYLESS window join — no user equi-key at all — the
+    * shape Spark plans as BroadcastNestedLoopJoin (O(|purchases| ×
+    * |events|), the worst plan in the engine's repertoire).
+    * [[graft.plans.RangeJoinRewrite]] turns it into a hash join on
+    * the 60 s bucket: written naively, planned banded, plan-pinned
+    * BNLJ-free. The inner window join drops empty-context purchases;
+    * a purchase-keyed left join restores them with zero counts. */
+  def q74SurgeWindow(s: SparkSession, dir: String): DataFrame = {
+    val minNs = 60000000000L
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"))
+    val p = e.filter(col("event_type") === "purchase" &&
+        col("event_id") % 10 === 0)
+      .select(col("event_id").as("pid"), col("ts").as("pts"))
+    val x = e.select(col("event_id").as("eid"), col("user_id").as("eu"),
+      col("ts").as("ets"))
+    val ctx = p.join(x,
+        col("ets") <= col("pts") && col("ets") >= col("pts") - minNs &&
+          col("eid") =!= col("pid"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("ne"), countDistinct(col("eu")).as("nu"))
+    p.join(ctx, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("ne"), lit(0L)).as("n_events"),
+        coalesce(col("nu"), lit(0L)).as("n_users"))
+      .orderBy("pid")
+  }
+
+  private val q74Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) * 1000 AS tsn
+      |  FROM events),
+      |p AS (SELECT event_id AS pid, tsn AS pts FROM e
+      |      WHERE event_type = 'purchase' AND event_id % 10 = 0),
+      |j AS (
+      |  SELECT p.pid, x.user_id
+      |  FROM p JOIN e x ON x.tsn <= p.pts
+      |    AND x.tsn >= p.pts - 60000000000 AND x.event_id <> p.pid),
+      |a AS (
+      |  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM j GROUP BY pid)
+      |SELECT p.pid, COALESCE(a.n_events, 0) AS n_events,
+      |  COALESCE(a.n_users, 0) AS n_users
+      |FROM p LEFT JOIN a USING (pid) ORDER BY pid""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_surge_window"    -> q74SurgeWindow _,
     "q73_attribution"     -> q73Attribution _,
     "q72_autocorrelation" -> q72Autocorr _,
     "q71_weighted_median" -> q71WeightedMedian _,
@@ -3359,6 +3411,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q74_surge_window"    -> q74Sql,
     "q73_attribution"     -> q73Sql,
     "q72_autocorrelation" -> q72Sql,
     "q71_weighted_median" -> q71Sql,

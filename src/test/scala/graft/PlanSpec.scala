@@ -644,13 +644,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("q73: the 24 h lookback is a banded EQUI-join on (user, day) — " +
-    "never an inequality nested loop") {
+  test("q73: the naive 24 h lookback join is auto-banded by " +
+    "RangeJoinRewrite — band key present, no inequality nested loop") {
     val p = plan(Relational.q73Attribution(spark, sf))
+    assert(p.contains("__graft_band"),
+      "RangeJoinRewrite did not fire on q73:\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "q73 planned the unbounded inequality join:\n" + p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q74: the KEYLESS 60 s window join — BNLJ territory — plans as " +
+    "a banded hash join via RangeJoinRewrite") {
+    val p = plan(Relational.q74SurgeWindow(spark, sf))
+    assert(p.contains("__graft_band"),
+      "RangeJoinRewrite did not fire on q74:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "q74 planned the keyless nested loop:\n" + p)
   }
 
   test("g12: joint-degree matrix is two node-keyed hash joins + one " +
