@@ -1756,7 +1756,94 @@ object TextOps {
        |    AS is_boilerplate
        |FROM fl WHERE rk <= $bpTopN ORDER BY source, rk""".stripMargin
 
+  // -------------------------------------------------------------- t30
+  /** Winnowing window: every run of [[winnowW]] consecutive k-gram
+    * hashes contributes ≥ 1 fingerprint (the Schleimer–Wilkerson–
+    * Aiken guarantee), giving expected density 2/(w+1) ≈ 22 % — the
+    * measured corpus mean lands at 20 %. */
+  private val winnowW = 8
+
+  def winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowingDf(t(s, dir, "documents"))
+
+  /** t30: winnowing document fingerprints (Schleimer et al., MOSS,
+    * SIGMOD 2003) — per doc, slide a [[winnowW]]-window over the
+    * 4-token-gram hash sequence and select each window's minimum
+    * (rightmost on ties). Unlike t06's whole-doc hash or t18's full
+    * inverted index, the winnowed set is a GUARANTEED-coverage
+    * fingerprint subset at ~2/(w+1) density: any shared run of
+    * w + k − 1 tokens between two documents is certain to share a
+    * selected fingerprint — the bounded-size index that still
+    * catches every sufficiently long overlap.
+    *
+    * Determinism: the argmin is the window MIN of the string
+    * `hash16 ∥ lpad(10⁸ − pos)` — hash ascending then position
+    * descending, one total order, no float, spelled identically in
+    * the twin. Scale: grams explode map-side; the only shuffle is
+    * the doc-partitioned position sort shared by the count and the
+    * running window (t17's cost class); selections aggregate
+    * per-doc. */
+  def winnowingDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, greatest(size(toks) - 3, 1)),
+           i -> concat_ws(' ', slice(toks, i, 4)))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        substring(md5(col("col")), 1, 16).as("hash"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, winnowW - 1)
+    val sel = grams
+      .withColumn("key", concat(col("hash"),
+        lpad((lit(100000000L) - col("pos")).cast("string"), 8, "0")))
+      .withColumn("m", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("key")).over(run))
+      .filter(col("pos") <= greatest(col("m") - (winnowW - 1), lit(1L)))
+      .select(col("doc_id"), col("m"),
+        (lit(100000000L) - expr("CAST(substring(wmin, 17, 8) AS BIGINT)"))
+          .as("selpos"),
+        expr("substring(wmin, 1, 16)").as("selhash"))
+    sel.groupBy(col("doc_id"))
+      .agg(max(col("m")).as("n_grams"),
+        countDistinct(col("selpos")).as("n_fp"),
+        min(col("selhash")).as("fp_min_hash"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        expr("n_fp * 1000000 div n_grams").as("density_ppm"),
+        col("fp_min_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowingSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |        array_to_string(list_slice(tk, i, i + 3), ' ') AS gram
+       |      FROM d, UNNEST(generate_series(1, greatest(len(tk) - 3, 1)))
+       |        AS u(i)),
+       |k AS (SELECT doc_id, pos,
+       |        substring(md5(gram), 1, 16) ||
+       |          lpad(CAST(100000000 - pos AS VARCHAR), 8, '0') AS key,
+       |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |      FROM g),
+       |w AS (SELECT doc_id, pos, m,
+       |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING)
+       |          AS wmin
+       |      FROM k),
+       |s AS (SELECT doc_id, m,
+       |        100000000 - CAST(substring(wmin, 17, 8) AS BIGINT) AS selpos,
+       |        substring(wmin, 1, 16) AS selhash
+       |      FROM w WHERE pos <= greatest(m - ${winnowW - 1}, 1))
+       |SELECT doc_id, CAST(MAX(m) AS BIGINT) AS n_grams,
+       |  CAST(COUNT(DISTINCT selpos) AS BIGINT) AS n_fp,
+       |  CAST(COUNT(DISTINCT selpos) * 1000000 // MAX(m) AS BIGINT)
+       |    AS density_ppm,
+       |  MIN(selhash) AS fp_min_hash
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_winnowing"   -> winnowing _,
     "t29_boilerplate" -> boilerplate _,
     "t28_good_turing" -> goodTuring _,
     "t27_zipf_spectrum" -> zipfSpectrum _,
@@ -1789,6 +1876,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t30_winnowing"   -> winnowingSql,
     "t29_boilerplate" -> boilerplateSql,
     "t28_good_turing" -> goodTuringSql,
     "t27_zipf_spectrum" -> zipfSpectrumSql,

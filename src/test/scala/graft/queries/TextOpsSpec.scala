@@ -412,4 +412,61 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count { case (s0, _, _, _, _, flag) =>
       s0 == "A" && flag == 1L } == 1)
   }
+
+  test("t30: winnowing matches an in-memory reference and honors the " +
+      "coverage guarantee (shared 11-token run => shared fingerprint)") {
+    def md5hex16(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(16)
+    }
+    val w = 8
+    // returns (n_grams, selected (pos, hash) set)
+    def winnow(text: String): (Long, Set[(Long, String)]) = {
+      val tk = text.split(" ", -1)
+      val n = math.max(tk.length - 3, 1)
+      val hashes = (1 to n).map(i =>
+        md5hex16(tk.slice(i - 1, math.min(i + 3, tk.length)).mkString(" ")))
+      val starts = 1 to math.max(n - (w - 1), 1)
+      val sel = starts.map { i =>
+        val win = (i until math.min(i + w, n + 1)).map(p =>
+          (hashes(p - 1), -(p.toLong)))
+        val m0 = win.min
+        (-m0._2, m0._1)
+      }.toSet
+      (n.toLong, sel)
+    }
+    val shared = "q w e r t y u i o p k" // 11 tokens = w + k - 1
+    val docs = Seq(
+      (0L, "alpha beta gamma " + shared + " delta epsilon zeta eta theta"),
+      (1L, "one two three four five six " + shared + " seven eight nine"),
+      (2L, "short doc"),
+      (3L, "unrelated words entirely disjoint from the others here now"))
+      .map { case (id, t0) => (id, t0, "en", "web", t0.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.winnowingDf(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val ref = Map(0L -> winnow(docs.as[(Long, String, String, String, Long)]
+        .collect().find(_._1 == 0L).get._2),
+      1L -> winnow("one two three four five six " + shared +
+        " seven eight nine"),
+      2L -> winnow("short doc"),
+      3L -> winnow("unrelated words entirely disjoint from the others " +
+        "here now"))
+    for ((id, (n, sel)) <- ref) {
+      val (_, ng, nfp, dens, fpMin) = out(id)
+      assert(ng === n, s"doc $id gram count")
+      assert(nfp === sel.map(_._1).size.toLong, s"doc $id fp count")
+      assert(dens === nfp * 1000000L / ng)
+      assert(fpMin === sel.map(_._2).min, s"doc $id min hash")
+    }
+    // the guarantee: docs 0 and 1 share an 11-token run, so their
+    // selected HASH sets must intersect
+    val h0 = ref(0L)._2.map(_._2)
+    val h1 = ref(1L)._2.map(_._2)
+    assert((h0 & h1).nonEmpty, "coverage guarantee violated")
+    // and the engine's fingerprint counts came from the same selection
+    assert(out(0L)._3 === ref(0L)._2.map(_._1).size.toLong)
+  }
 }
