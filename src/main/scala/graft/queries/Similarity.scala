@@ -1184,8 +1184,103 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- s14: MIH recall audit
+  def mihRecall(s: SparkSession, dir: String): DataFrame =
+    mihRecallDf(t(s, dir, "embeddings"))
+
+  /** s14: measured index quality for the s13 tier — the d15/s09
+    * discipline applied to the binary codes: exact brute-force
+    * Hamming top-k over the SAME sign codes is the truth, s13's
+    * multi-index candidates the approximation, and the one-row output
+    * is the exact-ppm recall a production deployment checks before
+    * trusting the band layout. The pigeonhole guarantee only covers
+    * distance < 8; this measures what the pruning costs BEYOND it.
+    *
+    * Scale: the truth side is bounded-queries × corpus over 9-int
+    * code rows (integer popcount in codegen, the s01 budget at 1/8th
+    * the width); everything downstream is (queries × k)-sized. */
+  def mihRecallDf(embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val coded = e.select(col("vec_id") +:
+      (0 until mihNumBands).map(b => mihWord(b).as(s"w$b")): _*)
+    val ham = (0 until mihNumBands)
+      .map(b => expr(s"bit_count(x.w$b ^ y.w$b)").cast("long"))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val truth = broadcast(coded.filter(isQuery)).as("x")
+      .join(coded.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"),
+        col("y.vec_id").as("neighbor_id"), ham.as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("t"))
+    val approx = mihHammingTopKDf(embs)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("c"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_approx"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_found"))
+      .select(col("n_truth"), col("n_approx"), col("n_found"),
+        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+  }
+
+  private val mihRecallSql: String = {
+    val words = (0 until mihNumBands).map(b =>
+      s"CAST(list_sum(list_transform(generate_series(0, ${mihBandBits - 1}), " +
+        s"i -> CASE WHEN CAST(embedding[i + ${b * mihBandBits} + 1] AS DOUBLE) > 0 " +
+        s"THEN (1 << i) ELSE 0 END)) AS INTEGER) AS w$b").mkString(", ")
+    val bandCase = (0 until mihNumBands).map(b => s"WHEN $b THEN w$b").mkString(" ")
+    val vals = (0 until mihNumBands).map(b => s"($b)").mkString(", ")
+    val ham = (0 until mihNumBands)
+      .map(b => s"bit_count(xor(x.w$b, y.w$b))").mkString(" + ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $words FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $ham, y.vec_id) AS BIGINT) AS rank
+       |    FROM e x JOIN e y ON x.vec_id <> y.vec_id
+       |    WHERE x.vec_id % $queryStride = 0
+       |      AND x.vec_id < ${queryStride.toLong * maxQueries})
+       |  WHERE rank <= $topK),
+       |bands AS MATERIALIZED (
+       |  SELECT vec_id, b.band, CASE b.band $bandCase END AS sub
+       |  FROM e CROSS JOIN (VALUES $vals) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c
+       |    ON q.band = c.band AND q.sub = c.sub AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+       |    FROM (SELECT cand.query_id, cand.neighbor_id,
+       |            CAST($ham AS BIGINT) AS hamming
+       |          FROM cand JOIN e x ON cand.query_id = x.vec_id
+       |                    JOIN e y ON cand.neighbor_id = y.vec_id))
+       |  WHERE rank <= $topK),
+       |j AS (
+       |  SELECT CASE WHEN t.query_id IS NOT NULL THEN 1 END AS t,
+       |    CASE WHEN c.query_id IS NOT NULL THEN 1 END AS c
+       |  FROM truth t FULL OUTER JOIN approx c
+       |    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id)
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       |  CAST(SUM(c) AS BIGINT) AS n_approx,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
+       |    ELSE 0 END) * 1000000 // SUM(t) AS BIGINT) AS recall_ppm
+       |FROM j""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_mih_recall"      -> mihRecall _,
     "s13_mih_hamming"     -> mihHammingTopK _,
     "s12_filtered_ann"    -> filteredTopK _,
     "s11_refine_rerank"   -> refineTopK _,
@@ -1201,6 +1296,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s14_mih_recall"      -> mihRecallSql,
     "s13_mih_hamming"     -> mihSql,
     "s12_filtered_ann"    -> filteredSql,
     "s11_refine_rerank"   -> refineSql,
