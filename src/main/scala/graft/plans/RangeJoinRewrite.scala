@@ -7,12 +7,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: recognize the declarative sliding-window (as-of /
-  * lookback) inequality join
+  * lookback / symmetric-interval) inequality join
   *
-  * {{{ a.join(b, keyEq... && b.t <= a.t && b.t >= a.t - W) }}}
+  * {{{ a.join(b, keyEq... && b.t <= a.t + W2 && b.t >= a.t - W1) }}}
   *
-  * — what users naturally write for "events of `b` in the `W`-window
-  * before each row of `a`" — and rewrite it into the banded form: the
+  * (`W2 = 0` is the as-of lookback; `W1 = W2` the symmetric fuzzy
+  * timestamp match) — what users naturally write for "events of `b`
+  * within the window around each row of `a`" — and rewrite it into
+  * the banded form: the
   * anchor side explodes into its two covering `W`-width time buckets,
   * the ranged side computes its single bucket, and the join gains a
   * bucket EQUI-key with the original range predicates kept as
@@ -37,10 +39,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *  - INNER join only (the anchor-row duplication is invisible only
   *    when unmatched rows don't survive);
   *  - the two range conjuncts bound one LongType attribute of one
-  *    side to a closed-or-open window `[t − W, t]` of a LongType
-  *    attribute of the other side, `W` a positive integer literal
-  *    (strict variants accepted — the bucket containment argument
-  *    only needs the interval length ≤ W);
+  *    side to a closed-or-open window `[t − W1, t + W2]` of a
+  *    LongType attribute of the other side, `W1, W2 ≥ 0` integer
+  *    literals with `W1 + W2 > 0` (strict variants accepted — the
+  *    bucket containment argument only needs the interval length
+  *    ≤ W1 + W2);
   *  - the condition does not already carry this rule's band key (the
   *    fixed-point guard);
   *  - `graft.rangejoin.rewrite.enabled` (default true) is not false.
@@ -57,23 +60,43 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val bandName = "__graft_band"
   private val bucketName = "__graft_rbucket"
 
-  /** `(ranged, anchor)` for `ranged <= anchor` / `ranged < anchor`. */
-  private def asUpper(e: Expression)
-      : Seq[(AttributeReference, AttributeReference)] = e match {
-    case LessThanOrEqual(r: AttributeReference, l: AttributeReference) =>
-      Seq((r, l))
-    case LessThan(r: AttributeReference, l: AttributeReference) => Seq((r, l))
-    case GreaterThanOrEqual(l: AttributeReference, r: AttributeReference) =>
-      Seq((r, l))
-    case GreaterThan(l: AttributeReference, r: AttributeReference) =>
-      Seq((r, l))
-    case _ => Seq.empty
-  }
-
   private def litLong(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case _ => None
+  }
+
+  /** `(ranged, anchor, W2)` for `ranged <= anchor + W2` (W2 = 0 for
+    * the plain `ranged <= anchor`; strict variants accepted). */
+  private def asUpper(e: Expression)
+      : Seq[(AttributeReference, AttributeReference, Long)] = e match {
+    case LessThanOrEqual(r: AttributeReference, l: AttributeReference) =>
+      Seq((r, l, 0L))
+    case LessThan(r: AttributeReference, l: AttributeReference) =>
+      Seq((r, l, 0L))
+    case GreaterThanOrEqual(l: AttributeReference, r: AttributeReference) =>
+      Seq((r, l, 0L))
+    case GreaterThan(l: AttributeReference, r: AttributeReference) =>
+      Seq((r, l, 0L))
+    case LessThanOrEqual(r: AttributeReference,
+        Add(l: AttributeReference, w, _)) =>
+      litLong(w).map((r, l, _)).toSeq
+    case LessThan(r: AttributeReference,
+        Add(l: AttributeReference, w, _)) =>
+      litLong(w).map((r, l, _)).toSeq
+    case GreaterThanOrEqual(Add(l: AttributeReference, w, _),
+        r: AttributeReference) =>
+      litLong(w).map((r, l, _)).toSeq
+    case GreaterThan(Add(l: AttributeReference, w, _),
+        r: AttributeReference) =>
+      litLong(w).map((r, l, _)).toSeq
+    case LessThanOrEqual(Subtract(r: AttributeReference, w, _),
+        l: AttributeReference) =>
+      litLong(w).map((r, l, _)).toSeq
+    case GreaterThanOrEqual(l: AttributeReference,
+        Subtract(r: AttributeReference, w, _)) =>
+      litLong(w).map((r, l, _)).toSeq
+    case _ => Seq.empty
   }
 
   /** `(ranged, anchor, W)` for `ranged >= anchor − W` (or strict, or
@@ -113,22 +136,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if !cond.references.exists(_.name == bandName) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val windows = for {
-          c1 <- conjuncts; (ru, au) <- asUpper(c1)
-          c2 <- conjuncts; (rl, al, w) <- asLower(c2)
+          c1 <- conjuncts; (ru, au, w2) <- asUpper(c1)
+          c2 <- conjuncts; (rl, al, w1) <- asLower(c2)
           if c1 != c2 && ru.exprId == rl.exprId && au.exprId == al.exprId &&
-            w > 0 && ru.dataType == LongType && au.dataType == LongType &&
+            w1 >= 0 && w2 >= 0 && w1 + w2 > 0 &&
+            ru.dataType == LongType && au.dataType == LongType &&
             ((left.outputSet.contains(au) && right.outputSet.contains(ru)) ||
               (right.outputSet.contains(au) && left.outputSet.contains(ru)))
-        } yield (ru, au, w)
+        } yield (ru, au, w1, w2)
         windows.headOption match {
-          case Some((ranged, anchor, w)) =>
+          case Some((ranged, anchor, w1, w2)) =>
+            val w = w1 + w2
             val anchorOnLeft = left.outputSet.contains(anchor)
             val (anchorSide, rangedSide) =
               if (anchorOnLeft) (left, right) else (right, left)
-            // anchor side: explode into the two covering buckets
-            val b = bucket(anchor, w)
+            // anchor side: explode into the two buckets covering
+            // [anchor − W1, anchor + W2] — an interval of length
+            // exactly W = W1 + W2, so it spans at most two W-buckets
+            // starting at the lower end's bucket
+            val base = bucket(
+              if (w1 == 0) anchor else Subtract(anchor, Literal(w1)), w)
             val gen = Explode(CreateArray(Seq(
-              Subtract(b, Literal(1L)), b)))
+              base, Add(base, Literal(1L)))))
             val el = gen.elementSchema.fields.head
             val bandAttr = AttributeReference(bandName, el.dataType,
               el.nullable)()

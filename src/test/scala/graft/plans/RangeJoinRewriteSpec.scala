@@ -81,6 +81,50 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("symmetric interval |rt - at| <= W bands as a two-sided window") {
+    def sym(): (String, Seq[(Long, Long)]) = {
+      val df = anchors.as("a").join(ranged.as("r"),
+        col("r.rt") <= col("a.at") + W && col("r.rt") >= col("a.at") - W)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    }
+    val (plan, got) = withRule(on = true)(sym())
+    assert(plan.contains("__graft_band"),
+      "two-sided window not recognized:\n" + plan)
+    val (_, want) = withRule(on = false)(sym())
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("property: random rows / widths / spellings — rewrite-on equals " +
+      "rewrite-off (50 randomized cases)") {
+    val rnd = new scala.util.Random(20260815L)
+    for (c <- 1 to 50) {
+      val n = 5 + rnd.nextInt(30)
+      val m = 5 + rnd.nextInt(60)
+      val span = 1 + rnd.nextInt(400)
+      val a = (0 until n).map(i =>
+        (i.toLong, rnd.nextLong(span) - span / 2)).toDF("aid", "at")
+      val r = (0 until m).map(i =>
+        (i.toLong, rnd.nextLong(span) - span / 2)).toDF("rid", "rt")
+      val w1 = rnd.nextInt(60).toLong
+      val w2 = if (w1 == 0) 1L + rnd.nextInt(60) else rnd.nextInt(60).toLong
+      val upper =
+        if (rnd.nextBoolean()) col("r.rt") <= col("a.at") + w2
+        else col("a.at") + w2 >= col("r.rt")
+      val lower =
+        if (rnd.nextBoolean()) col("r.rt") >= col("a.at") - w1
+        else col("a.at") - w1 <= col("r.rt")
+      def run(): Seq[(Long, Long)] =
+        a.as("a").join(r.as("r"), upper && lower)
+          .select(col("aid"), col("rid"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val on = withRule(on = true)(run())
+      val off = withRule(on = false)(run())
+      assert(on === off, s"case $c: w1=$w1 w2=$w2 n=$n m=$m")
+    }
+  }
+
   test("alternate spellings (r + W >= a, strict bounds) also band") {
     withRule(on = true) {
       val add = anchors.as("a").join(ranged.as("r"),
