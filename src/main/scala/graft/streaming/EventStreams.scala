@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues}
 
 /** Structured-Streaming surface (SURVEY.md §7.5, isolated from batch):
   * event-time windowed aggregation with watermarks, session windows,
@@ -288,5 +290,84 @@ object EventStreams {
           if (open != null) state.update(open)
           out.reverseIterator
       }
+  }
+
+  /** [[sessionizeStateful]]'s semantic gap, fixed: flatMapGroupsWithState
+    * only closes a user's session when that user's NEXT event arrives —
+    * a user who goes silent holds their session open forever (state
+    * leak AND a session that never emits). This processor closes it
+    * with an EVENT-TIME TIMER at `last + gap`: when the watermark
+    * passes the gap horizon with no new events, the session emits and
+    * the state clears — bounded state with emission guaranteed by
+    * time, not by the user's return. The Spark-4 `transformWithState`
+    * API (typed state + timers) is what makes the timer expressible;
+    * `GroupStateTimeout.EventTimeTimeout` on the old API cannot carry
+    * a per-key re-armable horizon alongside batch-internal gap splits.
+    *
+    * Semantics: identical to [[sessionizeStateful]] for sessions closed
+    * by a later event; additionally any open session whose gap horizon
+    * falls at-or-before the watermark emits on expiry. At-scale state:
+    * one 24-byte SessionState + one timer per ACTIVE user, period. */
+  class TimerSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.map(_.ts.getTime).toSeq.sorted
+      var open = if (state.exists()) state.get() else null
+      var out = List.empty[SessionOut]
+      for (t <- sorted) {
+        open match {
+          case SessionState(st, last, n) if t - last <= gapMs =>
+            open = SessionState(st, t, n + 1)
+          case SessionState(st, last, n) =>
+            out ::= SessionOut(userId, st, last, n)
+            open = SessionState(t, t, 1)
+          case null =>
+            open = SessionState(t, t, 1)
+        }
+      }
+      if (open != null) {
+        state.update(open)
+        // re-arm the close timer at this session's gap horizon; stale
+        // horizons are detected at expiry instead of deleted here (a
+        // lookup-free arm beats a listTimers scan per batch)
+        getHandle.registerTimer(open.last + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (state.exists()) {
+        val s = state.get()
+        // only the CURRENT horizon closes the session — earlier
+        // (re-armed-over) timers fire harmlessly and match nothing
+        if (s.last + gapMs == expired.getExpiryTimeInMs) {
+          state.clear()
+          return Iterator.single(SessionOut(userId, s.start, s.last, s.cnt))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Timer-closed sessionization over the event stream — see
+    * [[TimerSessionProcessor]]. Requires a watermark on `ts` (the
+    * timer fires off the event-time watermark). */
+  def sessionizeWithTimers(events: Dataset[Event], gapMs: Long,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -149,6 +149,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(u2.head.n_events === 2 && u2.head.session_start === 0L)
   }
 
+  test("timer sessionization closes a SILENT user's session at the " +
+      "watermark — the case flatMapGroupsWithState cannot emit") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs column families => RocksDB provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[Event]
+    val q = sessionizeWithTimers(mem.toDS(), gapMs = 30 * 60000L,
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timer_sess_out").start()
+    // batch 1: user 9 events at minutes 1 and 11, then SILENCE
+    // (minute 1, not 0: a ts equal to the initial watermark 0 is
+    // filtered as late by the event-time mode before the processor)
+    mem.addData(ev(100, 1, "click", user = 9), ev(101, 11, "click", user = 9))
+    q.processAllAvailable()
+    // batch 2: only OTHER users advance event time; user 9 stays silent.
+    // watermark moves to ~minute 110; user 9's horizon (minute 41) expires
+    mem.addData(ev(102, 120, "click", user = 8))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark fires the timers
+    mem.addData(ev(103, 121, "click", user = 8))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("timer_sess_out").as[SessionOut].collect()
+    val u9 = closed.filter(_.user_id == 9L)
+    assert(u9.length === 1, s"silent user's session did not emit: " +
+      closed.mkString(", "))
+    assert(u9.head.session_start === 1 * 60000L &&
+      u9.head.session_end === 11 * 60000L && u9.head.n_events === 2L)
+    // and in-batch gap splits behave exactly like sessionizeStateful
+    val mem2 = MemoryStream[Event]
+    val q2 = sessionizeWithTimers(mem2.toDS(), gapMs = 30 * 60000L,
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timer_sess_out2").start()
+    // sample shifted +1 min so no ts collides with the initial watermark
+    val shifted = sample.map(e =>
+      e.copy(ts = new Timestamp(e.ts.getTime + 60000L)))
+    mem2.addData(shifted: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val closed2 = spark.table("timer_sess_out2").as[SessionOut].collect()
+    val u2 = closed2.filter(_.user_id == 2L)
+    assert(u2.length === 1)
+    assert(u2.head.n_events === 2 && u2.head.session_start === 60000L)
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("stream-static enrichment join (events stream x user dimension)") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
