@@ -93,13 +93,24 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    val shortMs = results
+    // At 184 queries a full per-query ms map (~2.1 KB) no longer fits
+    // the driver's 2000-char tail next to sbt's [success] line, so the
+    // final line carries (a) per-FAMILY subtotal ms — every query
+    // accounted for — and (b) per-query ms for the 48 slowest (~85 %
+    // of total wall). Full per-query detail stays in the big line
+    // above and in SPARK_GRAFT_BENCH_OUT.
+    val famMs = results.toSeq
+      .groupBy { case (k, _) => k.takeWhile(_.isLetter) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, vs) =>
+        "\"" + f + "\":" + Math.round(vs.map(_._2.min).sum * 1000) }
+      .mkString("{", ",", "}")
+    val topMs = results.toSeq.sortBy(-_._2.min).take(48)
       .map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + Math.round(v.min * 1000)
-      }
+        "\"" + k.takeWhile(_ != '_') + "\":" + Math.round(v.min * 1000) }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"ms":$shortMs}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"fam_ms":$famMs,"top_ms":$topMs}""")
     spark.stop()
   }
 }
