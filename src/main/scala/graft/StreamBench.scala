@@ -52,6 +52,7 @@ object StreamBench {
     val join = benchIntervalJoin(spark, rps, runSecs)
     val drift = benchDrift(spark, rps, runSecs)
     val sess = benchSessionize(spark, rps, runSecs)
+    val tsess = benchTimerSessionize(spark, rps, runSecs)
     val hll = benchHllSketch(spark, rps, runSecs)
     val cms = benchCmsSketch(spark, rps, runSecs)
 
@@ -63,6 +64,7 @@ object StreamBench {
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
         s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
         s""""drift_monitor":${js(drift)},"sessionize":${js(sess)},""" +
+        s""""timer_sessionize":${js(tsess)},""" +
         s""""hll_sketch":${js(hll)},"cms_sketch":${js(cms)}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
@@ -193,6 +195,37 @@ object StreamBench {
       .as[EventStreams.Event]
     runQuery(spark,
       EventStreams.sessionizeStateful(events, gapMs = 10L).toDF(), secs)
+  }
+
+  /** The transformWithState timer sessionizer under the same load
+    * shape: 4096 user key-groups, 10 ms gap, 1 s watermark — sessions
+    * close by TIMER as the watermark advances, so state rows must
+    * PLATEAU at ~active-users instead of tracking stream history.
+    * Needs the RocksDB provider (column families). */
+  private def benchTimerSessionize(spark: SparkSession, rps: Int,
+      secs: Int): OpResult = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps).load()
+        .select(col("value").as("event_id"),
+          col("timestamp").as("ts"),
+          (col("value") % 4096).as("user_id"),
+          lit("click").as("event_type"),
+          lit(1.0).as("value"))
+        .as[EventStreams.Event]
+      runQuery(spark,
+        EventStreams.sessionizeWithTimers(events, gapMs = 10L,
+          watermark = "1 second").toDF(), secs)
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
   }
 
   private def runQuery(spark: SparkSession,

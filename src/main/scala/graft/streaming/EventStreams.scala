@@ -320,7 +320,8 @@ object EventStreams {
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[SessionOut] = {
       val sorted = rows.map(_.ts.getTime).toSeq.sorted
-      var open = if (state.exists()) state.get() else null
+      val prev = if (state.exists()) state.get() else null
+      var open = prev
       var out = List.empty[SessionOut]
       for (t <- sorted) {
         open match {
@@ -333,11 +334,15 @@ object EventStreams {
             open = SessionState(t, t, 1)
         }
       }
-      if (open != null) {
+      if (open != null && (prev == null || open != prev)) {
         state.update(open)
-        // re-arm the close timer at this session's gap horizon; stale
-        // horizons are detected at expiry instead of deleted here (a
-        // lookup-free arm beats a listTimers scan per batch)
+        // re-arm: drop the superseded horizon's timer (without this the
+        // dead timers accumulate as state-store rows until they fire —
+        // measured as monotonic state-bytes growth in STREAMBENCH) and
+        // arm the new one; the expiry-side horizon check stays as the
+        // defense for any timer this delete misses
+        if (prev != null && prev.last != open.last)
+          getHandle.deleteTimer(prev.last + gapMs)
         getHandle.registerTimer(open.last + gapMs)
       }
       out.reverseIterator
