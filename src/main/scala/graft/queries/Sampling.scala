@@ -785,7 +785,142 @@ object Sampling {
        |    AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- p14
+  /** Max total epochs any source may repeat (the data-constrained-
+    * scaling observation: past ~4 passes over the same data, marginal
+    * value collapses) and the budget multiple that puts the schedule
+    * in the data-constrained regime (budget = 3× the unique mass). */
+  val epochCap = 4L
+  val epochBudgetX = 3L
+  val epochRounds = 4
+
+  def epochSchedule(s: SparkSession, dir: String): DataFrame =
+    epochScheduleDf(t(s, dir, "documents"))
+
+  /** p14: repeat-epoch schedule for the data-constrained regime —
+    * p11's dual. p11 answers "budget < data: what do we CUT?"; this
+    * answers "budget > data: what do we REPEAT?" (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models"): every source's
+    * unique (d01-keeper) tokens get one fresh epoch, and the
+    * remaining budget buys repeat epochs proportional to each
+    * source's GATE-PASSING token mass — quality earns repetition —
+    * capped at [[epochCap]] total epochs. The cap binds sources with
+    * high gate-pass ratios first, so the fill genuinely water-falls
+    * (a mass-proportional split would saturate all-or-nothing).
+    *
+    * Arithmetic: the proportional share widens to DECIMAL/HUGEINT
+    * before the multiply (the q59 rule — extra × gate mass overflows
+    * BIGINT at warehouse scale); epochs emit in exact milli-epochs.
+    * Fixed [[epochRounds]] redistribution rounds (p11 discipline,
+    * saturation is monotone); Σ alloc ≤ budget always holds, with
+    * un-redistributed slack only if a round chain longer than
+    * [[epochRounds]] were ever needed.
+    *
+    * Scale: one corpus pass (gate + keeper hash agg, persisted);
+    * every round is the |sources|-row relation + one broadcast
+    * aggregate — KBs regardless of corpus size. */
+  def epochScheduleDf(documents: DataFrame): DataFrame = {
+    val scored = graft.queries.TextOps.gateScored(
+      documents.select(col("doc_id"), col("text"), col("source")))
+    val keepers = documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val m = scored.join(keepers,
+        col("doc_id") === col("keep_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("u"),
+        sum(when(col("reason") === "ok", col("n_tokens")).otherwise(0L))
+          .as("g"))
+      .persist()
+    val tot = m.agg(sum(col("u")).as("utot"))
+      .select(expr(s"utot * $epochBudgetX").as("budget"), col("utot"))
+    var cur = m.crossJoin(broadcast(tot))
+      .withColumn("x", col("budget") - col("utot"))
+      .withColumn("sat", lit(false))
+      .withColumn("extra", lit(0L))
+      .select("source", "u", "g", "x", "sat", "extra")
+      .localCheckpoint()
+    for (_ <- 1 to epochRounds) {
+      val stats = cur.agg(
+        sum(when(col("sat"), col("extra")).otherwise(0L)).as("sat_extra"),
+        sum(when(col("sat"), 0L).otherwise(col("g"))).as("g_unsat"))
+      cur = cur.crossJoin(broadcast(stats))
+        .withColumn("share",
+          when(col("sat"), col("extra"))
+            .otherwise(when(col("g_unsat") === 0, lit(0L))
+              .otherwise(expr(
+                "CAST(CAST(x - sat_extra AS DECIMAL(38,0)) * g" +
+                  " div g_unsat AS BIGINT)"))))
+        .withColumn("sat2",
+          col("share") >= col("u") * lit(epochCap - 1))
+        .select(col("source"), col("u"), col("g"), col("x"),
+          when(col("sat2"), col("u") * lit(epochCap - 1))
+            .otherwise(col("share")).as("extra"),
+          col("sat2").as("sat"))
+        .localCheckpoint()
+    }
+    cur.select(col("source"), col("u").as("unique_tokens"),
+        col("g").as("gated_tokens"),
+        (col("u") + col("extra")).as("alloc_tokens"),
+        expr("(u + extra) * 1000 div u").as("epochs_milli"),
+        when(col("sat"), 1L).otherwise(0L).as("capped"))
+      .orderBy("source")
+  }
+
+  private val p14Sql = {
+    val cap = epochCap - 1
+    val rounds = (1 to epochRounds).map { r =>
+      s"""es$r AS (
+         |  SELECT CAST(SUM(CASE WHEN sat THEN extra ELSE 0 END) AS BIGINT)
+         |      AS sat_extra,
+         |    CAST(SUM(CASE WHEN sat THEN 0 ELSE g END) AS BIGINT) AS g_unsat
+         |  FROM e${r - 1}),
+         |e$r AS (
+         |  SELECT source, u, g, x,
+         |    CASE WHEN sat2 THEN u * $cap ELSE share END AS extra,
+         |    sat2 AS sat FROM (
+         |    SELECT source, u, g, x, share, share >= u * $cap AS sat2 FROM (
+         |      SELECT source, u, g, x,
+         |        CASE WHEN sat THEN extra
+         |             WHEN g_unsat = 0 THEN CAST(0 AS BIGINT)
+         |             ELSE CAST(CAST(x - sat_extra AS HUGEINT) * g
+         |               // g_unsat AS BIGINT) END AS share
+         |      FROM e${r - 1} CROSS JOIN es$r)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> t IN (${graft.queries.TextOps.stopList})))
+       |      AS BIGINT) AS n_stop
+       |  FROM d),
+       |k AS (SELECT h, MIN(doc_id) AS keep_id FROM st GROUP BY h),
+       |m AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS u,
+       |    CAST(SUM(CASE WHEN NOT (n_tokens < 5 OR n_tokens > 500
+       |      OR n_distinct * 2 < n_tokens OR n_stop = 0)
+       |      THEN n_tokens ELSE 0 END) AS BIGINT) AS g
+       |  FROM st JOIN k ON st.doc_id = k.keep_id GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(u) * $epochBudgetX AS BIGINT) AS budget,
+       |    CAST(SUM(u) AS BIGINT) AS utot FROM m),
+       |e0 AS (
+       |  SELECT source, u, g, budget - utot AS x, FALSE AS sat,
+       |    CAST(0 AS BIGINT) AS extra
+       |  FROM m CROSS JOIN tot),
+       |$rounds
+       |SELECT source, u AS unique_tokens, g AS gated_tokens,
+       |  CAST(u + extra AS BIGINT) AS alloc_tokens,
+       |  CAST((u + extra) * 1000 // u AS BIGINT) AS epochs_milli,
+       |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS BIGINT) AS capped
+       |FROM e$epochRounds ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_epoch_schedule"    -> epochSchedule _,
     "p13_var_allocation"    -> varAllocation _,
     "p12_dedup_aware_mix"   -> dedupAwareMix _,
     "p11_budget_caps"       -> budgetCaps _,
@@ -801,6 +936,7 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p14_epoch_schedule"    -> p14Sql,
     "p13_var_allocation"    -> p13Sql,
     "p12_dedup_aware_mix"   -> p12Sql,
     "p11_budget_caps"       -> p11Sql,

@@ -265,4 +265,47 @@ class SamplingSpec extends SparkSpec {
     val nUnsatFinal = real.count(_._5 == 0L)
     assert(b - real.map(_._4).sum < math.max(nUnsatFinal, 1).toLong)
   }
+
+  test("p14: epoch schedule matches an exact in-memory water-fill and " +
+      "honors the budget and cap invariants") {
+    val out = Sampling.epochSchedule(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // invariants first: epoch bounds, cap flag consistency, budget
+    val utot = out.map(_._2).sum
+    val budget = utot * Sampling.epochBudgetX
+    assert(out.map(_._4).sum <= budget)
+    for ((_, u, g, alloc, milli, capped) <- out) {
+      assert(alloc >= u && alloc <= u * Sampling.epochCap)
+      assert(milli === (alloc * 1000L) / u)
+      assert(milli >= 1000L && milli <= Sampling.epochCap * 1000L)
+      assert((capped == 1L) === (alloc == u * Sampling.epochCap))
+      assert(g <= u)
+    }
+    // exact recompute mirroring the engine's round structure: each
+    // round's shares use the PREVIOUS round's saturation set, and the
+    // final extras are the ones computed in the last round
+    val masses = out.map(r => (r._1, r._2, r._3))
+    val x = budget - utot
+    val capX = Sampling.epochCap - 1
+    var sat = Set.empty[String]
+    var extras = Map.empty[String, Long]
+    for (_ <- 1 to Sampling.epochRounds) {
+      val satExtra = masses.filter(m => sat(m._1))
+        .map(m => m._2 * capX).sum
+      val gUnsat = masses.filterNot(m => sat(m._1)).map(_._3).sum
+      val round = masses.map { case (s0, u, g) =>
+        val share =
+          if (sat(s0)) u * capX
+          else if (gUnsat == 0) 0L
+          else ((BigInt(x - satExtra) * g) / gUnsat).toLong
+        val sat2 = share >= u * capX
+        (s0, if (sat2) u * capX else share, sat2)
+      }
+      extras = round.map(r => r._1 -> r._2).toMap
+      sat = round.filter(_._3).map(_._1).toSet
+    }
+    for ((s0, u, _, alloc, _, _) <- out)
+      assert(alloc === u + extras(s0), s"source $s0 allocation")
+  }
 }
