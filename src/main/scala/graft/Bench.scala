@@ -93,7 +93,7 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // At 184 queries a full per-query ms map (~2.1 KB) no longer fits
+    // At 187 queries a full per-query ms map (~2.1 KB) no longer fits
     // the driver's 2000-char tail next to sbt's [success] line, so the
     // final line carries (a) per-FAMILY subtotal ms — every query
     // accounted for — and (b) per-query ms for the 48 slowest (~85 %

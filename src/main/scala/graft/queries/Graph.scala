@@ -1120,7 +1120,110 @@ object Graph {
        |FROM und u JOIN b x ON u.src = x.node JOIN b y ON u.dst = y.node
        |GROUP BY 1, 2, 3 ORDER BY src_role, src_bucket, dst_bucket""".stripMargin
 
+  // ------------------------------------------------------------- g13
+  /** g13: degree assortativity — the Newman 2002 mixing coefficient the
+    * g12 scaladoc promises ("compute r FROM the matrix if wanted"):
+    * a weighted Pearson over the joint log₂-degree-bucket grid, per
+    * source role. Negative = disassortative (hubs attach to leaves —
+    * the expected shape for a bipartite-ish supplier↔customer graph),
+    * positive = assortative.
+    *
+    * Determinism + headroom: bucket values are ≤ 62, so every moment
+    * (Σw·x·y etc.) fits a BIGINT up to 10¹³ edges and the q65 ppm
+    * algebra runs on exact DECIMAL(38,0)/HUGEINT — computing r over
+    * RAW degrees instead needs Σ(deg·deg)² moments that overflow 38
+    * digits on a 10¹²-edge graph, which is exactly why the grid form
+    * exists. cov_n can be negative here (unlike q65's price/quantity
+    * slope), so every division is the q72 sign-split: abs-divide,
+    * re-apply the sign — Spark's truncating `div` and DuckDB's `//`
+    * agree on non-negative operands only. r² is two chained divides
+    * (q1 = |cov|·10⁶ div vx, then q1·|cov| div vy) — Cauchy-Schwarz
+    * bounds q1·|cov| ≤ 10⁶·vy_n, inside 38 digits at any edge count
+    * whose moments fit (spelled identically in the twin, so the
+    * intermediate truncation is engine-identical).
+    *
+    * Scale: the grid build is g12 (two node-keyed hash joins, nothing
+    * beyond edge-sized moves); the moments are one hash agg over the
+    * ≤ roles×40×40 grid. */
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def assortativityDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val grid = jointDegreeDf(lineitem, orders)
+      .select(col("src_role"), col("src_bucket").as("x"),
+        col("dst_bucket").as("y"), col("n_edges").as("w"))
+    grid.groupBy(col("src_role"))
+      .agg(sum(col("w")).as("n_edges"),
+        sum(col("w") * col("x")).as("sx"),
+        sum(col("w") * col("y")).as("sy"),
+        sum(col("w") * col("x") * col("y")).as("sxy"),
+        sum(col("w") * col("x") * col("x")).as("sxx"),
+        sum(col("w") * col("y") * col("y")).as("syy"))
+      .select(col("src_role"), col("n_edges"),
+        expr("CAST(n_edges AS DECIMAL(38,0)) * sxy " +
+          "- CAST(sx AS DECIMAL(38,0)) * sy").as("cov_n"),
+        expr("CAST(n_edges AS DECIMAL(38,0)) * sxx " +
+          "- CAST(sx AS DECIMAL(38,0)) * sx").as("vx_n"),
+        expr("CAST(n_edges AS DECIMAL(38,0)) * syy " +
+          "- CAST(sy AS DECIMAL(38,0)) * sy").as("vy_n"))
+      .select(col("src_role"), col("n_edges"),
+        expr("""CAST(CASE WHEN vx_n = 0 THEN NULL
+                WHEN cov_n < 0 THEN -((-cov_n) * 1000000 div vx_n)
+                ELSE cov_n * 1000000 div vx_n END AS BIGINT)""")
+          .as("slope_ppm"),
+        expr("""CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN NULL
+                WHEN cov_n < 0 THEN
+                  -((((-cov_n) * 1000000 div vx_n) * (-cov_n)) div vy_n)
+                ELSE ((cov_n * 1000000 div vx_n) * cov_n) div vy_n
+                END AS BIGINT)""").as("assort_ppm"))
+      .orderBy("src_role")
+  }
+
+  /** Twin of [[assortativityDf]] — the g12 grid CTE re-aggregated with
+    * the q65 HUGEINT moment algebra and q72 sign-split divides. */
+  private val assortativitySql =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + $custOffset AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS MATERIALIZED (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst, src FROM pairs),
+       |b AS MATERIALIZED (
+       |  SELECT src AS node,
+       |    CAST(len(bin(CAST(COUNT(*) AS BIGINT))) - 1 AS BIGINT) AS bucket
+       |  FROM und GROUP BY src),
+       |grid AS (
+       |  SELECT CASE WHEN u.src >= $custOffset THEN 'customer'
+       |      ELSE 'supplier' END AS src_role,
+       |    x.bucket AS x, y.bucket AS y, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM und u JOIN b x ON u.src = x.node JOIN b y ON u.dst = y.node
+       |  GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT src_role, CAST(SUM(w) AS BIGINT) AS n_edges,
+       |    CAST(SUM(w * x) AS BIGINT) AS sx,
+       |    CAST(SUM(w * y) AS BIGINT) AS sy,
+       |    CAST(SUM(w * x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(w * x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(w * y * y) AS BIGINT) AS syy
+       |  FROM grid GROUP BY src_role),
+       |c AS (
+       |  SELECT src_role, n_edges,
+       |    CAST(n_edges AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+       |    CAST(n_edges AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx_n,
+       |    CAST(n_edges AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy_n
+       |  FROM m)
+       |SELECT src_role, n_edges,
+       |  CAST(CASE WHEN vx_n = 0 THEN NULL
+       |    WHEN cov_n < 0 THEN -((-cov_n) * 1000000 // vx_n)
+       |    ELSE cov_n * 1000000 // vx_n END AS BIGINT) AS slope_ppm,
+       |  CAST(CASE WHEN vx_n = 0 OR vy_n = 0 THEN NULL
+       |    WHEN cov_n < 0 THEN
+       |      -((((-cov_n) * 1000000 // vx_n) * (-cov_n)) // vy_n)
+       |    ELSE ((cov_n * 1000000 // vx_n) * cov_n) // vy_n
+       |    END AS BIGINT) AS assort_ppm
+       |FROM c ORDER BY src_role""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_assortativity" -> assortativity _,
     "g12_joint_degree" -> jointDegree _,
     "g11_hits" -> hits _,
     "g10_clustering" -> clusteringCoeff _,
@@ -1135,6 +1238,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g13_assortativity" -> assortativitySql,
     "g12_joint_degree" -> jointDegreeSql,
     "g11_hits" -> hitsSql,
     "g10_clustering" -> clusteringCoeffSql,

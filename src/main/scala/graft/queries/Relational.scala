@@ -3333,8 +3333,65 @@ object Relational {
       |  COALESCE(a.n_users, 0) AS n_users
       |FROM p LEFT JOIN a USING (pid) ORDER BY pid""".stripMargin
 
+  /** q75: l-diversity audit — the follow-on privacy screen to q70's
+    * k-anonymity: a QI group can be large (k-anonymous) yet still leak
+    * if every member shares one sensitive value. Here the QI drops
+    * to (nation, $1000 balance bucket) and q70's third QI column —
+    * market segment — becomes the SENSITIVE attribute: l = exact
+    * distinct segments inside each QI group. Emits the l histogram
+    * (groups, rows, row share in exact floored ppm, at-risk flag for
+    * l < [[q75L]]).
+    *
+    * Determinism: the q70 bucket trick (offset keeps the dividend
+    * non-negative for `div`/`//` agreement); l is an exact
+    * count-distinct over a 5-value attribute — partial-aggregable,
+    * no sketch needed.
+    *
+    * Shape: fact → QI groups is ONE hash agg carrying both k and the
+    * distinct-segment count; the l histogram + broadcast total reuse
+    * the q70 margin discipline. Only the first shuffle is fact-sized. */
+  val q75L = 3
+  def q75LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "customer")
+      .select(col("c_nationkey"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " + 100000000) div 100000").as("bal_bucket"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    val hist = groups.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+      .persist()
+    val tot = hist.agg(sum(col("n_rows")).as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("l"), col("n_groups"), col("n_rows"),
+        expr("n_rows * 1000000 div total").as("rows_ppm"),
+        when(col("l") < q75L, 1L).otherwise(0L).as("at_risk"))
+      .orderBy("l")
+  }
+
+  private val q75Sql =
+    s"""WITH g AS (
+       |  SELECT c_nationkey,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |     + 100000000) // 100000 AS bal_bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+       |  FROM customer GROUP BY 1, 2),
+       |h AS (
+       |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |    CAST(SUM(k) AS BIGINT) AS n_rows
+       |  FROM g GROUP BY l),
+       |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM h)
+       |SELECT l, n_groups, n_rows,
+       |  CAST(n_rows * 1000000 // total AS BIGINT) AS rows_ppm,
+       |  CAST(CASE WHEN l < $q75L THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+       |FROM h CROSS JOIN tot ORDER BY l""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_l_diversity"     -> q75LDiversity _,
     "q74_surge_window"    -> q74SurgeWindow _,
     "q73_attribution"     -> q73Attribution _,
     "q72_autocorrelation" -> q72Autocorr _,
@@ -3411,6 +3468,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q75_l_diversity"     -> q75Sql,
     "q74_surge_window"    -> q74Sql,
     "q73_attribution"     -> q73Sql,
     "q72_autocorrelation" -> q72Sql,

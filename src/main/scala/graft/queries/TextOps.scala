@@ -1842,7 +1842,85 @@ object TextOps {
        |  MIN(selhash) AS fp_min_hash
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t31: vocabulary-growth (Heaps'-law) curve — cumulative token and
+    * distinct-type counts over [[heapsBuckets]] equal doc-id ranges of
+    * the corpus, plus types-per-million-tokens. The saturation
+    * diagnostic a tokenizer/corpus budget decision reads: a curve
+    * still rising at the last bucket means more data keeps buying
+    * vocabulary; a flat tail means the corpus has saturated the type
+    * inventory (and dedup/filtering changes show up as curve shifts,
+    * diffable run-over-run like t19).
+    *
+    * No Heaps' β fit on purpose: the fit needs ln() and cross-engine
+    * libm last-ulp agreement is exactly the channel the verify rules
+    * ban — the exact integer CURVE carries strictly more information
+    * than the two fitted parameters anyway.
+    *
+    * Scale: tokenize once (map-side explode); a token's first
+    * appearance is ONE min-agg keyed on the token (the same shuffle
+    * class as t16's vocab count); bucket token mass is a 16-row
+    * histogram. The prefix sums run on that 16-row relation — an
+    * aggregate-sized window (the g04 rule: never over a row-sized
+    * relation). Bucketing is `doc_id·B div (max_id+1)` with the max
+    * broadcast — contiguous ranges, no assumption that ids are dense. */
+  val heapsBuckets = 16
+  def heapsCurve(s: SparkSession, dir: String): DataFrame =
+    heapsCurveDf(t(s, dir, "documents"))
+
+  def heapsCurveDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = docs.agg((max(col("doc_id")) + 1L).as("nd"))
+    val tok = docs.crossJoin(broadcast(nd))
+      .select(expr(s"doc_id * $heapsBuckets div nd").as("bucket"),
+        explode(split(col("text"), " ")).as("tok"))
+    val bt = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_toks"))
+    val nt = tok.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val h = bt.join(nt, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.select(col("bucket"), col("n_toks"), col("new_types"),
+        sum(col("n_toks")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+      .select(col("bucket"), col("n_toks"), col("new_types"),
+        col("cum_tokens"), col("cum_types"),
+        expr("cum_types * 1000000 div cum_tokens").as("types_per_mtoken"))
+      .orderBy("bucket")
+  }
+
+  private val heapsCurveSql =
+    s"""WITH nd AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+       |tok AS (
+       |  SELECT (doc_id * $heapsBuckets) // (SELECT nd FROM nd) AS bucket,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |bt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_toks
+       |       FROM tok GROUP BY bucket),
+       |fb AS (SELECT tok, MIN(bucket) AS bucket FROM tok GROUP BY tok),
+       |nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+       |       FROM fb GROUP BY bucket),
+       |h AS (
+       |  SELECT bt.bucket, bt.n_toks,
+       |    COALESCE(nt.new_types, 0) AS new_types
+       |  FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket),
+       |c AS (
+       |  SELECT bucket, n_toks, new_types,
+       |    CAST(SUM(n_toks) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(new_types) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_types
+       |  FROM h)
+       |SELECT bucket, n_toks, new_types, cum_tokens, cum_types,
+       |  CAST(cum_types * 1000000 // cum_tokens AS BIGINT)
+       |    AS types_per_mtoken
+       |FROM c ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_heaps_curve" -> heapsCurve _,
     "t30_winnowing"   -> winnowing _,
     "t29_boilerplate" -> boilerplate _,
     "t28_good_turing" -> goodTuring _,
@@ -1876,6 +1954,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t31_heaps_curve" -> heapsCurveSql,
     "t30_winnowing"   -> winnowingSql,
     "t29_boilerplate" -> boilerplateSql,
     "t28_good_turing" -> goodTuringSql,

@@ -40,6 +40,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.chunkOverlapDf(noDocs).count() === 0)
     assert(TextOps.invertedIndexDf(noDocs).count() === 0)
     assert(TextOps.snapshotDriftDf(noDocs).count() === 0)
+    assert(TextOps.heapsCurveDf(noDocs).count() === 0)
     assert(Similarity.embeddingQuantizeDf(noEmbs).count() === 0)
   }
 
@@ -53,6 +54,7 @@ class EmptyInputSpec extends SparkSpec {
     val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
     val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
     assert(Graph.pageRankDf(noLi, noOrd).count() === 0)
+    assert(Graph.assortativityDf(noLi, noOrd).count() === 0)
   }
 
   test("sampling / decontamination / manifest yield zero rows on an empty corpus") {

@@ -368,4 +368,42 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq === want)
     assert(out.map(_._4).sum === und.length.toLong)
   }
+
+  test("g13: assortativity matches an exact BigInt recompute from the " +
+      "joint-degree grid and is partition-invariant") {
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val out = Graph.assortativity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), optL(r, 2), optL(r, 3)))
+    // independent recompute: exact BigInt moment algebra over the grid
+    val grid = Graph.jointDegreeDf(li, ord).collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3))))
+    val want = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (role, g) =>
+      val n = g.map(_._4).sum
+      val sx = g.map(c => c._4 * c._2).sum
+      val sy = g.map(c => c._4 * c._3).sum
+      val sxy = g.map(c => c._4 * c._2 * c._3).sum
+      val sxx = g.map(c => c._4 * c._2 * c._2).sum
+      val syy = g.map(c => c._4 * c._3 * c._3).sum
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      // the contract's truncating sign-split divides, replayed exactly
+      def sdiv(a: BigInt, b: BigInt): BigInt =
+        if (a < 0) -((-a) / b) else a / b
+      val slope = if (vx == 0) None else Some(sdiv(cov * 1000000, vx).toLong)
+      val r2 = if (vx == 0 || vy == 0) None
+        else Some((if (cov < 0) -(sdiv(-cov * 1000000, vx) * (-cov) / vy)
+          else sdiv(cov * 1000000, vx) * cov / vy).toLong)
+      (role, n.toLong, slope, r2)
+    }
+    assert(out.toSeq === want)
+    // |signed r²| is a ppm fraction when defined
+    assert(out.forall { case (_, _, _, a) =>
+      a.forall(v => v >= -1000000L && v <= 1000000L) })
+    val b = Graph.assortativityDf(li.repartition(7, col("l_suppkey")),
+      ord.repartition(3)).collect().toSeq
+    assert(Graph.assortativity(spark, sf).collect().toSeq == b)
+  }
 }

@@ -770,4 +770,30 @@ class RelationalSpec extends SparkSpec {
     assert(out === want)
     assert(out.nonEmpty)
   }
+
+  test("q75: the l histogram matches an in-memory recompute and " +
+      "partitions every customer row") {
+    import graft.Tables.t
+    val out = Relational.q75LDiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rows = t(spark, sf, "customer")
+      .selectExpr("CAST(c_nationkey AS BIGINT)",
+        "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " + 100000000) div 100000", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val groups = rows.groupBy(r => (r._1, r._2)).values.toSeq
+      .map(g => (g.length.toLong, g.map(_._3).distinct.length.toLong))
+    val total = rows.length.toLong
+    val want = groups.groupBy(_._2).toSeq.map { case (l, g) =>
+      val nRows = g.map(_._1).sum
+      (l, g.length.toLong, nRows, nRows * 1000000L / total,
+        if (l < Relational.q75L) 1L else 0L)
+    }.sortBy(_._1)
+    assert(out.toSeq === want)
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum === total)
+    // l is bounded by the 5 market segments
+    assert(out.forall { case (l, _, _, _, _) => l >= 1L && l <= 5L })
+  }
 }

@@ -469,4 +469,40 @@ class TextOpsSpec extends SparkSpec {
     // and the engine's fingerprint counts came from the same selection
     assert(out(0L)._3 === ref(0L)._2.map(_._1).size.toLong)
   }
+
+  test("t31: heaps curve matches an in-memory recompute on the corpus " +
+      "and its tails reconcile with totals") {
+    import graft.Tables.t
+    val docs = t(spark, sf, "documents")
+      .selectExpr("CAST(doc_id AS BIGINT)", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = docs.map(_._1).max + 1
+    val b = TextOps.heapsBuckets
+    val toks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map(tok => (id * b / nd, tok))
+    }
+    val bt = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nt = toks.groupBy(_._2).values
+      .map(_.map(_._1).min)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val buckets = bt.keys.toSeq.sorted
+    var cumT = 0L; var cumV = 0L
+    val want = buckets.map { bk =>
+      cumT += bt(bk); cumV += nt.getOrElse(bk, 0L)
+      (bk, bt(bk), nt.getOrElse(bk, 0L), cumT, cumV,
+        cumV * 1000000L / cumT)
+    }
+    val out = TextOps.heapsCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === want)
+    // final cumulative row reconciles with global totals
+    assert(out.last._4 === toks.length.toLong)
+    assert(out.last._5 === toks.map(_._2).distinct.length.toLong)
+    // cumulative columns are monotone non-decreasing
+    assert(out.sliding(2).forall {
+      case Array(a, c) => c._4 >= a._4 && c._5 >= a._5
+      case _ => true
+    })
+  }
 }
