@@ -1278,8 +1278,147 @@ object Similarity {
        |FROM j""".stripMargin
   }
 
+  // ---------------------------------------------- s15 IVF probe sweep
+  /** s15: IVF operating-point sweep — recall@[[topK]] at nprobe ∈
+    * {1, 2, 4, 8} against the s01 brute-force truth, as ONE
+    * oracle-checked relation. The tuning curve an IVF deployment reads
+    * before picking its probe count (s03 ships nprobe=[[numProbes]];
+    * this is the measured justification, the d15/s09/s14 discipline
+    * applied to the probe axis): recall rises monotonically with
+    * probed volume, and nprobe = [[numCells]] probes every cell — the
+    * candidate set becomes the whole corpus, so its recall is EXACTLY
+    * 1.0 (spec-pinned), anchoring the curve's top end.
+    *
+    * Cost shape: the quantizer trains once and both assignments run
+    * once — each query keeps its full cell RANKING (1..numCells), a
+    * candidate pair carries min(rank) over the cells admitting it,
+    * and the per-nprobe memberships are a filter against that one
+    * scored pair relation (never numCells re-searches). Per-nprobe
+    * ranking is a (nprobe, query)-partitioned window over the
+    * bounded candidate relation.
+    *
+    * Determinism: cell assignment is the integer fixed-point argmin
+    * ([[assignCells]]'s discipline, inlined to keep the rank); cosine
+    * is the s01 ROUND over exact dots; recall divides two exact
+    * BIGINTs. */
+  def ivfProbeSweep(s: SparkSession, dir: String): DataFrame =
+    ivfProbeSweepDf(t(s, dir, "embeddings"))
+
+  def ivfProbeSweepDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val seeds = trainedSeeds(e).persist()
+    val corpus = assignCells(seeds, e, 1, "cell")
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
+    val qa = e.filter(isQuery).crossJoin(broadcast(seeds))
+      .withColumn("d", fpSqDist(col("v"), col("sv")))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("rk"))
+    val scored = qa.as("q")
+      .join(corpus.as("c"), col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), col("q.rk").as("rk"),
+        cosCol.as("cos_sim"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .agg(min(col("rk")).as("minrk"))
+    val pdim = embs.sparkSession.range(0, 3)
+      .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)")
+        .as("nprobe"))
+      .union(embs.sparkSession.range(numCells, numCells + 1)
+        .select(col("id").as("nprobe")))
+    val wp = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val top = scored.crossJoin(broadcast(pdim))
+      .filter(col("minrk") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wp))
+      .filter(col("rank") <= topK)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val truth = bruteForceTopKDf(embs)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    pdim.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(truthN))
+      .select(col("nprobe"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_truth"), 4))
+      .orderBy("nprobe")
+  }
+
+  /** DuckDB twin of [[ivfProbeSweepDf]]: the trained chain's full rank
+    * relation, min-rank candidate pairs scored once, per-nprobe
+    * membership by filter. The s01 truth is RESPELLED on the shared
+    * x/n CTEs rather than nested as `($bruteForceSql)` — DuckDB 1.0's
+    * binder miscompiles same-named CTEs (x, n, scored, ranked) defined
+    * at both the outer and nested level ("Recursive CTE scan found
+    * without recursive CTE node"). */
+  private val probeSweepSql =
+    s"""WITH $trainedChainSql,
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |qa AS (
+       |  SELECT vec_id, cell, rk FROM rk
+       |  WHERE vec_id % $queryStride = 0
+       |    AND vec_id < ${queryStride.toLong * maxQueries}),
+       |pairs0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    MIN(q.rk) AS minrk
+       |  FROM qa q JOIN corpus c
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |d AS (
+       |  SELECT query_id, neighbor_id, minrk, SUM(qx.v * cx.v) AS dot
+       |  FROM pairs0 JOIN x qx ON qx.vec_id = pairs0.query_id
+       |              JOIN x cx ON cx.vec_id = pairs0.neighbor_id
+       |                AND qx.i = cx.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, minrk,
+       |    ROUND(dot / (nq.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON d.query_id = nq.vec_id
+       |         JOIN n nb ON d.neighbor_id = nb.vec_id),
+       |pr AS (SELECT unnest(CAST([1, 2, 4, $numCells] AS BIGINT[]))
+       |         AS nprobe),
+       |ranked AS (
+       |  SELECT pr.nprobe, s.query_id, s.neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.nprobe, s.query_id
+       |      ORDER BY s.cos_sim DESC, s.neighbor_id) AS rnk
+       |  FROM pr JOIN scored s ON s.minrk <= pr.nprobe),
+       |top AS (SELECT nprobe, query_id, neighbor_id FROM ranked
+       |        WHERE rnk <= $topK),
+       |bfd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM(q.v * c.v) AS dot
+       |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}
+       |  GROUP BY 1, 2),
+       |bfs AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM bfd JOIN n nq ON bfd.query_id = nq.vec_id
+       |           JOIN n nb ON bfd.neighbor_id = nb.vec_id),
+       |bf AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rnk2
+       |    FROM bfs) WHERE rnk2 <= $topK),
+       |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),
+       |hits AS (
+       |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM top JOIN bf USING (query_id, neighbor_id)
+       |  GROUP BY 1)
+       |SELECT pr.nprobe, tr.n_truth,
+       |  COALESCE(hits.n_hit, 0) AS n_hit,
+       |  ROUND(COALESCE(hits.n_hit, 0) / tr.n_truth, 4) AS recall
+       |FROM pr CROSS JOIN tr LEFT JOIN hits ON pr.nprobe = hits.nprobe
+       |ORDER BY pr.nprobe""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_ivf_probe_sweep" -> ivfProbeSweep _,
     "s14_mih_recall"      -> mihRecall _,
     "s13_mih_hamming"     -> mihHammingTopK _,
     "s12_filtered_ann"    -> filteredTopK _,
@@ -1296,6 +1435,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s15_ivf_probe_sweep" -> probeSweepSql,
     "s14_mih_recall"      -> mihRecallSql,
     "s13_mih_hamming"     -> mihSql,
     "s12_filtered_ann"    -> filteredSql,

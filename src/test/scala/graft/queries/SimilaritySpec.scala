@@ -266,4 +266,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((0L, 7L, 3L, 1L), (0L, 11L, 5L, 2L),
       (0L, 12L, 7L, 3L)))
   }
+
+  test("s15: probe-sweep recall is monotone in nprobe and EXACTLY 1.0 " +
+      "when every cell is probed") {
+    val out = Similarity.ivfProbeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 4L, Similarity.numCells.toLong))
+    // one shared truth denominator
+    assert(out.map(_._2).distinct.length === 1)
+    // recall (and hits) monotone non-decreasing in probed volume
+    assert(out.sliding(2).forall {
+      case Array(a, b) => b._3 >= a._3 && b._4 >= a._4
+      case _ => true
+    })
+    // probing all numCells cells makes the candidate set the whole
+    // corpus: the ranking equals brute force, so recall is exactly 1
+    val full = out.last
+    assert(full._3 === full._2)
+    assert(full._4 === 1.0)
+  }
 }
