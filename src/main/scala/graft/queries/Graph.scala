@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -1222,7 +1223,120 @@ object Graph {
        |    END AS BIGINT) AS assort_ppm
        |FROM c ORDER BY src_role""".stripMargin
 
+  // ------------------------------------------------------------- g14
+  /** g14: landmark distance profile — per-landmark BFS hop histogram
+    * with an exact P90 effective-radius cut, over the g01
+    * supplier↔customer graph from the [[bfsSeeds]] highest-degree
+    * hubs. Where g05 answers "how far is every node from its NEAREST
+    * hub" (one min-combined relation), g14 keeps LANDMARK IDENTITY:
+    * each hub's own reach curve — the landmark distance sketch that
+    * underlies landmark-based shortest-path estimation and tells a
+    * crawl/cache planner how much of the graph each hub covers per
+    * hop tier. The effective radius (smallest hop whose cumulative
+    * reached mass is ≥ 90 % of that landmark's total) is the standard
+    * noise-robust diameter surrogate (ANF/HyperANF's P90 convention),
+    * here exact because the per-landmark reach is exact.
+    *
+    * Determinism: seeds are g05's exact integer order statistic
+    * (degree DESC, id ASC TakeOrdered); hops are small integers under
+    * an order-invariant min; the P90 cut is the all-integer
+    * `cum·10 ≥ 9·total` boundary test — first-hop membership falls
+    * out of `(cum − n)·10 < 9·total`, no window beyond the prefix
+    * sum, no float anywhere (the q71/g04 exact-rank discipline).
+    *
+    * Scale shape: the frontier relation is (landmark, node, hop) —
+    * [[bfsSeeds]]× g05's state, still ids-only and NEVER edge-sized;
+    * each round is one hash join + one partial-agged min. The
+    * histogram collapses that relation to landmarks × (rounds+1)
+    * rows BEFORE the prefix-sum window, so the window input is
+    * ~20 rows at any corpus size. Rounds are FIXED ([[bfsRounds]],
+    * the g01/g03/g04 discipline); per-round persist truncates
+    * lineage. */
+  def landmarkRadius(s: SparkSession, dir: String): DataFrame =
+    landmarkRadiusDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def landmarkRadiusDf(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame = {
+    val und = undirectedEdges(lineitem, orders).persist()
+    val seeds = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node"))
+      .limit(bfsSeeds)
+      .select(col("node").as("landmark"))
+    var dist = seeds
+      .select(col("landmark"), col("landmark").as("node"),
+        lit(0L).as("hop"))
+      .persist()
+    for (r <- 1 to bfsRounds) {
+      // frontier-only expansion, per landmark (the g05 rule: settled
+      // nodes already contributed their neighbors in earlier rounds)
+      val next = dist.filter(col("hop") === (r - 1)).as("f")
+        .join(und.as("u"), col("f.node") === col("u.src"))
+        .select(col("f.landmark"), col("u.dst").as("node"),
+          lit(r.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy(col("landmark"), col("node"))
+        .agg(min(col("hop")).as("hop"))
+        .persist()
+    }
+    val hist = dist.groupBy(col("landmark"), col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.groupBy(col("landmark"))
+      .agg(sum(col("n_nodes")).as("n_reached"))
+    hist
+      .withColumn("cum_nodes", sum(col("n_nodes")).over(
+        Window.partitionBy(col("landmark")).orderBy(col("hop"))))
+      .join(broadcast(tot), "landmark")
+      .select(col("landmark"), col("hop"), col("n_nodes"),
+        col("cum_nodes"), col("n_reached"),
+        expr("""CAST(CASE WHEN cum_nodes * 10 >= 9 * n_reached
+                AND (cum_nodes - n_nodes) * 10 < 9 * n_reached
+                THEN 1 ELSE 0 END AS BIGINT)""").as("is_radius"))
+      .orderBy("landmark", "hop")
+  }
+
+  /** DuckDB twin: g05's unrolled rounds keyed (landmark, node), then
+    * the identical histogram → prefix sum → integer P90 boundary. */
+  private val landmarkRadiusSql = {
+    val rounds = (1 to bfsRounds).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |  SELECT landmark, node, MIN(hop) AS hop FROM (
+         |    SELECT landmark, node, hop FROM h${r - 1}
+         |    UNION ALL
+         |    SELECT f.landmark, u.dst AS node, CAST($r AS BIGINT) AS hop
+         |    FROM (SELECT landmark, node FROM h${r - 1}
+         |          WHERE hop = ${r - 1}) f
+         |    JOIN und u ON u.src = f.node) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $undirectedEdgesSql,
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS landmark FROM und GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT $bfsSeeds),
+       |h0 AS MATERIALIZED (
+       |  SELECT landmark, landmark AS node, CAST(0 AS BIGINT) AS hop
+       |  FROM seeds),
+       |$rounds,
+       |hist AS (
+       |  SELECT landmark, hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM h$bfsRounds GROUP BY 1, 2),
+       |c AS (
+       |  SELECT landmark, hop, n_nodes,
+       |    SUM(n_nodes) OVER (PARTITION BY landmark ORDER BY hop)
+       |      AS cum_nodes,
+       |    SUM(n_nodes) OVER (PARTITION BY landmark) AS n_reached
+       |  FROM hist)
+       |SELECT landmark, hop, n_nodes,
+       |  CAST(cum_nodes AS BIGINT) AS cum_nodes,
+       |  CAST(n_reached AS BIGINT) AS n_reached,
+       |  CAST(CASE WHEN cum_nodes * 10 >= 9 * n_reached
+       |    AND (cum_nodes - n_nodes) * 10 < 9 * n_reached
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_radius
+       |FROM c ORDER BY landmark, hop""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_landmark_radius" -> landmarkRadius _,
     "g13_assortativity" -> assortativity _,
     "g12_joint_degree" -> jointDegree _,
     "g11_hits" -> hits _,
@@ -1238,6 +1352,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g14_landmark_radius" -> landmarkRadiusSql,
     "g13_assortativity" -> assortativitySql,
     "g12_joint_degree" -> jointDegreeSql,
     "g11_hits" -> hitsSql,

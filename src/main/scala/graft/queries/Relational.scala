@@ -3389,8 +3389,108 @@ object Relational {
        |  CAST(CASE WHEN l < $q75L THEN 1 ELSE 0 END AS BIGINT) AS at_risk
        |FROM h CROSS JOIN tot ORDER BY l""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** q76: MAD robust-outlier profile per event type — the
+    * median/MAD twin of q68's mean/σ screen. A k-sigma test breaks
+    * down when the contamination itself inflates σ (one whale event
+    * masks the rest); the median absolute deviation has a 50 %
+    * breakdown point, so this is the outlier count a pipeline trusts
+    * on heavy-tailed telemetry. Flag: `|x − median| > [[q76K]]·MAD`.
+    *
+    * Both order statistics are EXACT integer ranks (the q71 lower-
+    * median convention, smallest value with 2·cum ≥ n), so no float
+    * ever decides: median over the (type, cents) count histogram,
+    * MAD over the derived (type, |cents − median|) histogram, and the
+    * flag is a pure BIGINT comparison.
+    *
+    * Scale shape — the g04/q71 histogram lesson, twice: the fact
+    * table collapses ONCE into the value histogram (one partial-agged
+    * shuffle, domain-bounded ≤ distinct cent values per type); the
+    * deviation histogram, both prefix-sum windows, and the outlier
+    * count all run over histograms, never rows — at 100 TB the
+    * post-scan work is unchanged while q68's second fact pass grows
+    * linearly. (q68 keeps its two-pass shape deliberately: these are
+    * the two canonical profiles, cross-checkable on the same table.) */
+  val q76K = 3
+  def q76MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val byType = Window.partitionBy(col("event_type"))
+    val med = h
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("med"))
+    val devh = h.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("cents") - col("med")).as("adev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = devh
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("adev"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("adev"))).as("mad"))
+    h.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(abs(col("cents") - col("med")) > lit(q76K) * col("mad"),
+          col("cnt")).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("median_cents"),
+        col("mad_cents"), col("n_outliers").cast("long").as("n_outliers"),
+        expr("CAST(n_outliers * 1000000 div n AS BIGINT)")
+          .as("outlier_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val q76Sql =
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |med AS (
+       |  SELECT event_type, MAX(n) AS n,
+       |    MIN(CASE WHEN cum * 2 >= n THEN cents END) AS med
+       |  FROM (
+       |    SELECT event_type, cents, cnt,
+       |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+       |      SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |    FROM h) GROUP BY event_type),
+       |devh AS (
+       |  SELECT h.event_type, abs(h.cents - med.med) AS adev,
+       |    CAST(SUM(h.cnt) AS BIGINT) AS cnt
+       |  FROM h JOIN med ON h.event_type = med.event_type
+       |  GROUP BY 1, 2),
+       |mad AS (
+       |  SELECT event_type,
+       |    MIN(CASE WHEN cum * 2 >= n THEN adev END) AS mad
+       |  FROM (
+       |    SELECT event_type, adev, cnt,
+       |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
+       |      SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |    FROM devh) GROUP BY event_type)
+       |SELECT h.event_type, CAST(MAX(med.n) AS BIGINT) AS n,
+       |  CAST(MAX(med.med) AS BIGINT) AS median_cents,
+       |  CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+       |  CAST(SUM(CASE WHEN abs(h.cents - med.med) > $q76K * mad.mad
+       |    THEN h.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST(SUM(CASE WHEN abs(h.cents - med.med) > $q76K * mad.mad
+       |    THEN h.cnt ELSE 0 END) * 1000000 // MAX(med.n) AS BIGINT)
+       |    AS outlier_ppm
+       |FROM h JOIN med ON h.event_type = med.event_type
+       |       JOIN mad ON h.event_type = mad.event_type
+       |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_mad_outliers"    -> q76MadOutliers _,
     "q75_l_diversity"     -> q75LDiversity _,
     "q74_surge_window"    -> q74SurgeWindow _,
     "q73_attribution"     -> q73Attribution _,
@@ -3468,6 +3568,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q76_mad_outliers"    -> q76Sql,
     "q75_l_diversity"     -> q75Sql,
     "q74_surge_window"    -> q74Sql,
     "q73_attribution"     -> q73Sql,

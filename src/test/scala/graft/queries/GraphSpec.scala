@@ -406,4 +406,55 @@ class GraphSpec extends SparkSpec {
       ord.repartition(3)).collect().toSeq
     assert(Graph.assortativity(spark, sf).collect().toSeq == b)
   }
+
+  test("g14: landmark hop histograms match an independent per-seed BFS; " +
+      "cum telescopes; exactly one P90 radius row per landmark") {
+    import spark.implicits._
+    val out = Graph.landmarkRadiusDf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // independent reference: adjacency map + per-landmark frontier BFS
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey") + Graph.custOffset)
+      .as[(Long, Long)].collect().distinct
+    val adj = pairs.flatMap { case (s0, c) => Seq((s0, c), (c, s0)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.toSeq.map { case (n, nb) => (n, nb.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(Graph.bfsSeeds).map(_._1)
+    val want = seeds.flatMap { lm =>
+      var dist = Map(lm -> 0L)
+      for (r <- 1 to Graph.bfsRounds) {
+        val frontier = dist.collect { case (n, h) if h == r - 1 => n }
+        val nxt = frontier.toSet
+          .flatMap(adj.getOrElse(_: Long, Set.empty[Long]))
+        dist = nxt.filterNot(dist.contains).map(_ -> r.toLong).toMap ++ dist
+      }
+      val hist = dist.values.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val total = dist.size.toLong
+      val hops = hist.keys.toSeq.sorted
+      val cums = hops.scanLeft(0L)((c, h) => c + hist(h)).tail
+      hops.zip(cums).map { case (h, cum) =>
+        (lm, h, hist(h), cum, total,
+          if (cum * 10 >= 9 * total && (cum - hist(h)) * 10 < 9 * total) 1L
+          else 0L)
+      }
+    }.toSet
+    assert(out.toSet === want)
+    // exactly one radius row per landmark, and it is the FIRST hop
+    // whose cumulative mass reaches 90 %
+    val byLm = out.groupBy(_._1)
+    assert(byLm.size === Graph.bfsSeeds)
+    byLm.values.foreach { rows =>
+      assert(rows.count(_._6 == 1L) === 1)
+      val sorted = rows.sortBy(_._2)
+      // cum telescopes: each cum = previous cum + n_nodes
+      sorted.zip(sorted.map(_._3).scanLeft(0L)(_ + _).tail)
+        .foreach { case (row, cum) => assert(row._4 === cum) }
+      assert(sorted.last._4 === sorted.last._5)
+      val radius = rows.find(_._6 == 1L).get._2
+      rows.filter(_._2 < radius)
+        .foreach(r => assert(r._4 * 10 < 9 * r._5))
+    }
+  }
 }

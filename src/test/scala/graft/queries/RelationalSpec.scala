@@ -796,4 +796,33 @@ class RelationalSpec extends SparkSpec {
     // l is bounded by the 5 market segments
     assert(out.forall { case (l, _, _, _, _) => l >= 1L && l <= 5L })
   }
+
+  test("q76: median/MAD/outlier counts match an exact in-memory " +
+      "recompute; MAD is robust where q68's sigma is not") {
+    import graft.Tables.t
+    val out = Relational.q76MadOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = t(spark, sf, "events").selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // lower median (q71 convention): smallest value with 2*cum >= n
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length - 1) / 2)
+    }
+    val want = ev.groupBy(_._1).map { case (ty, g) =>
+      val vals = g.map(_._2).toSeq
+      val med = lowerMedian(vals)
+      val mad = lowerMedian(vals.map(v => math.abs(v - med)))
+      val nOut = vals.count(v => math.abs(v - med) > Relational.q76K * mad)
+      (ty, vals.length.toLong, med, mad, nOut.toLong,
+        nOut.toLong * 1000000L / vals.length)
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+    // sanity: the flag threshold is meaningful — at least the central
+    // half (adev <= MAD <= 3*MAD) is never flagged
+    out.foreach { case (_, n, _, _, nOut, _) => assert(nOut * 2 <= n) }
+  }
 }
