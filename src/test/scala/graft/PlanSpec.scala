@@ -685,4 +685,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"),
       "minhash signatures do not combine map-side:\n" + p)
   }
+
+  test("q76: the fact table collapses ONCE into the persisted value " +
+    "histogram — median, MAD and the flag count all probe the cache; " +
+    "stats broadcast") {
+    val p = plan(Relational.q76MadOutliers(spark, sf))
+    // the histogram agg combines map-side before its one shuffle
+    assert(p.contains("partial_count"),
+      "histogram agg does not combine map-side:\n" + p)
+    // three consumers (median window chain, deviation histogram,
+    // flag-and-count) read the persisted histogram, never the fact
+    // table again — this is the shape that beats q68's second fact
+    // pass at 100 TB
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      "a histogram consumer re-scanned the fact table:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "median/MAD stats did not broadcast:\n" + p)
+  }
+
+  test("g14: per-landmark BFS rounds are hash joins on the edge list " +
+    "with map-side min combine; the P90 window is landmark-partitioned") {
+    val p = plan(graft.queries.Graph.landmarkRadius(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "g14 planned an all-pairs expansion:\n" + p)
+    assert(p.contains("partial_min"),
+      "per-round min-hop does not combine map-side:\n" + p)
+    // the prefix-sum window must be keyed by landmark (never a global
+    // single-task sort — the g04 lesson)
+    assert(!p.contains("Window [") ||
+      p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("landmark")),
+      "g14's window is not landmark-partitioned:\n" + p)
+  }
 }
