@@ -352,13 +352,89 @@ object Pipeline {
        |FROM g ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------- e05
+  /** e05: source-concentration audit — per language, the exact Gini
+    * coefficient of character mass across sources plus the dominant
+    * source and its share. The diversity screen next to e04's
+    * per-source report: e04 says how good each source is, e05 says
+    * whether a language's data is all ONE source (a training corpus
+    * with gini → 1 inherits that source's biases no matter how many
+    * sources are nominally present; p04/p12's mixing math assumes
+    * there is something to mix).
+    *
+    * Exactness: with per-source masses x₁ ≤ … ≤ xₙ (rank r by
+    * (mass, source) — ties carry equal x so the sum is tie-invariant),
+    * Σᵢ Σⱼ |xᵢ−xⱼ| = 2·(2A − (n+1)·S) where A = Σ r·xᵣ and S = Σ x,
+    * so gini = (2A − (n+1)S)/(n·S) — numerator and denominator are
+    * exact integers, emitted in floored ppm; the numerator is
+    * non-negative by the rearrangement inequality, so `div`/`//`
+    * agree. A is widened to DECIMAL(38,0)/HUGEINT: r·x ≈ n²·mass
+    * overflows BIGINT past ~10³ sources × 10¹³ chars (the q65 rule).
+    * The dominant source is `max(struct(mass, source))` — an exact
+    * total order, no window.
+    *
+    * Scale shape: ONE corpus pass (partial-agged (lang, source) mass
+    * histogram — n_chars is a column, text never moves); the rank
+    * window and both rollups run on the languages × sources relation,
+    * which a 100 TB corpus does not grow. */
+  def sourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_chars")).as("mass"))
+    h.withColumn("r", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("mass"), col("source"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("mass")).as("total_chars"),
+        sum(expr("CAST(mass AS DECIMAL(38,0)) * r")).as("a"),
+        max(struct(col("mass"), col("source"))).as("top"))
+      .select(col("lang"), col("n_sources"), col("total_chars"),
+        expr("""CAST((2 * a - (n_sources + 1) * CAST(total_chars AS
+                DECIMAL(38,0))) * 1000000
+                div (n_sources * CAST(total_chars AS DECIMAL(38,0)))
+                AS BIGINT)""").as("gini_ppm"),
+        col("top.source").as("top_source"),
+        expr("top.mass * 1000000 div total_chars").as("top_share_ppm"))
+      .orderBy("lang")
+  }
+
+  private val sourceConcentrationSql =
+    """WITH h AS (
+      |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, source, mass,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY mass, source) AS BIGINT) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY mass DESC, source DESC) AS rd
+      |  FROM h),
+      |g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(mass) AS BIGINT) AS total_chars,
+      |    CAST(SUM(CAST(mass AS HUGEINT) * r) AS HUGEINT) AS a,
+      |    MAX(CASE WHEN rd = 1 THEN source END) AS top_source,
+      |    CAST(MAX(CASE WHEN rd = 1 THEN mass END) AS BIGINT) AS top_mass
+      |  FROM r GROUP BY lang)
+      |SELECT lang, n_sources, total_chars,
+      |  CAST((2 * a - (n_sources + 1) * CAST(total_chars AS HUGEINT))
+      |    * 1000000 // (n_sources * CAST(total_chars AS HUGEINT))
+      |    AS BIGINT) AS gini_ppm,
+      |  top_source,
+      |  CAST(top_mass * 1000000 // total_chars AS BIGINT) AS top_share_ppm
+      |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_source_concentration" -> sourceConcentration _,
     "e04_corpus_report" -> corpusReport _,
     "e03_snapshot_diff" -> snapshotDiff _,
     "e01_corpus_build" -> corpusBuild _,
     "e02_corpus_refresh" -> corpusRefresh _)
 
   val oracle: Map[String, String] = Map(
+    "e05_source_concentration" -> sourceConcentrationSql,
     "e04_corpus_report" -> corpusReportSql,
     "e03_snapshot_diff" -> snapshotDiffSql,
     "e01_corpus_build" -> corpusBuildSql,

@@ -86,4 +86,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "no docs added by the delta")
     assert(rows.map(_.getLong(1)).sum > 0, "no base docs")
   }
+
+  test("e05: gini matches an exact all-pairs BigInt recompute; bounds " +
+      "hold; top source is the max-(mass, source) pick") {
+    import graft.Tables.t
+    val out = Pipeline.sourceConcentration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    val masses = t(spark, sf, "documents")
+      .selectExpr("lang", "source", "CAST(n_chars AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((lg, src), m) => (lg, src, m) }
+    val want = masses.groupBy(_._1).map { case (lg, g) =>
+      val xs = g.map(_._3)
+      val n = BigInt(xs.length)
+      val s0 = xs.map(BigInt(_)).sum
+      // definitional form: mean absolute difference over all ordered
+      // pairs, halved — independent of the contract's rank algebra
+      val num = (for (a <- xs; b <- xs) yield (BigInt(a) - b).abs).sum
+      val gini = num * 1000000 / (2 * n * s0)
+      val (topM, topS) = g.map(r => (r._3, r._2)).max
+      (lg, xs.length.toLong, s0.toLong, gini.toLong, topS,
+        (BigInt(topM) * 1000000 / s0).toLong)
+    }.toSet
+    assert(out.toSet === want)
+    assert(out.nonEmpty)
+    // gini in [0, 1e6); a dominant share consistent with gini's floor:
+    // top share is always >= the uniform 1/n slice
+    out.foreach { case (_, n, _, gini, _, top) =>
+      assert(gini >= 0L && gini < 1000000L)
+      assert(top >= 1000000L / n - 1)
+    }
+  }
 }
