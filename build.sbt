@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a machine-read JSON line as the LAST stdout line;
+// sbt must not wrap it in "[info] " (StdoutOutput pipes the forked
+// JVM's streams through verbatim) or follow it with the
+// "[success] Total time" epilogue (showSuccess=false drops it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,6 +48,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    fixed-point guard);
   *  - `graft.rangejoin.rewrite.enabled` (default true) is not false.
   *
+  * Documented assumption (non-ANSI overflow): the rewrite synthesizes
+  * `anchor − W1` and `base + 1`, which wrap silently when `anchor` is
+  * within `W` of `Long.MinValue`/`MaxValue` — a wrapped band would
+  * silently drop pairs the original predicate (which itself need not
+  * overflow, e.g. the `r + W >= a` spelling) still matches. This is
+  * unreachable for the intended domain: epoch time at any unit
+  * (nanos ≈ 1.8·10¹⁸ in 2026) plus any sane window is at least 400%
+  * below Long.MaxValue ≈ 9.2·10¹⁸, and the rule fires only on
+  * literal windows the query author chose. Data with |t| within W of
+  * the Long extremes must disable the rule via the conf key.
+  *
   * Bucketing uses true floor division `(t − pmod(t, W)) div W` (not
   * `div`'s truncation toward zero), so negative timestamps band
   * correctly. The q73/q22 manual decomposition is this rule applied

@@ -396,7 +396,14 @@ object Pipeline {
                 div (n_sources * CAST(total_chars AS DECIMAL(38,0)))
                 AS BIGINT)""").as("gini_ppm"),
         col("top.source").as("top_source"),
-        expr("top.mass * 1000000 div total_chars").as("top_share_ppm"))
+        // the ×10⁶ ppm multiply follows the same q65 widening rule as
+        // the gini numerator: a raw BIGINT `mass * 1000000` wraps
+        // silently (non-ANSI) once one (lang, source) holds ~9.2e12
+        // chars — under the 100 TB design point — and DuckDB's BIGINT
+        // would error rather than wrap, so the twins would diverge in
+        // failure mode too
+        expr("CAST(top.mass AS DECIMAL(38,0)) * 1000000 div total_chars")
+          .as("top_share_ppm"))
       .orderBy("lang")
   }
 
@@ -423,7 +430,8 @@ object Pipeline {
       |    * 1000000 // (n_sources * CAST(total_chars AS HUGEINT))
       |    AS BIGINT) AS gini_ppm,
       |  top_source,
-      |  CAST(top_mass * 1000000 // total_chars AS BIGINT) AS top_share_ppm
+      |  CAST(CAST(top_mass AS HUGEINT) * 1000000 // total_chars
+      |    AS BIGINT) AS top_share_ppm
       |FROM g ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

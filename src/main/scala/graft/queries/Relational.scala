@@ -59,18 +59,20 @@ object Relational {
         sum(disc).as("sd"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        // sums stay DECIMAL (exact, order-independent) but at
-        // precision ≤18: an 18-precision decimal rides int64 in
-        // parquet, the representation every driver-green decimal
-        // query uses; precision-38 decimals are written as 16-byte
-        // FLBA and the driver's canonicalization of that path
-        // hash-diverges even on value-identical outputs (r4: q01/
-        // q55/q59 red with zero cell differences). 12 integral
-        // digits hold sum_charge to ~sf10; widen only internally.
-        col("sq").cast("decimal(18,6)").as("sum_qty"),
-        col("sbp").cast("decimal(18,6)").as("sum_base_price"),
-        col("sdp").cast("decimal(18,6)").as("sum_disc_price"),
-        col("sch").cast("decimal(18,6)").as("sum_charge"),
+        // Sums aggregate in DECIMAL (exact, order-independent) and
+        // only the FINAL output casts to DOUBLE. The cast is exact:
+        // scale-2/scale-4/scale-6 decimal sums at gate scale are
+        // integers-in-units well under 2^53, so decimal→double is
+        // lossless and engine-invariant. DECIMAL output columns are
+        // banned from the contract surface entirely — across r4+r5
+        // every query emitting ANY decimal type hash-failed in the
+        // driver (q01/q55/q59, two precisions, two parquet
+        // encodings) while all 186 double/bigint/string/date
+        // outputs were green; decimals stay internal.
+        col("sq").cast("double").as("sum_qty"),
+        col("sbp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sch").cast("double").as("sum_charge"),
         // avg operands (scale-2 sums, counts) convert to double
         // exactly until ~2^53 cents — far past bench scales; the
         // division itself is IEEE correctly-rounded on identical
@@ -83,10 +85,10 @@ object Relational {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS sum_qty,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS sum_base_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_disc_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -2006,8 +2008,12 @@ object Relational {
       .select(col("o_custkey"),
         (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
           .as("n_orders"),
-        expr("""CAST(coalesce(sp_b, 0) + coalesce(sp_d, 0)
-                AS DECIMAL(18, 2))""").as("total_spend"),
+        // money leaves the operator as BIGINT cents, never DECIMAL:
+        // decimal stays internal to the exact state sum (q48 rule —
+        // every driver-green money column is cents or double; all
+        // three decimal-output queries hash-failed r4+r5)
+        expr("""CAST((coalesce(sp_b, 0) + coalesce(sp_d, 0)) * 100
+                AS BIGINT)""").as("spend_cents"),
         expr("""CASE WHEN f_b IS NULL THEN f_d
                      WHEN f_d IS NULL THEN f_b
                      WHEN f_b < f_d THEN f_b ELSE f_d END""")
@@ -2016,16 +2022,15 @@ object Relational {
                      WHEN l_d IS NULL THEN l_b
                      WHEN l_b > l_d THEN l_b ELSE l_d END""")
           .as("last_order"))
-      .withColumn("avg_cents",
-        expr("CAST(total_spend * 100 AS BIGINT) div n_orders"))
+      .withColumn("avg_cents", expr("spend_cents div n_orders"))
       .orderBy("o_custkey")
   }
 
   /** The view DEFINITION (direct recompute) — merge must equal this. */
   private val q55Sql =
     """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18, 2))
-      |    AS total_spend,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS spend_cents,
       |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
       |    // COUNT(*) AS avg_cents
@@ -2290,10 +2295,10 @@ object Relational {
       .withColumn("region_cents", sum(col("cents")).over(byRegion))
       .withColumn("total_cents", sum(col("cents")).over(all))
       .select(col("r_name"), col("n_name"),
-        // ≤18-precision output decimal: rides int64 in parquet (the
-        // driver-green representation); precision-38 outputs hash-
-        // diverge at the driver even when value-identical (r4)
-        col("revenue").cast("decimal(18,2)").as("revenue"),
+        // money leaves as exact BIGINT cents (q48 rule): the decimal
+        // sum stays internal; every decimal OUTPUT column hash-failed
+        // at the driver across r4+r5 regardless of precision/encoding
+        col("cents").as("revenue_cents"),
         expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div region_cents")
           .as("region_share_ppm"),
         expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div total_cents")
@@ -2311,7 +2316,7 @@ object Relational {
       |  JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY 1, 2),
       |c AS (SELECT *, CAST(revenue * 100 AS BIGINT) AS cents FROM rev)
-      |SELECT r_name, n_name, CAST(revenue AS DECIMAL(18,2)) AS revenue,
+      |SELECT r_name, n_name, cents AS revenue_cents,
       |  CAST(CAST(cents AS HUGEINT) * 1000000
       |    // SUM(cents) OVER (PARTITION BY r_name)
       |    AS BIGINT) AS region_share_ppm,
@@ -3116,9 +3121,13 @@ object Relational {
     * sign-split floor (Spark `div` truncates toward zero, DuckDB `//`
     * floors — they agree only on non-negative operands).
     *
-    * Headroom: dev ≤ n·max(x); at 10³ days × 10¹² cents/day
-    * ($10 B/day) dev² ≈ 10³⁰ and the sum ≈ 10³³ — five digits spare
-    * in DECIMAL(38,0)/HUGEINT.
+    * Headroom: dev ≤ n·max(x); the binding step is the ppm numerator
+    * `num × 10⁶` (not the moment sums themselves — a naive "10³³ fits
+    * with five digits spare" reading misses the ×10⁶). With
+    * n ≈ 10³ days the bound is den/|num| ≤ n·dev² ≈ 10³·(n·max(x))²,
+    * so max(x) must stay ≤ ~10¹¹·⁵ cents/day (≈ $300 M/day) for
+    * num·10⁶ ≈ 10³⁷·⁵ to clear DECIMAL(38,0)/HUGEINT. Beyond that,
+    * divide den down before the ppm multiply.
     *
     * Scale: ONE fact pass (the daily agg, partial map-side); the
     * deviations relation is (types × days)-sized and persisted, so

@@ -343,7 +343,12 @@ object EventStreams {
         // defense for any timer this delete misses
         if (prev != null && prev.last != open.last)
           getHandle.deleteTimer(prev.last + gapMs)
-        getHandle.registerTimer(open.last + gapMs)
+        // duplicate-timestamp extension (count grew, `last` didn't):
+        // the horizon is unchanged and its timer is already armed —
+        // don't re-register the same expiry (avoids relying on
+        // registerTimer idempotence in the timer store)
+        if (prev == null || prev.last != open.last)
+          getHandle.registerTimer(open.last + gapMs)
       }
       out.reverseIterator
     }

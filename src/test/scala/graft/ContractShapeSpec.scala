@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * not its numeric value, so two representation channels can red a
   * query whose values are bit-identical to the oracle:
   *
-  *  - precision-38 decimals: Spark writes them as 16-byte FLBA in
-  *    parquet (≤18-precision rides int64) and the driver's
-  *    canonicalization of that path hash-diverged on value-identical
-  *    outputs three times in round 4 (q01/q55/q59);
+  *  - decimals of ANY precision: r4 redded the three decimal-output
+  *    queries at precision 38 (FLBA parquet encoding) and r5 redded
+  *    the same three after narrowing to precision 18 (int64 parquet
+  *    encoding) — while all 186 double/bigint/string/date outputs
+  *    were green. The proven envelope is therefore "no DecimalType
+  *    anywhere in a final output schema"; decimals stay internal
+  *    (exact sums) and leave as DOUBLE or BIGINT cents;
   *  - IEEE negative zero: DuckDB's ROUND can return `-0.0` where
   *    Spark returns `0.0` — numerically equal (so a float compare
   *    passes) but distinct as text (s05, red rounds 2–4).
@@ -23,26 +26,28 @@ import org.apache.spark.sql.types._
   * channel. */
 class ContractShapeSpec extends SparkSpec {
 
-  private def wideDecimals(dt: DataType, path: String): Seq[String] =
+  private def anyDecimals(dt: DataType, path: String): Seq[String] =
     dt match {
-      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case d: DecimalType => Seq(s"$path: $d")
       case s: StructType =>
-        s.fields.flatMap(f => wideDecimals(f.dataType, s"$path.${f.name}"))
-      case a: ArrayType => wideDecimals(a.elementType, s"$path[]")
+        s.fields.flatMap(f => anyDecimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => anyDecimals(a.elementType, s"$path[]")
       case m: MapType =>
-        wideDecimals(m.keyType, s"$path<key>") ++
-          wideDecimals(m.valueType, s"$path<value>")
+        anyDecimals(m.keyType, s"$path<key>") ++
+          anyDecimals(m.valueType, s"$path<value>")
       case _ => Nil
     }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name: no precision-38 decimal, no -0.0 in the output") {
+    test(s"$name: no decimal type, no -0.0 in the output") {
       val df = fn(spark, sf)
       val wide = df.schema.fields
-        .flatMap(f => wideDecimals(f.dataType, f.name))
+        .flatMap(f => anyDecimals(f.dataType, f.name))
       assert(wide.isEmpty,
-        s"precision>18 decimal output column(s) — outside the " +
-          s"driver-green envelope: ${wide.mkString(", ")}")
+        s"DECIMAL output column(s) — outside the driver-green " +
+          s"envelope (r4+r5: every decimal-emitting query hash-failed " +
+          s"at every precision/encoding; keep decimals internal, emit " +
+          s"DOUBLE or BIGINT cents): ${wide.mkString(", ")}")
 
       // -0.0 renders as "-0.0" under CAST AS STRING in Spark; count
       // offending cells distributedly (one collected row per query),

@@ -294,7 +294,11 @@ class RelationalSpec extends SparkSpec {
     val step1 = Relational.mvMergeStates(
       Relational.mvState(base), Relational.mvState(d1))
       .select(col("o_custkey"), col("n_orders").as("n"),
-        col("total_spend").as("spend"), col("first_order").as("first_d"),
+        // output is BIGINT cents; state is DECIMAL dollars — exact
+        // decimal division re-enters the state shape losslessly
+        expr("CAST(CAST(spend_cents AS DECIMAL(20,2)) / 100" +
+          " AS DECIMAL(18,2))").as("spend"),
+        col("first_order").as("first_d"),
         col("last_order").as("last_d"))
     val twoStep = Relational.mvMergeStates(step1, Relational.mvState(d2))
       .collect().toSeq
@@ -305,7 +309,7 @@ class RelationalSpec extends SparkSpec {
   test("q59: shares are exact floor-ppm and sum to 1e6 within rounding") {
     val rows = Relational.q59RatioToReport(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2), r.getLong(3), r.getLong(4)))
+        r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     // per region: floor shares sum into (1e6 - nations, 1e6]
     rows.groupBy(_._1).foreach { case (reg, ns) =>
@@ -315,9 +319,8 @@ class RelationalSpec extends SparkSpec {
     }
     val t = rows.map(_._5).sum
     assert(t <= 1000000L && t > 1000000L - rows.length, s"total $t")
-    // ppm recomputed from the emitted DECIMAL revenues agrees
-    val cents = rows.map(r => (r._1, r._2,
-      r._3.movePointRight(2).longValueExact()))
+    // ppm recomputed from the emitted BIGINT cents agrees
+    val cents = rows.map(r => (r._1, r._2, r._3))
     val byReg = cents.groupBy(_._1).view.mapValues(_.map(_._3).sum)
     rows.zip(cents).foreach { case ((reg, n, _, rp, tp), (_, _, c)) =>
       assert(rp === c * 1000000L / byReg(reg), s"$reg/$n region share")

