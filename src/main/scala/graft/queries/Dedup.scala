@@ -1087,7 +1087,114 @@ object Dedup {
        |FROM cand JOIN k x ON doc_a = x.doc_id JOIN k y ON doc_b = y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- d17 MinHash calibration
+  /** d17: MinHash estimator calibration — for every banded candidate
+    * pair, the signature-agreement estimate (matches/16) laid against
+    * the EXACT shingle Jaccard, rolled up per match count: how many
+    * pairs, the estimator's nominal value, and the true similarity's
+    * mean/min/max. This is the d15/s09/s14 measured-index-quality
+    * discipline pointed at the ESTIMATOR itself (d15 audits what the
+    * bands recall; d17 audits what the signature claims): a dedup
+    * threshold of "≥ 12/16 matches" is only as good as this table
+    * says it is, and re-tuning shingle size or hash count shows up as
+    * a diffable calibration shift, not a doc claim.
+    *
+    * Exactness: match counts are integer; the true Jaccard is exact
+    * `common·10⁶ div (|A|+|B|−common)` over the full (unpruned)
+    * distinct-shingle sets; the per-bucket mean divides two exact
+    * integers. A banded pair with NO shared shingle (possible only
+    * via a 32-bit sub-hash collision) contributes 0 ppm, not a
+    * dropped row.
+    *
+    * Scale: the corpus-sized work is the shared signature build (one
+    * shuffle, identical sub-plans dedupe via ReusedExchange — the d02
+    * note) and one distinct-shingle relation; intersections run
+    * candidate-bounded (cand ⋈ shingles on doc, then an (id, shingle)
+    * hash join), never all-pairs. The output is ≤ 17 rows at any
+    * corpus size. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame =
+    minhashCalibrationDf(t(s, dir, "documents"))
+
+  def minhashCalibrationDf(docs: DataFrame): DataFrame = {
+    val sigs = minHashSigs(docs)
+    val cand = minHashCandidates(sigs)
+    val m = (0 until numHashes)
+      .map(k => when(col(s"xa.s$k") === col(s"yb.s$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = cand
+      .join(sigs.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sigs.as("yb"), col("doc_b") === col("yb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), m.as("sig_matches"))
+    // exact side: the same distinct 3-token shingle sets the signature
+    // summarizes (UNpruned — calibration must measure the estimator
+    // against the true set, not a df-cut convenience)
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = scored.select(col("doc_a"), col("doc_b"))
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    scored
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("sig_matches"),
+        expr("""coalesce(common, 0L) * 1000000
+                div (sa.n_sh + sb.n_sh - coalesce(common, 0L))""")
+          .as("true_ppm"))
+      .groupBy(col("sig_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(true_ppm) div count(1)").as("mean_true_ppm"),
+        min(col("true_ppm")).as("min_true_ppm"),
+        max(col("true_ppm")).as("max_true_ppm"))
+      .select(col("sig_matches"), col("n_pairs"),
+        expr(s"CAST(sig_matches * 1000000 div $numHashes AS BIGINT)")
+          .as("est_ppm"),
+        col("mean_true_ppm"), col("min_true_ppm"), col("max_true_ppm"))
+      .orderBy("sig_matches")
+  }
+
+  private val minhashCalibrationSql: String = {
+    val est = (0 until numHashes)
+      .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minHashCandSql,
+       |scored AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, CAST($est AS BIGINT) AS sig_matches
+       |  FROM cand JOIN sigs x ON doc_a = x.doc_id
+       |            JOIN sigs y ON doc_b = y.doc_id),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |  FROM toks GROUP BY doc_id),
+       |com AS (
+       |  SELECT s.doc_a, s.doc_b, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM scored s
+       |  JOIN toks a ON s.doc_a = a.doc_id
+       |  JOIN toks b ON s.doc_b = b.doc_id AND a.tok = b.tok
+       |  GROUP BY 1, 2),
+       |pairppm AS (
+       |  SELECT s.sig_matches,
+       |    COALESCE(c.common, 0) * 1000000
+       |      // (sa.n_sh + sb.n_sh - COALESCE(c.common, 0)) AS true_ppm
+       |  FROM scored s
+       |  LEFT JOIN com c ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+       |  JOIN sz sa ON s.doc_a = sa.doc_id
+       |  JOIN sz sb ON s.doc_b = sb.doc_id)
+       |SELECT sig_matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(sig_matches * 1000000 // $numHashes AS BIGINT) AS est_ppm,
+       |  CAST(SUM(true_ppm) // COUNT(*) AS BIGINT) AS mean_true_ppm,
+       |  CAST(MIN(true_ppm) AS BIGINT) AS min_true_ppm,
+       |  CAST(MAX(true_ppm) AS BIGINT) AS max_true_ppm
+       |FROM pairppm GROUP BY sig_matches ORDER BY sig_matches""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_minhash_calibration" -> minhashCalibration _,
     "d16_edit_verify"     -> editVerify _,
     "d15_lsh_recall"      -> lshRecall _,
     "d13_semdedup"        -> semDedup _,
@@ -1106,6 +1213,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d17_minhash_calibration" -> minhashCalibrationSql,
     "d16_edit_verify"     -> editVerifySql,
     "d15_lsh_recall"      -> lshRecallSql,
     "d13_semdedup"        -> semDedupSql,

@@ -1335,7 +1335,93 @@ object Graph {
        |FROM c ORDER BY landmark, hop""".stripMargin
   }
 
+  // ------------------------------------------------------------- g15
+  /** g15: landmark-approximated harmonic centrality — per NODE, the
+    * sum of inverse hop distances to the [[bfsSeeds]] highest-degree
+    * landmarks, in exact integer ppm (`Σ 10⁶ div hop`). Harmonic
+    * centrality is the closeness variant that stays well-defined on
+    * disconnected graphs (unreached landmarks contribute 0, not ∞);
+    * the landmark restriction is the standard scale approximation
+    * (Eppstein–Wang): exact centrality needs all-pairs BFS — O(n·m),
+    * unshippable — while k landmarks give an unbiased k-sample of the
+    * same sum. g14 reads the SAME per-landmark BFS by landmark
+    * (each hub's reach curve); g15 reads it by node (each node's
+    * position in the graph) — together they are the two marginals of
+    * one (landmark, node, hop) relation.
+    *
+    * Determinism: hops are exact min-combined integers; 10⁶ div hop
+    * is integer floor division; the sum of ≤ [[bfsSeeds]] bounded
+    * terms cannot overflow. The landmarks themselves (hop 0) are
+    * excluded from their own sums — 1/0 is not a term.
+    *
+    * Scale shape: identical to g14 (frontier-only per-landmark BFS,
+    * ids-only state, fixed [[bfsRounds]], per-round persist); the
+    * final grouping is one hash agg from (landmark, node, hop) down
+    * to |nodes| rows. */
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
+    harmonicCentralityDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def harmonicCentralityDf(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame = {
+    val und = undirectedEdges(lineitem, orders).persist()
+    val seeds = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node"))
+      .limit(bfsSeeds)
+      .select(col("node").as("landmark"))
+    var dist = seeds
+      .select(col("landmark"), col("landmark").as("node"),
+        lit(0L).as("hop"))
+      .persist()
+    for (r <- 1 to bfsRounds) {
+      val next = dist.filter(col("hop") === (r - 1)).as("f")
+        .join(und.as("u"), col("f.node") === col("u.src"))
+        .select(col("f.landmark"), col("u.dst").as("node"),
+          lit(r.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy(col("landmark"), col("node"))
+        .agg(min(col("hop")).as("hop"))
+        .persist()
+    }
+    dist.filter(col("hop") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        min(col("hop")).as("nearest_hop"),
+        sum(expr("1000000 div hop")).as("harmonic_ppm"))
+      .orderBy("node")
+  }
+
+  /** DuckDB twin: g14's unrolled (landmark, node, hop) chain, read by
+    * node with the identical integer inverse-hop sum. */
+  private val harmonicCentralitySql = {
+    val rounds = (1 to bfsRounds).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |  SELECT landmark, node, MIN(hop) AS hop FROM (
+         |    SELECT landmark, node, hop FROM h${r - 1}
+         |    UNION ALL
+         |    SELECT f.landmark, u.dst AS node, CAST($r AS BIGINT) AS hop
+         |    FROM (SELECT landmark, node FROM h${r - 1}
+         |          WHERE hop = ${r - 1}) f
+         |    JOIN und u ON u.src = f.node) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $undirectedEdgesSql,
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS landmark FROM und GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT $bfsSeeds),
+       |h0 AS MATERIALIZED (
+       |  SELECT landmark, landmark AS node, CAST(0 AS BIGINT) AS hop
+       |  FROM seeds),
+       |$rounds
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+       |  CAST(MIN(hop) AS BIGINT) AS nearest_hop,
+       |  CAST(SUM(1000000 // hop) AS BIGINT) AS harmonic_ppm
+       |FROM h$bfsRounds WHERE hop >= 1
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_harmonic" -> harmonicCentrality _,
     "g14_landmark_radius" -> landmarkRadius _,
     "g13_assortativity" -> assortativity _,
     "g12_joint_degree" -> jointDegree _,
@@ -1352,6 +1438,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g15_harmonic" -> harmonicCentralitySql,
     "g14_landmark_radius" -> landmarkRadiusSql,
     "g13_assortativity" -> assortativitySql,
     "g12_joint_degree" -> jointDegreeSql,

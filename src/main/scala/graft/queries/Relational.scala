@@ -3497,8 +3497,121 @@ object Relational {
        |       JOIN mad ON h.event_type = mad.event_type
        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** q77: time-weighted average value (TWAP) per user — the measure a
+    * plain AVG gets wrong on irregularly-sampled telemetry: each
+    * event's value HOLDS until the next event (a step function), so
+    * the mean must weight by holding duration, not by row count (the
+    * classic finance/metering definition; one 10-hour reading and
+    * sixty 1-second readings are otherwise sixty-one equal votes).
+    *
+    * Exactness: values become BIGINT cents before any arithmetic (the
+    * q01 rule); the weighted numerator Σ cents·Δus widens to
+    * DECIMAL(38,0) BEFORE the multiply — cents ~ 10⁴ × Δus ~ 10¹²
+    * overflows a BIGINT term at ~10²-day gaps, and non-ANSI Spark
+    * would wrap silently where DuckDB errors (the e05/q65 widening
+    * rule). The final TWAP is one integer division of exact numbers,
+    * so the cell is engine-bit-identical.
+    *
+    * Scale: ONE user-partitioned sort provides the lead(ts) alignment
+    * and feeds the per-user aggregate directly (the q51/q60
+    * single-shuffle discipline); no self-join, no second fact pass.
+    * Users with a single event have no holding interval and are
+    * excluded by definition (span = 0 cannot divide). */
+  def q77Twap(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        sum(expr("""CASE WHEN next_us IS NULL THEN CAST(0 AS DECIMAL(38,0))
+              ELSE CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us)
+              END""")).as("wsum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        expr("CAST(wsum div span_us AS BIGINT)").as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  private val q77Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |led AS (
+      |  SELECT *, LEAD(ts_us, 1) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS next_us
+      |  FROM e),
+      |agg AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+      |    SUM(CASE WHEN next_us IS NULL THEN CAST(0 AS HUGEINT)
+      |      ELSE CAST(cents AS HUGEINT) * (next_us - ts_us) END) AS wsum
+      |  FROM led GROUP BY user_id)
+      |SELECT user_id, n_events, span_us,
+      |  CAST(wsum // span_us AS BIGINT) AS twap_cents
+      |FROM agg WHERE span_us > 0 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** q78: schema-evolution union — merging manifest snapshots written
+    * under DIFFERENT schema versions, the table-maintenance reality a
+    * long-lived 100 TB corpus cannot avoid (columns get added; old
+    * files are never rewritten). The v1 slice carries only
+    * (doc_id, source, n_chars); the v2 slice added `lang`. The merge
+    * is `unionByName(allowMissingColumns = true)` — Spark aligns
+    * columns BY NAME and null-fills the missing ones (a positional
+    * UNION would silently misalign or reject), exactly what a
+    * Delta/Iceberg-style schema-evolved read does per file group.
+    *
+    * The rollup then proves the null-fill semantics are what a
+    * consumer observes: per (snapshot_version, lang-or-⊥) doc counts
+    * and exact char mass. Scale: both slices are one filtered scan of
+    * the same table (column-pruned to each version's schema); the
+    * union is a zero-shuffle plan node; only the final small rollup
+    * aggregates. */
+  def q78SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // v1 files: written before `lang` existed (even doc ids)
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("snapshot_version", lit("v1"))
+    // v2 files: the evolved schema (odd doc ids)
+    val v2 = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .withColumn("snapshot_version", lit("v2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("snapshot_version"),
+        coalesce(col("lang"), lit("<absent>")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("snapshot_version", "lang")
+  }
+
+  private val q78Sql =
+    """WITH merged AS (
+      |  SELECT doc_id, source, n_chars, NULL AS lang, 'v1' AS snapshot_version
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars, lang, 'v2' AS snapshot_version
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT snapshot_version, COALESCE(lang, '<absent>') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_schema_evolution" -> q78SchemaEvolution _,
+    "q77_twap"            -> q77Twap _,
     "q76_mad_outliers"    -> q76MadOutliers _,
     "q75_l_diversity"     -> q75LDiversity _,
     "q74_surge_window"    -> q74SurgeWindow _,
@@ -3577,6 +3690,8 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q78_schema_evolution" -> q78Sql,
+    "q77_twap"            -> q77Sql,
     "q76_mad_outliers"    -> q76Sql,
     "q75_l_diversity"     -> q75Sql,
     "q74_surge_window"    -> q74Sql,

@@ -1417,7 +1417,119 @@ object Similarity {
        |ORDER BY pr.nprobe""".stripMargin
 
   // ------------------------------------------------------------------
+  // --------------------------------------------- s16 quantization recall
+  /** s16: int8-quantization recall audit — what s08's 4× storage
+    * compression costs in RETRIEVAL quality, measured as a relation
+    * (the s09/s14/s15/d15/d17 discipline): for the standard bounded
+    * query set, the top-[[topK]] under dot scores computed on the
+    * int8-RECONSTRUCTED vectors vs the top-[[topK]] under the same
+    * metric on the original vectors, per-query overlap in exact ppm.
+    * A store that serves quantized scans (or does ADC over quantized
+    * codes) ships exactly this audit before flipping the switch.
+    *
+    * Isolation: BOTH rankings use the same fixed-point metric
+    * ([[graft.functions.VectorExpressions.FixedPointDot]] —
+    * `Σ floor(aᵢbᵢ·2²⁰)`, an exact BIGINT on any engine), so the
+    * only difference between the two lists is the 8-bit rounding —
+    * the audit measures quantization loss and nothing else. Codes
+    * and reconstruction are s08's all-BIGINT arithmetic; the
+    * reconstructed coordinate `recon/2²⁰` is an exact power-of-two
+    * division.
+    *
+    * Scale: dim stats are 64 rows broadcast; reconstruction is
+    * map-side; the pair scoring is queries(bounded, broadcast) ×
+    * corpus — one scan, both scores per pair in one codegen'd
+    * projection; the two rankings share the scored relation. */
+  def quantRecall(s: SparkSession, dir: String): DataFrame =
+    quantRecallDf(t(s, dir, "embeddings"))
+
+  def quantRecallDf(embs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.fpDot
+    val cells = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("x"), floor(col("x") * fpScale).cast("long").as("vi"))
+    val stats = cells.groupBy(col("dim"))
+      .agg(min(col("vi")).as("mn"), max(col("vi")).as("mx"))
+    val rv = cells.join(broadcast(stats), "dim")
+      .withColumn("code", when(col("mx") === col("mn"), 0L)
+        .otherwise(expr("(vi - mn) * 255L div (mx - mn)")))
+      .withColumn("r",
+        (col("mn") + expr("code * (mx - mn) div 255")).cast("double")
+          / fpScale.toDouble)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("x"),
+        col("r")))).as("a"))
+      .select(col("vec_id"),
+        expr("transform(a, s -> s.x)").as("v"),
+        expr("transform(a, s -> s.r)").as("rv"))
+    val qs = rv.filter(isQuery)
+    val scored = broadcast(qs).as("q")
+      .join(rv.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        fpDot(col("q.v"), col("c.v")).as("s_exact"),
+        fpDot(col("q.rv"), col("c.rv")).as("s_quant"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_exact").desc, col("neighbor_id"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_quant").desc, col("neighbor_id"))
+    scored
+      .withColumn("re", row_number().over(we).cast("long"))
+      .withColumn("rq", row_number().over(wq).cast("long"))
+      .filter(col("re") <= topK)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rq") <= topK, 1L).otherwise(0L)).as("n_hit"),
+        count(lit(1)).as("n_exact"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  private val quantRecallSql =
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, dim, x,
+       |    CAST(FLOOR(x * $fpScale) AS BIGINT) AS vi
+       |  FROM raw),
+       |stats AS (
+       |  SELECT dim, MIN(vi) AS mn, MAX(vi) AS mx FROM cells GROUP BY dim),
+       |rv AS MATERIALIZED (
+       |  SELECT c.vec_id, c.dim, c.x,
+       |    CAST(s.mn + (CASE WHEN s.mx = s.mn THEN 0
+       |        ELSE (c.vi - s.mn) * 255 // (s.mx - s.mn) END)
+       |      * (s.mx - s.mn) // 255 AS DOUBLE) / $fpScale AS r
+       |  FROM cells c JOIN stats s ON c.dim = s.dim),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM(CAST(FLOOR(q.x * c.x * $fpScale) AS BIGINT)) AS s_exact,
+       |    SUM(CAST(FLOOR(q.r * c.r * $fpScale) AS BIGINT)) AS s_quant
+       |  FROM rv q JOIN rv c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s_exact DESC, neighbor_id) AS BIGINT) AS re,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s_quant DESC, neighbor_id) AS BIGINT) AS rq
+       |  FROM scored)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN rq <= $topK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(SUM(CASE WHEN rq <= $topK THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM ranked WHERE re <= $topK
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_quant_recall"    -> quantRecall _,
     "s15_ivf_probe_sweep" -> ivfProbeSweep _,
     "s14_mih_recall"      -> mihRecall _,
     "s13_mih_hamming"     -> mihHammingTopK _,
@@ -1435,6 +1547,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s16_quant_recall"    -> quantRecallSql,
     "s15_ivf_probe_sweep" -> probeSweepSql,
     "s14_mih_recall"      -> mihRecallSql,
     "s13_mih_hamming"     -> mihSql,

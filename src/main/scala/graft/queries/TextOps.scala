@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -1919,7 +1920,91 @@ object TextOps {
        |    AS types_per_mtoken
        |FROM c ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------- t32
+  /** t32: character-trigram language ID — the classic profile-overlap
+    * LID (Cavnar–Trenkle shape): per language, the corpus's
+    * [[lidProfileSize]] most frequent character trigrams form the
+    * trained profile; each document is scored by how many of its
+    * distinct trigrams hit each profile and classified to the best
+    * overlap. The output is the CONFUSION MATRIX (true lang ×
+    * predicted lang × doc count) — classifier quality as an
+    * oracle-checked relation (the s09/d17 audit discipline applied to
+    * the t05 marker heuristic's trained replacement).
+    *
+    * Determinism: profile membership is an exact rank under
+    * (count DESC, trigram ASC); classification is an exact rank under
+    * (overlap DESC, lang ASC); every count is an integer — no score
+    * normalization, no float anywhere. A document overlapping NO
+    * profile classifies as `<none>` rather than vanishing.
+    *
+    * Scale: ONE corpus pass builds the (lang, trigram) frequency
+    * histogram (partial-agged; trigram domain, not corpus, sized) and
+    * one pass extracts per-doc distinct trigrams; the profile is
+    * languages × [[lidProfileSize]] rows — broadcast — so scoring is
+    * a map-side semi-join + a doc-keyed agg; the classify window
+    * partitions by doc_id over ≤ |languages| rows. */
+  val lidProfileSize = 20
+
+  def trigramLid(s: SparkSession, dir: String): DataFrame =
+    trigramLidDf(t(s, dir, "documents"))
+
+  def trigramLidDf(docs: DataFrame): DataFrame = {
+    val tris = docs.select(col("doc_id"), col("lang"), explode(expr(
+      """transform(sequence(1, greatest(length(text) - 2, 1)),
+         i -> substring(text, i, 3))""")).as("tri"))
+    val byFreq = Window.partitionBy(col("plang"))
+      .orderBy(col("cnt").desc, col("tri"))
+    val profile = tris.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byFreq))
+      .filter(col("rk") <= lidProfileSize)
+      .select(col("plang"), col("tri"))
+    val docTris = tris.select(col("doc_id"), col("tri")).distinct()
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("plang"))
+    val predicted = docTris.join(broadcast(profile), "tri")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("predicted"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(predicted, Seq("doc_id"), "left")
+      .groupBy(col("lang"),
+        coalesce(col("predicted"), lit("<none>")).as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val trigramLidSql =
+    s"""WITH tris AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(list_transform(
+       |    generate_series(1, greatest(length(text) - 2, 1)),
+       |    i -> substring(text, i, 3))) AS tri
+       |  FROM documents),
+       |prof AS MATERIALIZED (
+       |  SELECT plang, tri FROM (
+       |    SELECT lang AS plang, tri, COUNT(*) AS cnt,
+       |      ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY COUNT(*) DESC, tri) AS rk
+       |    FROM tris GROUP BY lang, tri)
+       |  WHERE rk <= $lidProfileSize),
+       |dt AS (SELECT DISTINCT doc_id, tri FROM tris),
+       |pred AS (
+       |  SELECT doc_id, plang AS predicted FROM (
+       |    SELECT dt.doc_id, p.plang, COUNT(*) AS overlap,
+       |      ROW_NUMBER() OVER (PARTITION BY dt.doc_id
+       |        ORDER BY COUNT(*) DESC, p.plang) AS rk
+       |    FROM dt JOIN prof p ON dt.tri = p.tri
+       |    GROUP BY dt.doc_id, p.plang)
+       |  WHERE rk = 1)
+       |SELECT d.lang, COALESCE(pred.predicted, '<none>') AS predicted,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents d LEFT JOIN pred ON d.doc_id = pred.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_trigram_lid" -> trigramLid _,
     "t31_heaps_curve" -> heapsCurve _,
     "t30_winnowing"   -> winnowing _,
     "t29_boilerplate" -> boilerplate _,
@@ -1954,6 +2039,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t32_trigram_lid" -> trigramLidSql,
     "t31_heaps_curve" -> heapsCurveSql,
     "t30_winnowing"   -> winnowingSql,
     "t29_boilerplate" -> boilerplateSql,

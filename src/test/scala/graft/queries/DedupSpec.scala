@@ -51,6 +51,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => b >= 3L || a >= 3L })
   }
 
+  test("d17: calibration buckets candidates by signature matches with " +
+      "exact true-Jaccard stats; exact copies land at 16/16 = 1e6 ppm") {
+    val got = Dedup.minhashCalibrationDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the exact-copy pair (0,2): all 16 signatures match, true J = 1
+    val full = got(16L)
+    assert(full._2 >= 1L && full._3 === 1000000L &&
+      full._4 === 1000000L && full._5 === 1000000L && full._6 === 1000000L)
+    // every bucket: n_pairs >= 1, est = m*62500, min <= mean <= max
+    got.values.foreach { case (m, n, est, mean, mn, mx) =>
+      assert(n >= 1L && est === m * 1000000L / 16L)
+      assert(mn <= mean && mean <= mx && mn >= 0L && mx <= 1000000L)
+    }
+    // unrelated docs (3, 4) never become candidates in any bucket:
+    // total calibrated pairs == total banded candidate pairs, and the
+    // near-dup pair (0,1) calibrates at its exact 7/9 Jaccard floor
+    val nearPpm = 7L * 1000000L / 9L
+    assert(got.values.exists { case (_, _, _, mean, mn, mx) =>
+      mn <= nearPpm && nearPpm <= mx })
+  }
+
   test("ngram jaccard computes the exact shingle overlap") {
     val got = Dedup.ngramJaccardDf(docs)
       .as[(Long, Long, Double)].collect()

@@ -148,6 +148,39 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length > 1)
   }
 
+  test("g15: harmonic centrality matches an independent per-landmark " +
+      "BFS with exact integer inverse-hop sums") {
+    import spark.implicits._
+    val out = Graph.harmonicCentralityDf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey") + Graph.custOffset)
+      .as[(Long, Long)].collect().distinct
+    val adj = pairs.flatMap { case (s0, c) => Seq((s0, c), (c, s0)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.toSeq.map { case (n, nb) => (n, nb.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(Graph.bfsSeeds).map(_._1)
+    // per-landmark BFS (landmark identity kept, unlike g05's min-combine)
+    val hops = seeds.flatMap { lm =>
+      var dist = Map(lm -> 0L)
+      for (r <- 1 to Graph.bfsRounds) {
+        val frontier = dist.collect { case (n, h) if h == r - 1 => n }
+        val nxt = frontier.toSet
+          .flatMap(adj.getOrElse(_: Long, Set.empty[Long]))
+        dist = nxt.filterNot(dist.contains).map(_ -> r.toLong).toMap ++ dist
+      }
+      dist.collect { case (n, h) if h >= 1 => (n, h) }
+    }
+    val want = hops.groupBy(_._1).map { case (n, hs) =>
+      (n, hs.size.toLong, hs.map(_._2).min,
+        hs.map(h => 1000000L / h._2).sum)
+    }.toSet
+    assert(out.toSet === want)
+    // a landmark adjacent to another landmark appears with hop >= 1
+    assert(out.forall(_._3 >= 1L))
+    assert(out.forall { case (_, nl, _, _) => nl <= Graph.bfsSeeds })
+  }
+
   test("g07: matches an in-memory 3-round self-vote LPA; partition-invariant") {
     val out = Graph.labelPropDf(li).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -176,6 +176,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L)._3 === 255L && got(0L)._3 === 0L)
   }
 
+  test("s16: quantization recall is EXACTLY 1e6 ppm on lattice-exact " +
+      "vectors and within [0, 1e6] with full rows on noisy ones") {
+    import spark.implicits._
+    // binary vectors sit exactly on the 256-level lattice endpoints
+    // (code 0 and 255 reconstruct losslessly), so the quantized ranking
+    // must equal the exact ranking bit-for-bit — recall is an
+    // invariant 1.0, not a measurement (the s15 nprobe=all discipline)
+    val dim = 6
+    val lattice = (0 until 40).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(d => if (((i >> d) & 1) == 1) 1.0f else 0.0f),
+        0)
+    }.toDF("vec_id", "embedding", "label")
+    val exactRows = Similarity.quantRecallDf(lattice)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(exactRows.map(_._1).toSet === Set(0L))
+    exactRows.foreach { case (_, nExact, nHit, ppm) =>
+      assert(nExact === Similarity.topK.toLong)
+      assert(nHit === nExact && ppm === 1000000L)
+    }
+    // noisy clustered corpus: every query reports, recall in range
+    val rows = Similarity.quantRecallDf(clustered)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === Set(0L, 50L, 100L, 150L))
+    rows.foreach { case (_, nExact, nHit, ppm) =>
+      assert(nExact === Similarity.topK.toLong)
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(ppm === nHit * 1000000L / nExact)
+    }
+  }
+
   test("s10: MMR picks match an in-memory greedy recompute") {
     val out = Similarity.mmrDiversifyDf(clustered).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

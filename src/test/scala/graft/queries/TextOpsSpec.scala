@@ -16,6 +16,30 @@ class TextOpsSpec extends SparkSpec {
     assert(viaExe.nonEmpty)
   }
 
+  test("t32: disjoint alphabets classify perfectly; shared-alphabet " +
+      "docs classify deterministically by (overlap desc, lang asc)") {
+    import org.apache.spark.sql.functions._
+    // two languages with fully disjoint character sets => the trained
+    // trigram profiles cannot overlap, confusion matrix is diagonal
+    val docs = Seq(
+      (0L, "aaab baaa abab bbaa", "aa"),
+      (1L, "abba baab aabb abaa", "aa"),
+      (2L, "xxxy yxxx xyxy yyxx", "xx"),
+      (3L, "xyyx yxxy xxyy xyxx", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.trigramLidDf(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("aa", "aa", 2L), ("xx", "xx", 2L)))
+    // a doc whose trigrams straddle both profiles still classifies to
+    // exactly one language (rank 1 of the overlap order) — no dup rows
+    val mixed = docs.union(Seq((4L, "aaab xxxy aaab xxxy", "mm"))
+      .toDF("doc_id", "text", "lang"))
+    val out = TextOps.trigramLidDf(mixed).collect()
+    assert(out.map(_.getLong(2)).sum === 5L)
+    val mm = out.filter(_.getString(0) == "mm")
+    assert(mm.length === 1)
+  }
+
   test("t28: Good–Turing table matches an exact recompute on a " +
       "constructed corpus") {
     val docs = Seq(

@@ -204,6 +204,66 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization equals the batch gap-split twin at a " +
+      "SECOND gap/watermark setting (every session eventually emits)") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      // deterministic quasi-random event log: 4 users, jittered strides,
+      // DUPLICATE timestamps for user 3 (pins the r6 re-arm-skip fix),
+      // gaps both above and below the 7-minute session gap
+      val events = (0 until 48).map { i =>
+        val user = 1L + (i % 4)
+        val minute = 1 + (i / 4) * 3 + (i * i % 7) // jitter, non-monotone
+        ev(200 + i, minute, if (i % 3 == 0) "view" else "click", user)
+      } ++ Seq(ev(300, 9, "click", user = 3), // dup ts with another u3 event
+        ev(301, 9, "click", user = 3))
+      val sorted = events.sortBy(_.ts.getTime)
+      // batch twin: per user, sort, split where the gap EXCEEDS gapMs —
+      // the plain-Scala definition, independent of any engine path
+      val gapMs = 7 * 60000L
+      val expected = sorted.groupBy(_.user_id).flatMap { case (u, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        val sessions = ts.tail.foldLeft(List((ts.head, ts.head, 1L))) {
+          case ((s, last, n) :: rest, t) =>
+            if (t - last <= gapMs) (s, t, n + 1) :: rest
+            else (t, t, 1L) :: (s, last, n) :: rest
+          case (Nil, t) => List((t, t, 1L))
+        }
+        sessions.map { case (s, l, n) => SessionOut(u, s, l, n) }
+      }.toSet
+      val mem = MemoryStream[Event]
+      val q = sessionizeWithTimers(mem.toDS(), gapMs = gapMs,
+          watermark = "2 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("timer_sess_twin").start()
+      // feed in event-time order, 7 events per micro-batch (crosses
+      // session boundaries mid-batch and mid-stream both)
+      sorted.grouped(7).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinel: advance the watermark past every horizon, then one
+      // more batch so the advanced watermark fires the timers — after
+      // this EVERY session must have emitted, by timer or by gap
+      mem.addData(ev(900, 100000, "click", user = 77))
+      q.processAllAvailable()
+      mem.addData(ev(901, 100001, "click", user = 77))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("timer_sess_twin").as[SessionOut].collect()
+        .filter(_.user_id != 77L).toSet
+      assert(got === expected,
+        s"missing=${(expected -- got).mkString(",")} " +
+          s"extra=${(got -- expected).mkString(",")}")
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("stream-static enrichment join (events stream x user dimension)") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
