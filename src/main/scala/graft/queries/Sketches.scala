@@ -883,7 +883,106 @@ object Sketches {
        |FROM p GROUP BY level, rfs, lss, lo, span
        |ORDER BY level, rfs, lss""".stripMargin
 
+  // ------------------------------------------------------- a14 HLL audit
+  /** Integer HLL estimator constant: ⌊α₆₄ · 64² · 2⁵⁰⌋ with
+    * α₆₄ = 0.7213/(1 + 1.079/64) — the standard HyperLogLog bias
+    * constant, pre-multiplied into the [[graft.functions.PortableHll]]
+    * rank domain (each register contributes 2^(50−rank) to the
+    * harmonic sum) and FLOORED ONCE into a literal. `est = C div
+    * harmonic_sum` is then a pure BIGINT division of exact integers:
+    * the float enters only this compile-time constant, never a
+    * per-row or per-group computation, so the estimate is
+    * engine-bit-identical (a03's ROUND(double) estimate column is
+    * value-checked; this one is arithmetic-checked). */
+  val hllEstC = 3271257763731268608L
+
+  /** a14: HLL estimation-error audit — a12's discipline applied to
+    * the distinct-count sketch: per ship-month, the portable-HLL
+    * estimate of distinct orders next to the exact count, the signed
+    * error in exact ppm, and whether the group sits inside the
+    * 3σ = 3·1.04/√64 ≈ 39 % theoretical envelope. a03 proves the
+    * SKETCH STATE is portable (hash-checked registers); a14 measures
+    * what the ESTIMATOR built on that state is worth, per group, as a
+    * diffable relation — ~84 month-groups give an error DISTRIBUTION
+    * where a03's 3 flags give anecdotes.
+    *
+    * Exactness: harmonic_sum is the sketch's exact BIGINT state;
+    * [[hllEstC]] makes the estimate one integer division; error ppm
+    * divides exact integers (sign-split floor — the q72 rule — since
+    * HLL errs BOTH ways, unlike CMS). Scale: one partial-agged sketch
+    * pass (64 registers per group) + one exact distinct (the audit
+    * reference — at 100 TB, run on a sampled group set; shape
+    * unchanged). */
+  def hllErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHll
+    t(s, dir, "lineitem")
+      .withColumn("grp",
+        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)"))
+      .groupBy(col("grp"))
+      .agg(PortableHll.portableHll(col("l_orderkey").cast("string"))
+          .as("hll"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("grp"), col("hll.harmonic_sum").as("harmonic_sum"),
+        col("exact_orders"))
+      .withColumn("est_orders", expr(s"${hllEstC}L div harmonic_sum"))
+      .withColumn("err_ppm", expr(
+        """CASE WHEN est_orders >= exact_orders
+           THEN (est_orders - exact_orders) * 1000000 div exact_orders
+           ELSE -((exact_orders - est_orders) * 1000000 div exact_orders)
+           END"""))
+      .withColumn("within_3sigma",
+        when(abs(col("err_ppm")) <= 390000L, 1L).otherwise(0L))
+      .orderBy("grp")
+  }
+
+  private val hllErrorAuditSql =
+    s"""WITH base AS (
+       |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+       |    AS grp, l_orderkey
+       |  FROM lineitem),
+       |h AS (SELECT grp, md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM base),
+       |zd AS (
+       |  SELECT grp, hx,
+       |    len(regexp_extract(substring(hx, 3, 12), '^0*')) AS nz
+       |  FROM h),
+       |rr AS (
+       |  SELECT grp,
+       |    ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+       |     (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 64 AS reg,
+       |    CASE WHEN nz = 12 THEN 49
+       |      ELSE 4 * nz + 1 +
+       |        CASE WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 8 THEN 0
+       |             WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 4 THEN 1
+       |             WHEN strpos('0123456789abcdef', substring(hx, 3 + nz, 1)) - 1 >= 2 THEN 2
+       |             ELSE 3 END
+       |    END AS rank
+       |  FROM zd),
+       |regs AS (SELECT grp, reg, MAX(rank) AS r FROM rr GROUP BY 1, 2),
+       |st AS (
+       |  SELECT grp,
+       |    CAST(SUM((1::BIGINT << (50 - r))) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS harmonic_sum
+       |  FROM regs GROUP BY 1),
+       |ex AS (
+       |  SELECT grp, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+       |  FROM base GROUP BY 1),
+       |e AS (
+       |  SELECT st.grp, harmonic_sum, exact_orders,
+       |    $hllEstC // harmonic_sum AS est_orders
+       |  FROM st JOIN ex USING (grp))
+       |SELECT grp, harmonic_sum, exact_orders,
+       |  CAST(est_orders AS BIGINT) AS est_orders,
+       |  CAST(CASE WHEN est_orders >= exact_orders
+       |    THEN (est_orders - exact_orders) * 1000000 // exact_orders
+       |    ELSE -((exact_orders - est_orders) * 1000000 // exact_orders)
+       |    END AS BIGINT) AS err_ppm,
+       |  CAST(CASE WHEN abs(CASE WHEN est_orders >= exact_orders
+       |    THEN (est_orders - exact_orders) * 1000000 // exact_orders
+       |    ELSE -((exact_orders - est_orders) * 1000000 // exact_orders)
+       |    END) <= 390000 THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
+       |FROM e ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_hll_error_audit" -> hllErrorAudit _,
     "a13_hist_rollup" -> histRollup _,
     "a12_cms_error_audit" -> cmsErrorAudit _,
     "a11_cms_rollup" -> cmsRollup _,
@@ -900,6 +999,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a14_hll_error_audit" -> hllErrorAuditSql,
     "a13_hist_rollup" -> histRollupSql,
     "a12_cms_error_audit" -> cmsErrorAuditSql,
     "a11_cms_rollup" -> cmsRollupSql,

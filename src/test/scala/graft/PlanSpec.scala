@@ -718,4 +718,35 @@ class PlanSpec extends SparkSpec {
         .forall(_.contains("landmark")),
       "g14's window is not landmark-partitioned:\n" + p)
   }
+
+  test("q77: one user-partitioned exchange serves both lead() and the " +
+    "aggregate; no self-join, no second fact pass") {
+    val p = plan(Relational.q77Twap(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "TWAP planned a join — the step integral needs only a window:\n" + p)
+    // exactly one shuffle keyed on user_id feeds window + agg (AQE may
+    // append an output-ordering exchange after the final sort)
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges <= 1,
+      "window and aggregate did not share the user_id exchange:\n" + p)
+  }
+
+  test("s16: dim stats and the query set broadcast; the pair scoring " +
+    "keeps the codegen'd fixed-point dot") {
+    val p = plan(Similarity.quantRecall(spark, sf))
+    assert(p.contains("graft_fp_dot"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "query set did not broadcast against the corpus:\n" + p)
+  }
+
+  test("t32: the trained profile broadcasts; classification never " +
+    "shuffles the corpus a second time") {
+    val p = plan(graft.queries.TextOps.trigramLid(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "profile did not broadcast into the scoring join:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

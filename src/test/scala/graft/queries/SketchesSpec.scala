@@ -46,6 +46,29 @@ class SketchesSpec extends SparkSpec {
     assert(state(1) === state(13))
   }
 
+  test("a14: integer estimator matches C div harmonic_sum exactly; " +
+      "errors mostly inside the 3-sigma envelope") {
+    import org.apache.spark.sql.functions._
+    val out = Sketches.hllErrorAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length > 10) // ship-months give a real distribution
+    out.foreach { case (_, hs, exact, est, ppm, w3) =>
+      assert(est === Sketches.hllEstC / hs) // one integer division
+      val expPpm =
+        if (est >= exact) (est - exact) * 1000000L / exact
+        else -((exact - est) * 1000000L / exact)
+      assert(ppm === expPpm)
+      assert(w3 === (if (math.abs(ppm) <= 390000L) 1L else 0L))
+    }
+    // the estimator is worth something: for m=64 registers, at least
+    // ~99% of groups should sit inside 3 sigma — demand a strong
+    // majority so a broken constant or hash fails loudly
+    assert(out.count(_._6 == 1L) * 10 >= out.length * 9)
+    // (register-state partition invariance is pinned by the a03 spec;
+    // a14 adds only integer arithmetic on top of that state)
+  }
+
   test("a05: histogram quantile estimates bracket the exact disc quantiles") {
     import org.apache.spark.sql.functions._
     val est = Sketches.histogramQuantiles(spark, sf).collect()
