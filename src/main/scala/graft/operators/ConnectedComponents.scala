@@ -45,11 +45,32 @@ object ConnectedComponents {
       case _          => df.localCheckpoint()
     }
 
+  /** [[truncate]] that also reports which persistent-RDD ids the
+    * eager checkpoint registered, so the caller can FREE a superseded
+    * round's blocks as soon as the next round has materialized.
+    * localCheckpoint blocks are not catalog-cached — `clearCache()`
+    * never drops them — so without this every bounded-round operator
+    * leaks one (id, label) snapshot per round into the block manager
+    * for the life of the session (the r6 bench showed exactly that:
+    * g03/d07 slowing 2-6× late in a 198-query run as orphaned blocks
+    * accumulated and GC raced eviction). */
+  private[graft] def truncateTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = truncate(df)
+    val fresh = sc.getPersistentRDDs.keysIterator.filterNot(before).toSeq
+    (out, fresh)
+  }
+
+  private def free(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
   /** @param nodes single-column `id` relation seeding the labels
     * @param edges two-column `src`/`dst` relation (either orientation;
     *              both directions are materialized internally)
     * @return (id, label) — label = min id within `rounds` hops */
   def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
@@ -58,13 +79,20 @@ object ConnectedComponents {
     // is referenced twice per round, so an un-truncated analyzed plan
     // doubles per round — 2^rounds copies of the seed subtree for the
     // driver to re-plan even when every block is cached
-    var labels = truncate(nodes.select(col("id"), col("id").as("label")))
+    var (labels, blocks) =
+      truncateTracked(nodes.select(col("id"), col("id").as("label")))
     for (_ <- 1 to rounds) {
       val msgs = und.join(labels, und("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      labels = truncate(msgs.union(labels.select(col("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label")))
+      val (next, nb) =
+        truncateTracked(msgs.union(labels.select(col("id"), col("label")))
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
+      free(sc, blocks) // round r-1's snapshot, fully consumed by `next`
+      labels = next; blocks = nb
     }
+    // the returned labels ARE the final eager checkpoint — nothing
+    // downstream re-reads the edge list, so its blocks go too
+    und.unpersist(false)
     labels
   }
 
@@ -92,20 +120,31 @@ object ConnectedComponents {
     * cost ~60 s at sf0.1 even with every block cached; checkpointing
     * keeps the plan constant-depth (measured 60 s → ~1 s). */
   def minLabelJumping(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
-    var labels = truncate(nodes.select(col("id"), col("id").as("label")))
+    var (labels0, blocks) =
+      truncateTracked(nodes.select(col("id"), col("id").as("label")))
+    var labels = labels0
     for (_ <- 1 to rounds) {
       val msgs = und.join(labels, und("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      val prop = truncate(msgs.union(labels.select(col("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label")))
+      val (prop, nb) =
+        truncateTracked(msgs.union(labels.select(col("id"), col("label")))
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
+      // materializing prop executed the previous round's lazy shortcut
+      // join — its checkpoint snapshot is now fully consumed
+      free(sc, blocks); blocks = nb
       val ptr = prop.select(col("id").as("lid"), col("label").as("llabel"))
       labels = prop.join(ptr, prop("label") === ptr("lid"))
         .select(prop("id"), col("llabel").as("label"))
     }
+    // the final labels is the lazy shortcut join over the LAST round's
+    // prop (still persisted for the caller's action); only the edge
+    // list is no longer referenced by it
+    und.unpersist(false)
     labels
   }
 }

@@ -48,16 +48,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    fixed-point guard);
   *  - `graft.rangejoin.rewrite.enabled` (default true) is not false.
   *
-  * Documented assumption (non-ANSI overflow): the rewrite synthesizes
-  * `anchor − W1` and `base + 1`, which wrap silently when `anchor` is
-  * within `W` of `Long.MinValue`/`MaxValue` — a wrapped band would
-  * silently drop pairs the original predicate (which itself need not
-  * overflow, e.g. the `r + W >= a` spelling) still matches. This is
-  * unreachable for the intended domain: epoch time at any unit
-  * (nanos ≈ 1.8·10¹⁸ in 2026) plus any sane window is at least 400%
-  * below Long.MaxValue ≈ 9.2·10¹⁸, and the rule fires only on
-  * literal windows the query author chose. Data with |t| within W of
-  * the Long extremes must disable the rule via the conf key.
+  * Overflow safety: the band arithmetic never subtracts a window
+  * from a timestamp. The naive spelling `bucket(anchor − W1)` wraps
+  * when `anchor` is within `W1` of `Long.MinValue` and would silently
+  * DROP pairs the original predicate (in a non-overflowing spelling
+  * like `r + W1 >= a`) still matches. Instead the low band is derived
+  * from the anchor's own bucket and its in-bucket offset:
+  * `low = bucket(anchor) − (pmod(anchor, W) < W1 ? 1 : 0)` — exact
+  * (`anchor − W1` leaves the anchor's bucket iff its offset is below
+  * `W1`), computed only with `pmod`/`div`/±1-on-bucket-index, all of
+  * which stay in range for every Long timestamp (bucket indices are
+  * ≤ Long.Max / W for W ≥ 2; W = 1 keeps indices = t and the ±1 at
+  * t = Long.MaxValue could only create a FALSE band candidate, which
+  * the retained original predicates filter — false negatives are
+  * impossible because a matching ranged row's bucket is always one of
+  * the two probes). Property-tested at Long-extreme timestamps in
+  * RangeJoinRewriteSpec.
   *
   * Bucketing uses true floor division `(t − pmod(t, W)) div W` (not
   * `div`'s truncation toward zero), so negative timestamps band
@@ -135,10 +141,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Seq.empty
   }
 
-  /** True floor-division bucket of `t` at width `w` — exact on longs,
-    * floor (not truncate-toward-zero) for negatives. */
-  private def bucket(t: Expression, w: Long): Expression =
-    IntegralDivide(Subtract(t, Pmod(t, Literal(w))), Literal(w))
+  /** True floor-division bucket INDEX of `t` at width `w` — exact on
+    * longs, floor (not truncate-toward-zero) for negatives. Spelled as
+    * truncating `div` with a −1 correction when the remainder is
+    * negative, NEVER as `(t − pmod(t, w)) div w`: near Long.MinValue
+    * the bucket START is below the Long range even though the index is
+    * representable, so the subtraction form overflows (ANSI: throws;
+    * legacy: wraps and mis-bands). */
+  private def bucket(t: Expression, w: Long): Expression = {
+    val q = IntegralDivide(t, Literal(w))
+    If(LessThan(Remainder(t, Literal(w)), Literal(0L)),
+      Subtract(q, Literal(1L)), q)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(enabledKey, "true").toBoolean) return plan
@@ -164,9 +178,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // anchor side: explode into the two buckets covering
             // [anchor − W1, anchor + W2] — an interval of length
             // exactly W = W1 + W2, so it spans at most two W-buckets
-            // starting at the lower end's bucket
-            val base = bucket(
-              if (w1 == 0) anchor else Subtract(anchor, Literal(w1)), w)
+            // starting at the lower end's bucket. The lower end's
+            // bucket is computed WITHOUT forming `anchor − W1` (which
+            // wraps near Long.MinValue): it is the anchor's own bucket
+            // minus one exactly when the anchor's in-bucket offset is
+            // below W1 (see the scaladoc overflow-safety note).
+            val base = {
+              val b0 = bucket(anchor, w)
+              if (w1 == 0) b0
+              else Subtract(b0,
+                If(LessThan(Pmod(anchor, Literal(w)), Literal(w1)),
+                  Literal(1L), Literal(0L)))
+            }
             val gen = Explode(CreateArray(Seq(
               base, Add(base, Literal(1L)))))
             val el = gen.elementSchema.fields.head

@@ -50,50 +50,69 @@ object Relational {
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= ts("1998-09-02"))
+      // Per-row values become exact BIGINT fixed-point FIRST (cents /
+      // hundredths), every product stays integer (≤ ~1.2e11 per row),
+      // sums widen to DECIMAL(38,0) (the e05 rule — a BIGINT sum
+      // would wrap silently in non-ANSI mode at extreme scale), and
+      // only the final per-group cast lands on BIGINT. This replaces
+      // the r6 DOUBLE outputs: the scale-6 sum_charge unscaled value
+      // crosses 2^53 already around sf0.1, where DuckDB's two-step
+      // decimal→double conversion can differ from Spark's correctly
+      // rounded one in the last ulp — integer outputs have no ulp.
+      // BIGINT range: the largest group's charge micros is ~5.7e15 at
+      // sf1 → safe through ~sf300; past that, emit the DECIMAL(38,0)
+      // sums as strings instead.
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr(s"CAST(CAST(l_quantity AS $D182) * 100 AS BIGINT)").as("qx"),
+        expr(s"CAST(CAST(l_extendedprice AS $D182) * 100 AS BIGINT)").as("pc"),
+        expr(s"CAST(CAST(l_discount AS $D42) * 100 AS BIGINT)").as("dh"),
+        expr(s"CAST(CAST(l_tax AS $D42) * 100 AS BIGINT)").as("th"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(D182)).as("sq"),
-        sum(price).as("sbp"),
-        sum(price * (one - disc)).as("sdp"),
-        sum(price * (one - disc) * (one + tax)).as("sch"),
-        sum(disc).as("sd"),
+        sum(col("qx").cast("decimal(38,0)")).as("sq"),
+        sum(col("pc").cast("decimal(38,0)")).as("sbp"),
+        sum((col("pc") * (lit(100) - col("dh")))
+          .cast("decimal(38,0)")).as("sdp"),
+        sum((col("pc") * (lit(100) - col("dh")) * (lit(100) + col("th")))
+          .cast("decimal(38,0)")).as("sch"),
+        sum(col("dh").cast("decimal(38,0)")).as("sd"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        // Sums aggregate in DECIMAL (exact, order-independent) and
-        // only the FINAL output casts to DOUBLE. The cast is exact:
-        // scale-2/scale-4/scale-6 decimal sums at gate scale are
-        // integers-in-units well under 2^53, so decimal→double is
-        // lossless and engine-invariant. DECIMAL output columns are
-        // banned from the contract surface entirely — across r4+r5
-        // every query emitting ANY decimal type hash-failed in the
-        // driver (q01/q55/q59, two precisions, two parquet
-        // encodings) while all 186 double/bigint/string/date
-        // outputs were green; decimals stay internal.
-        col("sq").cast("double").as("sum_qty"),
-        col("sbp").cast("double").as("sum_base_price"),
-        col("sdp").cast("double").as("sum_disc_price"),
-        col("sch").cast("double").as("sum_charge"),
-        // avg operands (scale-2 sums, counts) convert to double
-        // exactly until ~2^53 cents — far past bench scales; the
-        // division itself is IEEE correctly-rounded on identical
-        // operands, so the doubles are engine-invariant here
-        (col("sq").cast("double") / col("count_order")).as("avg_qty"),
-        (col("sbp").cast("double") / col("count_order")).as("avg_price"),
-        (col("sd").cast("double") / col("count_order")).as("avg_disc"),
+        col("sq").cast("bigint").as("sum_qty_x100"),
+        col("sbp").cast("bigint").as("sum_base_price_cents"),
+        col("sdp").cast("bigint").as("sum_disc_price_x10k"),
+        col("sch").cast("bigint").as("sum_charge_x1m"),
+        // avg operands (scale-2 integer sums < 2^53 through ~sf100,
+        // counts) convert to double exactly; the two divisions are
+        // IEEE correctly-rounded on identical operands in both
+        // engines, spelled identically in the twin
+        (col("sq").cast("double") / lit(100.0) / col("count_order"))
+          .as("avg_qty"),
+        (col("sbp").cast("double") / lit(100.0) / col("count_order"))
+          .as("avg_price"),
+        (col("sd").cast("double") / lit(100.0) / col("count_order"))
+          .as("avg_disc"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q01Sql =
-    """SELECT l_returnflag, l_linestatus,
-      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    """WITH fx AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qx,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dh,
+      |    CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS th
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+      |SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(qx) AS BIGINT) AS sum_qty_x100,
+      |CAST(SUM(pc) AS BIGINT) AS sum_base_price_cents,
+      |CAST(SUM(pc * (100 - dh)) AS BIGINT) AS sum_disc_price_x10k,
+      |CAST(SUM(pc * (100 - dh) * (100 + th)) AS BIGINT) AS sum_charge_x1m,
+      |CAST(SUM(qx) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+      |CAST(SUM(pc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+      |CAST(SUM(dh) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
       |COUNT(*) AS count_order
-      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |FROM fx
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -3534,8 +3553,16 @@ object Relational {
               ELSE CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us)
               END""")).as("wsum"))
       .filter(col("span_us") > 0)
+      // Spark's `div` truncates toward zero; DuckDB's `//` FLOORS — for
+      // negative wsum (negative-valued events) the two differ by one.
+      // The twin spells the division sign-split (|wsum| div span, sign
+      // reapplied) in BOTH engines so the semantics are pinned to
+      // truncation regardless of the data's sign, not assumed from it
+      // (the q72/a14 sign rule).
       .select(col("user_id"), col("n_events"), col("span_us"),
-        expr("CAST(wsum div span_us AS BIGINT)").as("twap_cents"))
+        expr("""CAST(CASE WHEN wsum < 0
+               THEN -((-wsum) div span_us)
+               ELSE wsum div span_us END AS BIGINT)""").as("twap_cents"))
       .orderBy("user_id")
   }
 
@@ -3555,7 +3582,8 @@ object Relational {
       |      ELSE CAST(cents AS HUGEINT) * (next_us - ts_us) END) AS wsum
       |  FROM led GROUP BY user_id)
       |SELECT user_id, n_events, span_us,
-      |  CAST(wsum // span_us AS BIGINT) AS twap_cents
+      |  CAST(CASE WHEN wsum < 0 THEN -((-wsum) // span_us)
+      |       ELSE wsum // span_us END AS BIGINT) AS twap_cents
       |FROM agg WHERE span_us > 0 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q78

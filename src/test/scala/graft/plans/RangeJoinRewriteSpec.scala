@@ -125,6 +125,35 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("property: Long-extreme timestamps — the band arithmetic never " +
+      "wraps, so no pair the original predicate matches is dropped") {
+    // Timestamps hugging Long.MinValue are exactly where the naive
+    // `bucket(anchor − W1)` spelling wrapped to a huge positive band
+    // and silently dropped every match. The ORIGINAL predicates use
+    // the overflow-free `r + W >= a` spelling (rt stays ≥ W below
+    // Long.MaxValue), so the rule-off run is a well-defined truth.
+    val lo = Long.MinValue
+    val hi = Long.MaxValue - W // headroom so rt + W cannot overflow
+    val a = ((0L until 25L).map(i => (i, lo + i * 17L % 250L)) ++
+      (0L until 25L).map(i => (100L + i, hi - i * 13L % 250L)))
+      .toDF("aid", "at")
+    val r = ((0L until 80L).map(i => (i, lo + i * 7L % 260L)) ++
+      (0L until 80L).map(i => (200L + i, hi - i * 11L % 260L)))
+      .toDF("rid", "rt")
+    def run(on: Boolean): Seq[(Long, Long)] = withRule(on) {
+      val df = a.as("a").join(r.as("r"),
+        col("r.rt") <= col("a.at") && col("r.rt") + W >= col("a.at"))
+      if (on) assert(df.queryExecution.executedPlan.toString
+        .contains("__graft_band"), "rule did not fire at Long extremes")
+      df.select(col("aid"), col("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    }
+    val got = run(on = true)
+    val want = run(on = false)
+    assert(got === want)
+    assert(got.nonEmpty, "degenerate fixture: no matching pairs at all")
+  }
+
   test("alternate spellings (r + W >= a, strict bounds) also band") {
     withRule(on = true) {
       val add = anchors.as("a").join(ranged.as("r"),
