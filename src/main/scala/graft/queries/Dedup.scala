@@ -1193,7 +1193,124 @@ object Dedup {
        |FROM pairppm GROUP BY sig_matches ORDER BY sig_matches""".stripMargin
   }
 
+  // ------------------------------------------- d18 SimHash calibration
+  /** d18: SimHash estimator calibration — the d17 discipline pointed at
+    * the OTHER sketch: for every banded SimHash candidate pair (the d05
+    * generator with NO hamming cutoff — calibration must see the whole
+    * spectrum the bands surface, not just the kept head), the pair's
+    * hamming distance laid against the EXACT shingle Jaccard, rolled up
+    * per hamming value. This closes the one index-quality gap the r6
+    * audit set left: MinHash got d15 (recall) + d17 (estimator), the
+    * vector indexes got s09/s14/s15/s16 — SimHash's "hamming ≤ 3 means
+    * near-dup" cutoff (d05) was asserted, not measured. After this, a
+    * re-tune of `simhashBits`/band count shows up as a diffable
+    * calibration shift.
+    *
+    * Exactness: hamming is an integer over the 32-char fingerprints;
+    * true Jaccard is exact `common·10⁶ div (|A|+|B|−common)` over the
+    * full distinct-shingle sets (d17's exact side verbatim, so the two
+    * calibration tables are directly comparable); per-bucket mean
+    * divides two exact integers.
+    *
+    * Scale: fingerprints build in one corpus pass (persisted — three
+    * consumers), candidates stay band-bucketed, intersections are
+    * candidate-bounded. Output ≤ 33 rows (hamming 0..32) at any corpus
+    * size. */
+  def simhashCalibration(s: SparkSession, dir: String): DataFrame =
+    simhashCalibrationDf(t(s, dir, "documents"))
+
+  def simhashCalibrationDf(docs: DataFrame): DataFrame = {
+    val fp = simHashDf(docs).persist()
+    val bandW = simhashBits / 4
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * bandW + 1, bandW).as("sig")).as(s"b$b"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+    // exact side: d17's distinct-shingle relation verbatim
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand.select(col("doc_a"), col("doc_b"))
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    cand
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("hamming"),
+        expr("""coalesce(common, 0L) * 1000000
+                div (sa.n_sh + sb.n_sh - coalesce(common, 0L))""")
+          .as("true_ppm"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(true_ppm) div count(1)").as("mean_true_ppm"),
+        min(col("true_ppm")).as("min_true_ppm"),
+        max(col("true_ppm")).as("max_true_ppm"))
+      .orderBy("hamming")
+  }
+
+  private val simhashCalibrationSql: String = {
+    val bandW = simhashBits / 4
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${b * bandW + 1}, $bandW) AS sig FROM fp")
+      .mkString("\nUNION ALL\n")
+    val ham = (1 to simhashBits)
+      .map(j => s"CASE WHEN substring(x.simhash, $j, 1) <> substring(y.simhash, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val inner = simHashSql.replace("ORDER BY doc_id", "")
+    s"""WITH fp AS MATERIALIZED ($inner),
+       |bands AS (
+       |$bandRows),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST($ham AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 2, 1)),
+       |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |  FROM toks GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM cand c
+       |  JOIN toks a ON c.doc_a = a.doc_id
+       |  JOIN toks b ON c.doc_b = b.doc_id AND a.tok = b.tok
+       |  GROUP BY 1, 2),
+       |pairppm AS (
+       |  SELECT c.hamming,
+       |    COALESCE(m.common, 0) * 1000000
+       |      // (sa.n_sh + sb.n_sh - COALESCE(m.common, 0)) AS true_ppm
+       |  FROM cand c
+       |  LEFT JOIN com m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+       |  JOIN sz sa ON c.doc_a = sa.doc_id
+       |  JOIN sz sb ON c.doc_b = sb.doc_id)
+       |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(true_ppm) // COUNT(*) AS BIGINT) AS mean_true_ppm,
+       |  CAST(MIN(true_ppm) AS BIGINT) AS min_true_ppm,
+       |  CAST(MAX(true_ppm) AS BIGINT) AS max_true_ppm
+       |FROM pairppm GROUP BY hamming ORDER BY hamming""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_simhash_calibration" -> simhashCalibration _,
     "d17_minhash_calibration" -> minhashCalibration _,
     "d16_edit_verify"     -> editVerify _,
     "d15_lsh_recall"      -> lshRecall _,
@@ -1213,6 +1330,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d18_simhash_calibration" -> simhashCalibrationSql,
     "d17_minhash_calibration" -> minhashCalibrationSql,
     "d16_edit_verify"     -> editVerifySql,
     "d15_lsh_recall"      -> lshRecallSql,

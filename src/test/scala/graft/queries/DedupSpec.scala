@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
       mn <= nearPpm && nearPpm <= mx })
   }
 
+  test("d18: SimHash calibration buckets banded candidates by hamming " +
+      "with exact true-Jaccard stats; exact copies land at hamming 0") {
+    val got = Dedup.simhashCalibrationDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // bounded output: one row per hamming value, 0..simhashBits
+    assert(got.size <= Dedup.simhashBits + 1)
+    assert(got.keys.forall(h => h >= 0L && h <= Dedup.simhashBits.toLong))
+    // the exact-copy pair (0,2): hamming 0, true J = 1
+    val zero = got(0L)
+    assert(zero._2 >= 1L && zero._3 === 1000000L &&
+      zero._4 === 1000000L && zero._5 === 1000000L)
+    // every bucket: n_pairs >= 1, 0 <= min <= mean <= max <= 1e6
+    got.values.foreach { case (_, n, mean, mn, mx) =>
+      assert(n >= 1L && mn <= mean && mean <= mx && mn >= 0L &&
+        mx <= 1000000L)
+    }
+    // the near-dup pair (0,1) calibrates somewhere at its exact 7/9
+    // Jaccard (the d17 cross-check: both calibration tables see the
+    // same true similarity for the same pair)
+    val nearPpm = 7L * 1000000L / 9L
+    assert(got.values.exists { case (_, _, _, mn, mx) =>
+      mn <= nearPpm && nearPpm <= mx })
+  }
+
   test("ngram jaccard computes the exact shingle overlap") {
     val got = Dedup.ngramJaccardDf(docs)
       .as[(Long, Long, Double)].collect()

@@ -377,6 +377,45 @@ class EventStreamsSpec extends SparkSpec {
       s"cross-batch duplicate survived or a new id was dropped: $got")
   }
 
+  test("bloom-state dedup equals the plain-Scala fold twin on a second, " +
+      "larger quasi-random log — batch boundaries invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.PortableBloom
+    // deterministic log: 3 users, 90 events, event_ids drawn from a
+    // small pool so duplicates land both inside and across micro-batches
+    val events = (0 until 90).map { i =>
+      val user = 1L + (i % 3)
+      val id = 1000L + (i * 7 + user * 13) % 40 // collides across users too
+      ev(id, minute = 1 + i, if (i % 4 == 0) "view" else "click", user)
+    }
+    // plain-Scala twin: per user, fold the (ts, event_id)-sorted stream
+    // through the SAME PortableBloom — keep iff testAndSet says unseen.
+    // Independent of Spark: the semantics the operator claims is "as if
+    // one fold over the ordered stream", whatever the batching.
+    val expected = events.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+      val words = new Array[Long](PortableBloom.words)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      es.sortBy(e => (e.ts.getTime, e.event_id)).filterNot { e =>
+        PortableBloom.testAndSet(words, e.event_id.toString.getBytes("UTF-8"), md)
+      }
+    }.map(e => (e.user_id, e.event_id, e.ts.getTime)).toSet
+    val mem = MemoryStream[Event]
+    val q = dedupStreamBloom(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloomdedup_twin").start()
+    // feed in event-time order in a DIFFERENT batching than the first
+    // bloom test (chunks of 5): the fold twin must hold regardless
+    events.grouped(5).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("bloomdedup_twin")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long") * 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).size} extra=${(got -- expected).size}")
+  }
+
   test("foreachBatch upsert keeps the parquet table equal to the batch answer") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("evupsert").toString
