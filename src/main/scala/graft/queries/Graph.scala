@@ -1420,7 +1420,84 @@ object Graph {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------ g16 personalized PR
+  /** g16: personalized PageRank from the top-degree landmark — the
+    * similarity/recommendation primitive ("how close is every node to
+    * THIS node") that global PageRank (g01) cannot answer: the restart
+    * mass teleports to the landmark, not uniformly, so scores decay
+    * with random-walk distance from it.
+    *
+    * Same integer discipline as g01: seed mass [[initRank]] pico-units
+    * at the landmark, per-edge message `ppr DIV out_deg`, damping
+    * `restart(node) + (85·Σ) DIV 100` with the restart term
+    * [[baseRank]] AT THE LANDMARK ONLY — every operation is integer,
+    * so the result is bit-identical across engines and partitionings.
+    * Landmark = highest degree, ties to the smallest id (the g14 seed
+    * rule) — a 1-row relation cross-joined in, never a collect.
+    *
+    * Rounds are FIXED ([[pprRounds]]): bounded DAG, oracle unrolls the
+    * same rounds. Scale shape = g01's: ids-only edges partitioned once
+    * on the join key and persisted; each round one hash join + one
+    * partial-agged sum; the landmark relation broadcasts. */
+  val pprRounds = 4
+
+  def pprLandmark(s: SparkSession, dir: String): DataFrame =
+    pprLandmarkDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  def pprLandmarkDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val und = undirectedEdges(lineitem, orders)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edges = und.join(deg, "src").repartition(col("src")).persist()
+    // 1-row landmark relation — persisted so the per-round cross join
+    // does not re-derive it from the edge scan each round
+    val lm = deg.orderBy(col("out_deg").desc, col("src")).limit(1)
+      .select(col("src").as("lm")).persist()
+    var ppr = und.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(lm))
+      .select(col("node"),
+        when(col("node") === col("lm"), lit(initRank)).otherwise(lit(0L))
+          .as("ppr"))
+    for (_ <- 1 to pprRounds) {
+      ppr = edges.join(ppr, edges("src") === ppr("node"))
+        .select(col("dst"), expr("ppr DIV out_deg").as("m"))
+        .groupBy(col("dst"))
+        .agg(sum(col("m")).as("im"))
+        .crossJoin(broadcast(lm))
+        .select(col("dst").as("node"),
+          (when(col("dst") === col("lm"), lit(baseRank)).otherwise(lit(0L))
+            + expr("(85L * im) DIV 100L")).as("ppr"))
+    }
+    ppr.orderBy(col("ppr").desc, col("node")).limit(topN)
+  }
+
+  /** DuckDB twin: identical integer recurrence, rounds unrolled
+    * (non-negative operands, so `//` floors exactly like DIV). */
+  private val pprLandmarkSql = {
+    val rounds = (1 to pprRounds).map { r =>
+      s"""r$r AS (
+         |  SELECT dst AS node,
+         |    CASE WHEN dst = lm.lm THEN $baseRank ELSE 0 END
+         |      + (85 * SUM(pr // out_deg)) // 100 AS pr
+         |  FROM e JOIN r${r - 1} ON e.src = r${r - 1}.node, lm
+         |  GROUP BY dst, lm.lm)"""
+    }.mkString(",\n")
+    s"""WITH $undirectedEdgesSql,
+       |deg AS (SELECT src, COUNT(*) AS out_deg FROM und GROUP BY src),
+       |e AS MATERIALIZED (SELECT und.src, und.dst, deg.out_deg
+       |      FROM und JOIN deg ON und.src = deg.src),
+       |lm AS MATERIALIZED (SELECT src AS lm FROM deg
+       |      ORDER BY out_deg DESC, src LIMIT 1),
+       |r0 AS (SELECT DISTINCT src AS node,
+       |         CAST(CASE WHEN src = lm.lm THEN $initRank ELSE 0 END
+       |           AS BIGINT) AS pr
+       |       FROM und, lm),
+       |$rounds
+       |SELECT node, CAST(pr AS BIGINT) AS ppr FROM r$pprRounds
+       |ORDER BY ppr DESC, node LIMIT $topN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g16_ppr_landmark" -> pprLandmark _,
     "g15_harmonic" -> harmonicCentrality _,
     "g14_landmark_radius" -> landmarkRadius _,
     "g13_assortativity" -> assortativity _,
@@ -1438,6 +1515,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g16_ppr_landmark" -> pprLandmarkSql,
     "g15_harmonic" -> harmonicCentralitySql,
     "g14_landmark_radius" -> landmarkRadiusSql,
     "g13_assortativity" -> assortativitySql,

@@ -3636,8 +3636,74 @@ object Relational {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** q79: OHLC bars — open/high/low/close/volume per (event_type, hour),
+    * the standard downsampling of a tick stream into fixed bars (what a
+    * metrics/finance consumer reads instead of raw events). Open/close
+    * are POSITIONAL (first/last by event time), which a plain MIN/MAX
+    * aggregate cannot express — they come from two row_number() windows
+    * over the SAME (event_type, hour) partitioning the aggregate then
+    * groups on, so the whole query is ONE hash exchange (the q77/q51
+    * single-shuffle discipline; tiebreak on event_id makes both ends
+    * deterministic under duplicate timestamps).
+    *
+    * Exactness: values are BIGINT cents before any arithmetic (q01
+    * rule); volume widens to DECIMAL(38,0) before the sum and lands as
+    * BIGINT (e05 rule); open/close/high/low are selections, not
+    * arithmetic. Scale: bars = |event_types| × hours — tiny output from
+    * one fact pass regardless of corpus size. */
+  def q79OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("hr", expr("ts_us div 3600000000"))
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
+        sum(col("cents").cast("decimal(38,0)")).as("vol"))
+      .select(col("event_type"), col("hr"), col("n_events"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("vol").cast("bigint").as("volume_cents"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val q79Sql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT *, ts_us // 3600000000 AS hr FROM e),
+      |rn AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+      |      ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+      |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      |  FROM b)
+      |SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+      |  MAX(cents) AS high_cents,
+      |  MIN(cents) AS low_cents,
+      |  MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS volume_cents
+      |FROM rn GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_ohlc_bars"       -> q79OhlcBars _,
     "q78_schema_evolution" -> q78SchemaEvolution _,
     "q77_twap"            -> q77Twap _,
     "q76_mad_outliers"    -> q76MadOutliers _,
@@ -3718,6 +3784,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q79_ohlc_bars"       -> q79Sql,
     "q78_schema_evolution" -> q78Sql,
     "q77_twap"            -> q77Sql,
     "q76_mad_outliers"    -> q76Sql,

@@ -1528,7 +1528,127 @@ object Similarity {
        |FROM ranked WHERE re <= $topK
        |GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------- s17 random-projection recall
+  /** s17: random-projection (Johnson–Lindenstrauss) recall audit — what
+    * collapsing the 64-dim embeddings to [[rpDims]] signed-sum sketch
+    * dimensions costs in retrieval quality, as a relation (the s16
+    * discipline pointed at DIMENSION reduction instead of bit-depth):
+    * per query, the top-[[topK]] under the projected dot vs the exact
+    * fixed-point top-[[topK]], overlap in exact ppm. A store weighing
+    * a 4× memory cut via projection (vs s16's 4× via int8) reads these
+    * two audits side by side — same query set, same exact baseline.
+    *
+    * Portability: the projection matrix is DATA, not chance — sign(j,i)
+    * = parity of the first hex char of md5("rp:j:i"), so both engines
+    * build the identical ±1 matrix. Projected coordinates are exact
+    * BIGINTs (Σ ±vi over 64 dims, |vi| ≤ 2²⁰ ⇒ |pj| ≤ 2²⁶) and the
+    * projected score Σ pj·qj (≤ 16·2⁵² < 2⁵⁶) stays in BIGINT — every
+    * ranking key integer-exact, engine-bit-identical.
+    *
+    * Scale: projection is map-side (16 partial-agged sums in the one
+    * groupBy that already builds the vector array); the scored relation
+    * is queries(bounded, broadcast) × corpus, shared by both rankings. */
+  val rpDims = 16
+
+  /** Sign of projection row j at input dim `dim` applied to `vi` —
+    * +vi when the md5 parity bit is 1, −vi otherwise (Spark spelling;
+    * the SQL twin spells the same with strpos). */
+  private def rpTerm(j: Int): Column = expr(
+    s"""SUM(CASE WHEN (instr('0123456789abcdef',
+       |  substring(md5(concat('rp:$j:', CAST(dim AS STRING))), 1, 1)) - 1)
+       |  % 2 = 1 THEN vi ELSE -vi END)""".stripMargin)
+
+  def rpRecall(s: SparkSession, dir: String): DataFrame =
+    rpRecallDf(t(s, dir, "embeddings"))
+
+  def rpRecallDf(embs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.fpDot
+    val cells = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("x"), floor(col("x") * fpScale).cast("long").as("vi"))
+    val proj = cells.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("a"),
+        (0 until rpDims).map(j => rpTerm(j).as(s"p$j")): _*)
+      .select(col("vec_id") +: expr("transform(a, s -> s.x)").as("v") +:
+        (0 until rpDims).map(j => col(s"p$j")): _*)
+    val qs = proj.filter(isQuery)
+    val projScore = (0 until rpDims)
+      .map(j => col(s"q.p$j") * col(s"c.p$j"))
+      .reduce(_ + _)
+    val scored = broadcast(qs).as("q")
+      .join(proj.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        fpDot(col("q.v"), col("c.v")).as("s_exact"),
+        projScore.as("s_proj"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_exact").desc, col("neighbor_id"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_proj").desc, col("neighbor_id"))
+    scored
+      .withColumn("re", row_number().over(we).cast("long"))
+      .withColumn("rp", row_number().over(wp).cast("long"))
+      .filter(col("re") <= topK)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rp") <= topK, 1L).otherwise(0L)).as("n_hit"),
+        count(lit(1)).as("n_exact"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  private val rpRecallSql = {
+    val pcols = (0 until rpDims).map { j =>
+      s"""SUM(CASE WHEN (strpos('0123456789abcdef',
+         |  substring(md5('rp:$j:' || CAST(dim AS VARCHAR)), 1, 1)) - 1)
+         |  % 2 = 1 THEN vi ELSE -vi END) AS p$j""".stripMargin
+    }.mkString(",\n    ")
+    val pdot = (0 until rpDims).map(j => s"q.p$j * c.p$j").mkString(" + ")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, dim, x,
+       |    CAST(FLOOR(x * $fpScale) AS BIGINT) AS vi
+       |  FROM raw),
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    $pcols
+       |  FROM cells GROUP BY vec_id),
+       |ex AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM(CAST(FLOOR(q.x * c.x * $fpScale) AS BIGINT)) AS s_exact
+       |  FROM cells q JOIN cells c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}
+       |  GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT e.query_id, e.neighbor_id, e.s_exact,
+       |    CAST($pdot AS BIGINT) AS s_proj
+       |  FROM ex e JOIN proj q ON e.query_id = q.vec_id
+       |            JOIN proj c ON e.neighbor_id = c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s_exact DESC, neighbor_id) AS BIGINT) AS re,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s_proj DESC, neighbor_id) AS BIGINT) AS rp
+       |  FROM scored)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN rp <= $topK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(SUM(CASE WHEN rp <= $topK THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM ranked WHERE re <= $topK
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_rp_recall"       -> rpRecall _,
     "s16_quant_recall"    -> quantRecall _,
     "s15_ivf_probe_sweep" -> ivfProbeSweep _,
     "s14_mih_recall"      -> mihRecall _,
@@ -1547,6 +1667,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s17_rp_recall"       -> rpRecallSql,
     "s16_quant_recall"    -> quantRecallSql,
     "s15_ivf_probe_sweep" -> probeSweepSql,
     "s14_mih_recall"      -> mihRecallSql,

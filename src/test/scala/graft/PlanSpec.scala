@@ -744,6 +744,38 @@ class PlanSpec extends SparkSpec {
       "window and aggregate did not share the user_id exchange:\n" + p)
   }
 
+  test("q79: both OHLC windows and the aggregate share ONE " +
+    "(event_type, hr) exchange; no join anywhere") {
+    val p = plan(Relational.q79OhlcBars(spark, sf))
+    assert(!p.contains("Join"),
+      "OHLC planned a join — open/close need only windows:\n" + p)
+    val barExchanges = finalSection(p).linesIterator
+      .count(l => l.contains("hashpartitioning(event_type"))
+    assert(barExchanges <= 1,
+      "windows and aggregate did not share the bar-key exchange:\n" + p)
+  }
+
+  test("g16: PPR rounds are hash joins on the persisted edge list with " +
+    "map-side sum combine; the landmark relation broadcasts") {
+    val p = plan(graft.queries.Graph.pprLandmark(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "g16 planned a cartesian product:\n" + p)
+    assert(p.contains("partial_sum"),
+      "per-round mass does not combine map-side:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the 1-row landmark did not broadcast:\n" + p)
+  }
+
+  test("s17: the projection is one corpus groupBy; the query set " +
+    "broadcasts; the exact ranking keeps the codegen'd fixed-point dot") {
+    val p = plan(Similarity.rpRecall(spark, sf))
+    assert(p.contains("graft_fp_dot"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "query set did not broadcast against the corpus:\n" + p)
+  }
+
   test("s16: dim stats and the query set broadcast; the pair scoring " +
     "keeps the codegen'd fixed-point dot") {
     val p = plan(Similarity.quantRecall(spark, sf))

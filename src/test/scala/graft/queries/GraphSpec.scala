@@ -181,6 +181,35 @@ class GraphSpec extends SparkSpec {
     assert(out.forall { case (_, nl, _, _) => nl <= Graph.bfsSeeds })
   }
 
+  test("g16: landmark PPR matches an independent integer mass " +
+      "propagation; landmark = highest degree with smallest-id tiebreak") {
+    import spark.implicits._
+    val out = Graph.pprLandmarkDf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey") + Graph.custOffset)
+      .as[(Long, Long)].collect().distinct
+    val undSeq = pairs.flatMap { case (s0, c) => Seq((s0, c), (c, s0)) }
+    val deg = undSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val lm = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head._1
+    var ppr = deg.keys.map(n =>
+      n -> (if (n == lm) Graph.initRank else 0L)).toMap
+    for (_ <- 1 to Graph.pprRounds) {
+      val im = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      undSeq.foreach { case (s0, d) => im(d) += ppr(s0) / deg(s0) }
+      ppr = im.map { case (n, m) =>
+        n -> ((if (n == lm) Graph.baseRank else 0L) + 85L * m / 100L)
+      }.toMap
+    }
+    val want = ppr.toSeq.sortBy { case (n, p) => (-p, n) }
+      .take(Graph.topN).map { case (n, p) => (n, p) }
+    assert(out.toSeq === want) // ORDERED: ranking ties break on node id
+    // the landmark holds restart mass, so it must appear in the top set
+    assert(out.exists(_._1 == lm))
+    assert(out.forall(_._2 >= 0L))
+  }
+
   test("g07: matches an in-memory 3-round self-vote LPA; partition-invariant") {
     val out = Graph.labelPropDf(li).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -874,6 +874,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(500L))
   }
 
+  test("q79: OHLC bars match an exact in-memory recompute; open/close " +
+      "are positional with the (ts, event_id) tiebreak") {
+    import graft.Tables.t
+    val out = Relational.q79OhlcBars(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val ev = t(spark, sf, "events").selectExpr("event_type",
+        "ts div 1000", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(e => (e._1, e._2 / 3600000000L)).map {
+      case (key, g) =>
+        val s = g.sortBy(e => (e._2, e._3))
+        key -> (s.length.toLong, s.head._4, g.map(_._4).max,
+          g.map(_._4).min, s.last._4, g.map(e => BigInt(e._4)).sum.toLong)
+    }
+    assert(out === want)
+    assert(out.nonEmpty)
+    // bar invariants: low <= open, close <= high; volume >= n * low
+    out.values.foreach { case (n, o, h, l, c, v) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+      assert(v >= n * l && v <= n * h)
+    }
+  }
+
   test("q78: schema-evolution union conserves doc counts and mass; " +
       "the absent column null-fills only the v1 slice") {
     import graft.Tables.t

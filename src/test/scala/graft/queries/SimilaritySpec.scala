@@ -207,6 +207,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s17: random-projection recall matches an in-memory JL recompute " +
+      "(same md5 sign matrix, same integer lattice)") {
+    val rows = Similarity.rpRecallDf(clustered)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def sign(j: Int, dim: Int): Long = {
+      val v = "0123456789abcdef".indexOf(md5hex(s"rp:$j:$dim").charAt(0))
+      if (v % 2 == 1) 1L else -1L
+    }
+    val lat = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * Similarity.fpScale).toLong)
+    }
+    val proj = lat.map { case (id, vi) =>
+      id -> Array.tabulate(Similarity.rpDims)(j =>
+        vi.indices.map(i => sign(j, i) * vi(i)).sum)
+    }
+    def fpdot(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x * y * Similarity.fpScale).toLong }.sum
+    val queries = vecs.keys.filter(id =>
+      id % Similarity.queryStride == 0 &&
+        id < Similarity.queryStride.toLong * Similarity.maxQueries)
+      .toSeq.sorted
+    val want = queries.map { q =>
+      val cands = vecs.keys.filter(_ != q).toSeq
+      val exTop = cands.map(c => (c, fpdot(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.topK).map(_._1).toSet
+      val pq = proj(q)
+      val prTop = cands
+        .map(c => (c, pq.zip(proj(c)).map { case (x, y) => x * y }.sum))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.topK).map(_._1).toSet
+      val hit = exTop.count(prTop).toLong
+      (q, Similarity.topK.toLong, hit, hit * 1000000L / Similarity.topK)
+    }
+    assert(rows === want)
+    // clustered data: the 16-dim sketch keeps most of a well-separated
+    // cluster's ranking — recall should be far above chance
+    assert(rows.map(_._4).min >= 300000L,
+      s"projection destroyed the ranking: $rows")
+  }
+
   test("s10: MMR picks match an in-memory greedy recompute") {
     val out = Similarity.mmrDiversifyDf(clustered).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
