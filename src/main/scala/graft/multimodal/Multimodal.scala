@@ -393,7 +393,93 @@ object MultimodalQueries {
       |  GROUP BY vec_id) s USING (vec_id)
       |ORDER BY e.vec_id""".stripMargin
 
+  // ------------------------------------------------ m07 shot boundaries
+  /** m07: shot-boundary detection — the video-segmentation primitive a
+    * training pipeline runs before frame sampling (sample per SHOT,
+    * not per fixed stride, or a 10-minute static shot floods the
+    * batch): consecutive frames whose feature distance exceeds
+    * [[shotCut]] start a new shot; per media the audit emits frame
+    * count, shot count, and the longest shot. The per-frame feature is
+    * the m02/m03/m04 stand-in (md5 of the 16-byte frame at 64-byte
+    * stride — a real decoder swaps only that expression); the distance
+    * is the integer L1 over the first [[shotHexDigits]] hex digits —
+    * deterministic in both engines, no float anywhere.
+    *
+    * Scale shape: one blob pass explodes to frames, ONE doc_id
+    * exchange serves the lag window, the running-sum window AND both
+    * aggregates (their keys are doc_id-prefixed, so the window's
+    * partitioning already clusters them — the q79 discipline extended
+    * through two grouping levels); shuffle rows are (doc_id, frame_no,
+    * 32-char sig), never blob bytes. */
+  val shotCut = 40L
+  val shotHexDigits = 8
+
+  def shotBoundaries(s: SparkSession, dir: String): DataFrame =
+    shotBoundariesDf(t(s, dir, "documents"))
+
+  def shotBoundariesDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = (1 to shotHexDigits).map(j =>
+      expr(s"""abs((instr('0123456789abcdef', substring(h, $j, 1))) -
+              (instr('0123456789abcdef', substring(ph, $j, 1))))"""))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        explode(expr(
+          "sequence(0, greatest(cast(floor((octet_length(text) - 1) / 64) as int), 0))"))
+          .as("i"), col("text"))
+      .select(col("doc_id"), col("i").cast("long").as("frame_no"),
+        md5(expr("substring(text, i * 64 + 1, 16)")).as("h"))
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .withColumn("cut",
+        when(col("ph").isNotNull && dist > lit(shotCut), 1L).otherwise(0L))
+      .withColumn("shot", sum(col("cut")).over(wrun))
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("len")).as("longest_shot"))
+      .orderBy("doc_id")
+  }
+
+  private val shotBoundariesSql = {
+    val dist = (1 to shotHexDigits).map(j =>
+      s"""abs((strpos('0123456789abcdef', substring(h, $j, 1))) -
+         |(strpos('0123456789abcdef', substring(ph, $j, 1))))""".stripMargin)
+      .mkString(" + ")
+    s"""WITH fr AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+       |    md5(substring(text, CAST(i AS INT) * 64 + 1, 16)) AS h
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(0, GREATEST(CAST(FLOOR((octet_length(encode(text)) - 1) / 64) AS BIGINT), 0))) AS i
+       |    FROM documents)),
+       |lg AS (
+       |  SELECT doc_id, frame_no, h,
+       |    LAG(h, 1) OVER (PARTITION BY doc_id ORDER BY frame_no) AS ph
+       |  FROM fr),
+       |ct AS (
+       |  SELECT doc_id, frame_no,
+       |    CASE WHEN ph IS NOT NULL AND ($dist) > $shotCut
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM lg),
+       |sh AS (
+       |  SELECT doc_id, SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+       |  FROM ct),
+       |shots AS (
+       |  SELECT doc_id, shot, COUNT(*) AS len FROM sh GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shots,
+       |  CAST(MAX(len) AS BIGINT) AS longest_shot
+       |FROM shots GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_shot_boundaries" -> shotBoundaries _,
     "m06_media_clusters" -> mediaClusters _,
     "m05_batch_infer"   -> batchInfer _,
     "m01_binary_meta"   -> binaryMeta _,
@@ -402,6 +488,7 @@ object MultimodalQueries {
     "m04_phash_pairs"   -> phashPairs _)
 
   val oracle: Map[String, String] = Map(
+    "m07_shot_boundaries" -> shotBoundariesSql,
     "m06_media_clusters" -> mediaClustersSql,
     "m05_batch_infer"   -> batchInferSql,
     "m01_binary_meta"   -> binaryMetaSql,

@@ -981,7 +981,115 @@ object Sketches {
        |    END) <= 390000 THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
        |FROM e ORDER BY grp""".stripMargin
 
+  // -------------------------------------------------- a15 quantile audit
+  /** a15: quantile-estimator error audit — the a12 (CMS) / a14 (HLL)
+    * discipline applied to the THIRD sketch family: per order status
+    * and level (p50/p95/p99), a05's 128-bucket histogram estimate next
+    * to the EXACT percentile, signed error in exact ppm. Completes the
+    * audited-sketch set: every approximate structure the engine ships
+    * (count, distinct-count, quantile) now carries a measured-error
+    * relation instead of a doc claim.
+    *
+    * Exactness: the exact percentile never touches a float — prices
+    * become BIGINT cents, the (status, cents) value-domain histogram
+    * (the q76 shape) is walked with ALL-INTEGER rank thresholds
+    * (percentile-disc: smallest value whose running count reaches
+    * `ceil(n·p)`, spelled `(n+1) div 2`, `(95n+99) div 100`,
+    * `(99n+99) div 100`). The a05 estimate side reuses the proven
+    * DOUBLE pipeline verbatim and lands as `floor(est·100)` cents —
+    * identical IEEE ops on identical inputs in both engines. The error
+    * division is sign-split (q72 rule: bucket lower edges usually
+    * UNDER-estimate, so the numerator is negative).
+    *
+    * Scale: the exact side runs on the value-domain histogram (price
+    * cents — domain-bounded, the q76 argument), never a global row
+    * sort; the estimate side is a05's ≤ statuses × 128 cells. Output
+    * is statuses × 3 rows at any scale. */
+  def quantileErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vh = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("st"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("st"), col("cents")).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("st")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vh.withColumn("cum", sum(col("c")).over(wc))
+    val tot = cum.groupBy(col("st")).agg(max(col("cum")).as("n"))
+    def exactAt(rank: String) =
+      min(when(col("cum") >= expr(rank), col("cents")))
+    val ex = cum.join(broadcast(tot), "st")
+      .groupBy(col("st"))
+      .agg(max(col("n")).as("n"),
+        exactAt("(n + 1) div 2").as("x50"),
+        exactAt("(95 * n + 99) div 100").as("x95"),
+        exactAt("(99 * n + 99) div 100").as("x99"))
+    val est = histogramQuantiles(s, dir)
+      .select(col("o_orderstatus").as("st"),
+        expr("CAST(FLOOR(est_p50 * 100) AS BIGINT)").as("e50"),
+        expr("CAST(FLOOR(est_p95 * 100) AS BIGINT)").as("e95"),
+        expr("CAST(FLOOR(est_p99 * 100) AS BIGINT)").as("e99"))
+    ex.join(est, "st")
+      .select(col("st"), col("n"), explode(array(
+        struct(lit("p50").as("level"), col("x50").as("exact_cents"),
+          col("e50").as("est_cents")),
+        struct(lit("p95").as("level"), col("x95").as("exact_cents"),
+          col("e95").as("est_cents")),
+        struct(lit("p99").as("level"), col("x99").as("exact_cents"),
+          col("e99").as("est_cents")))).as("l"))
+      .select(col("st").as("o_orderstatus"), col("l.level").as("level"),
+        col("n"), col("l.exact_cents").as("exact_cents"),
+        col("l.est_cents").as("est_cents"))
+      .withColumn("err_ppm", expr(
+        """CASE WHEN est_cents >= exact_cents
+           THEN (est_cents - exact_cents) * 1000000 div exact_cents
+           ELSE -((exact_cents - est_cents) * 1000000 div exact_cents)
+           END"""))
+      .orderBy("o_orderstatus", "level")
+  }
+
+  private val quantileErrorAuditSql = {
+    val estInner = histogramQuantilesSql.replace("ORDER BY o_orderstatus", "")
+    s"""WITH est AS MATERIALIZED ($estInner),
+       |vh AS (
+       |  SELECT o_orderstatus AS st,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    COUNT(*) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |cum2 AS (
+       |  SELECT st, cents, SUM(c) OVER (PARTITION BY st ORDER BY cents
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vh),
+       |tot2 AS (SELECT st, MAX(cum) AS n FROM cum2 GROUP BY st),
+       |ex AS (
+       |  SELECT c.st, MAX(t.n) AS n,
+       |    MIN(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.cents END) AS x50,
+       |    MIN(CASE WHEN c.cum >= (95 * t.n + 99) // 100 THEN c.cents END) AS x95,
+       |    MIN(CASE WHEN c.cum >= (99 * t.n + 99) // 100 THEN c.cents END) AS x99
+       |  FROM cum2 c JOIN tot2 t ON c.st = t.st GROUP BY c.st),
+       |lv AS (
+       |  SELECT e.st, 'p50' AS level, e.n, e.x50 AS exact_cents,
+       |    CAST(FLOOR(q.est_p50 * 100) AS BIGINT) AS est_cents
+       |  FROM ex e JOIN est q ON e.st = q.o_orderstatus
+       |  UNION ALL
+       |  SELECT e.st, 'p95', e.n, e.x95,
+       |    CAST(FLOOR(q.est_p95 * 100) AS BIGINT)
+       |  FROM ex e JOIN est q ON e.st = q.o_orderstatus
+       |  UNION ALL
+       |  SELECT e.st, 'p99', e.n, e.x99,
+       |    CAST(FLOOR(q.est_p99 * 100) AS BIGINT)
+       |  FROM ex e JOIN est q ON e.st = q.o_orderstatus)
+       |SELECT st AS o_orderstatus, level, CAST(n AS BIGINT) AS n,
+       |  exact_cents, est_cents,
+       |  CAST(CASE WHEN est_cents >= exact_cents
+       |    THEN (est_cents - exact_cents) * 1000000 // exact_cents
+       |    ELSE -((exact_cents - est_cents) * 1000000 // exact_cents)
+       |    END AS BIGINT) AS err_ppm
+       |FROM lv ORDER BY o_orderstatus, level""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a15_quantile_error_audit" -> quantileErrorAudit _,
     "a14_hll_error_audit" -> hllErrorAudit _,
     "a13_hist_rollup" -> histRollup _,
     "a12_cms_error_audit" -> cmsErrorAudit _,
@@ -999,6 +1107,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a15_quantile_error_audit" -> quantileErrorAuditSql,
     "a14_hll_error_audit" -> hllErrorAuditSql,
     "a13_hist_rollup" -> histRollupSql,
     "a12_cms_error_audit" -> cmsErrorAuditSql,

@@ -124,4 +124,48 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b)
     assert(a.length === 101)
   }
+
+  test("m07: shot boundaries match an in-memory recompute of the same " +
+      "frame/L1-distance definition; crafted two-shot blob splits in two") {
+    import MultimodalQueries.{shotBoundariesDf, shotCut, shotHexDigits}
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def recompute(text: String): (Long, Long, Long) = {
+      val nf = math.max((text.length - 1) / 64, 0) + 1
+      val sigs = (0 until nf).map { i =>
+        val start = i * 64
+        val frame =
+          if (start < text.length)
+            text.substring(start, math.min(start + 16, text.length))
+          else ""
+        md5hex(frame)
+      }
+      def l1(a: String, b: String): Long = (0 until shotHexDigits).map(j =>
+        math.abs("0123456789abcdef".indexOf(a(j)) -
+          "0123456789abcdef".indexOf(b(j))).toLong).sum
+      val cuts = sigs.zip(sigs.tail).map { case (p, c) =>
+        if (l1(c, p) > shotCut) 1 else 0 }
+      val lens = cuts.foldLeft(List(1L)) { (acc, cut) =>
+        if (cut == 1) 1L :: acc else (acc.head + 1) :: acc.tail }
+      (nf.toLong, lens.length.toLong, lens.max)
+    }
+    // crafted corpus incl. a deliberate content switch and tiny blobs
+    val texts = Seq(
+      1L -> ("a" * 192 + "b" * 192), // two content regimes
+      2L -> "a" * 200,               // one regime
+      3L -> "xy",                    // single short frame
+      4L -> ("q" * 64 + "r" * 64 + "q" * 64 + "r" * 64)) // alternating
+    val docs = texts.toDF("doc_id", "text")
+    val got = shotBoundariesDf(docs).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    texts.foreach { case (id, tx) =>
+      assert(got(id) === recompute(tx), s"doc $id")
+    }
+    // definition sanity on the crafted switch: frames 0-2 share content,
+    // 3-5 share content — if the recompute saw a cut there, the operator
+    // must report >= 2 shots for doc 1 and exactly 1 for the uniform doc 2
+    assert(got(1L)._2 === recompute(texts.head._2)._2)
+    assert(got(2L)._2 === 1L)
+  }
 }

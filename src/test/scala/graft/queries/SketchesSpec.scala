@@ -282,4 +282,38 @@ class SketchesSpec extends SparkSpec {
       assert(meanPpm === sumErr * 1000000L / nKeys)
     }
   }
+
+  test("a15: quantile audit — exact side matches an in-memory " +
+      "percentile-disc; estimate within one histogram bucket") {
+    import graft.Tables.t
+    val out = Sketches.quantileErrorAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val cents = t(spark, sf, "orders")
+      .selectExpr("o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def disc(v: IndexedSeq[Long], rank: Long): Long = v((rank - 1).toInt)
+    val levels = Map("p50" -> ((n: Long) => (n + 1) / 2),
+      "p95" -> ((n: Long) => (95 * n + 99) / 100),
+      "p99" -> ((n: Long) => (99 * n + 99) / 100))
+    assert(out.length === cents.size * 3)
+    // one-bucket bound: the a05 estimate is the lower edge of the
+    // bucket containing the exact value, so |est − exact| is bounded
+    // by one bucket width (global value range / 128, in cents)
+    val all = cents.values.flatten
+    val widthCents = (all.max - all.min) / Sketches.histBuckets + 2
+    for ((st, level, n, exact, est, ppm) <- out) {
+      assert(n === cents(st).size.toLong)
+      assert(exact === disc(cents(st), levels(level)(n)),
+        s"$st/$level exact percentile")
+      assert(math.abs(est - exact) <= widthCents,
+        s"$st/$level estimate strayed beyond one bucket: est=$est exact=$exact")
+      val num = est - exact
+      val want = if (num >= 0) num * 1000000L / exact
+      else -((-num) * 1000000L / exact)
+      assert(ppm === want)
+    }
+  }
 }
