@@ -195,7 +195,16 @@ object Graph {
     * edge list (the caller persists — the relation is consumed three
     * times: both wedge sides + the closing probe). Shared by g02's
     * top-N and g10's clustering coefficient. */
-  private[graft] def nodeTriangleCountsDf(oriented: DataFrame): DataFrame = {
+  private[graft] def nodeTriangleCountsDf(oriented: DataFrame): DataFrame =
+    triangleTriplesDf(oriented)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+
+  /** The (u, v, w) triangle-triple relation from a PERSISTED oriented
+    * edge list — the wedge-enumeration + Bloom-prune + closing-probe
+    * core shared by g02/g10 (per-node corner counts) and g17 (per-edge
+    * support). */
+  private[graft] def triangleTriplesDf(oriented: DataFrame): DataFrame = {
     val spark = oriented.sparkSession
     // wedge enumeration stays a STREAMED self-join on u: an array
     // expansion (collect_set per center + O(deg²) pair array, the
@@ -244,11 +253,9 @@ object Graph {
       wedges.filter(mightClose(
         shiftleft(col("v").cast("long"), 32) + col("w").cast("long")))
     }
-    val tri = pruned
+    pruned
       .join(closing, col("v") === col("cv") && col("w") === col("cw"))
       .select(col("u"), col("v"), col("w"))
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
   /** DuckDB twin: identical orientation rule and wedge-close join.
@@ -1496,7 +1503,52 @@ object Graph {
        |ORDER BY ppr DESC, node LIMIT $topN""".stripMargin
   }
 
+  // --------------------------------------------------- g17 edge support
+  /** g17: per-edge triangle support — the k-truss ingredient (an edge
+    * is in the k-truss iff its support ≥ k−2) and the standard "is this
+    * relationship embedded in a community or a bridge?" signal tie
+    * strength alone cannot give. Reports the [[triTopN]] most-supported
+    * co-purchase edges in canonical (a < b) form.
+    *
+    * Reuses g02's degree-oriented triangle core verbatim
+    * ([[triangleTriplesDf]] — wedge join bounded by the O(√m)
+    * orientation, Bloom-pruned before the closing exchange): each
+    * triangle contributes its three edges via one map-side explode, so
+    * the only work beyond g02 is a (edge → count) partial-agged
+    * groupBy. Ranking is (support DESC, a, b) — a total order, so the
+    * top-N is deterministic under ties. */
+  def edgeSupport(s: SparkSession, dir: String): DataFrame =
+    edgeSupportDf(t(s, dir, "lineitem"))
+
+  def edgeSupportDf(lineitem: DataFrame): DataFrame = {
+    val oriented = orientedEdgesDf(lineitem).persist()
+    triangleTriplesDf(oriented)
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("ea"),
+          greatest(col("u"), col("v")).as("eb")),
+        struct(least(col("u"), col("w")).as("ea"),
+          greatest(col("u"), col("w")).as("eb")),
+        struct(least(col("v"), col("w")).as("ea"),
+          greatest(col("v"), col("w")).as("eb")))).as("e"))
+      .select(col("e.ea").as("a"), col("e.eb").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(triTopN)
+  }
+
+  /** DuckDB twin: the g02 triangle core + the 3-edge expansion. */
+  private val edgeSupportSql =
+    s"""WITH $triCoreCtes,
+       |ee AS (
+       |  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM tri
+       |  UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri
+       |  UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri)
+       |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support
+       |FROM ee GROUP BY a, b
+       |ORDER BY support DESC, a, b LIMIT $triTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g17_edge_support" -> edgeSupport _,
     "g16_ppr_landmark" -> pprLandmark _,
     "g15_harmonic" -> harmonicCentrality _,
     "g14_landmark_radius" -> landmarkRadius _,
@@ -1515,6 +1567,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g17_edge_support" -> edgeSupportSql,
     "g16_ppr_landmark" -> pprLandmarkSql,
     "g15_harmonic" -> harmonicCentralitySql,
     "g14_landmark_radius" -> landmarkRadiusSql,

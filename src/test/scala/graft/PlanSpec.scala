@@ -776,6 +776,16 @@ class PlanSpec extends SparkSpec {
       "query set did not broadcast against the corpus:\n" + p)
   }
 
+  test("g17: edge support reuses the oriented triangle core — no " +
+    "cartesian, counts combine map-side") {
+    val p = plan(graft.queries.Graph.edgeSupport(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "g17 planned an all-pairs expansion:\n" + p)
+    assert(p.contains("partial_count"),
+      "edge support does not combine map-side:\n" + p)
+  }
+
   test("s16: dim stats and the query set broadcast; the pair scoring " +
     "keeps the codegen'd fixed-point dot") {
     val p = plan(Similarity.quantRecall(spark, sf))

@@ -210,6 +210,34 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(_._2 >= 0L))
   }
 
+  test("g17: edge support matches an in-memory triangle enumeration; " +
+      "every supported edge is a real co-purchase edge") {
+    import spark.implicits._
+    val out = Graph.edgeSupportDf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent reference: distinct co-purchase pairs → adjacency →
+    // count triangles per edge by common-neighbor intersection
+    val pairs = li.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).values
+      .flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val support = pairs.toSeq.map { case (a, b) =>
+      (a, b, (adj(a) & adj(b)).size.toLong)
+    }.filter(_._3 > 0)
+      .sortBy { case (a, b, s0) => (-s0, a, b) }.take(Graph.triTopN)
+    assert(out.toSeq === support) // ORDERED: total (support, a, b) order
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, s0) =>
+      assert(a < b && s0 >= 1L)
+      assert(pairs((a, b)), s"($a,$b) is not a co-purchase edge")
+    }
+  }
+
   test("g07: matches an in-memory 3-round self-vote LPA; partition-invariant") {
     val out = Graph.labelPropDf(li).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
