@@ -919,7 +919,90 @@ object Sampling {
        |FROM e$epochRounds ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------ p15 decontaminated split
+  /** p15: leak-proof dataset split — p07's deterministic hash split
+    * composed with d10's contamination detection, closing the gap
+    * between them: p07 assigns docs to train/val/test independently of
+    * CONTENT, so a train doc that shares a rare ≥3-token shingle with
+    * a val/test doc leaks eval answers into training. Every such train
+    * doc moves to a `quarantine` bucket (excluded from training AND
+    * from eval — reassigning it to eval would bias the benchmark
+    * toward duplicated content). Output: per (final_split, source)
+    * doc counts and char mass — p07's manifest, leak-proofed.
+    *
+    * Reuse discipline: the split rule IS [[splitOf]]/[[md5U16]] (p07's,
+    * shared with p10) and the shingle rule IS d10's (df-pruned at
+    * [[graft.queries.Dedup.maxShingleDf]] — boilerplate shingles are
+    * vocabulary, not contamination) — neither can drift from the ops
+    * they compose.
+    *
+    * Scale shape: d10's exactly — the eval shingle set is eval-sized
+    * and BROADCASTS; detection is a map-side semi join over the corpus
+    * shingle stream; the final rollup is splits × sources rows. */
+  def decontaminatedSplit(s: SparkSession, dir: String): DataFrame =
+    decontaminatedSplitDf(t(s, dir, "documents"))
+
+  def decontaminatedSplitDf(documents: DataFrame): DataFrame = {
+    val withSplit = documents
+      .withColumn("bucket", md5U16 % 100)
+      .withColumn("split", splitOf(col("bucket")))
+    val shAll = documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
+      .distinct()
+    val keep = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= graft.queries.Dedup.maxShingleDf)
+      .select(col("sh"))
+    val sh = shAll.join(keep, "sh")
+      .withColumn("bucket", md5U16 % 100)
+      .withColumn("split", splitOf(col("bucket")))
+    val evalSh = sh.filter(col("split") =!= "train")
+      .select(col("sh")).distinct()
+    val leaky = sh.filter(col("split") === "train")
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("leak", lit(1L))
+    withSplit.join(leaky, Seq("doc_id"), "left")
+      .withColumn("final_split",
+        when(col("split") === "train" && col("leak").isNotNull,
+          "quarantine").otherwise(col("split")))
+      .groupBy(col("final_split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("final_split", "source")
+  }
+
+  private val p15Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks,
+       |    ($md5U16Sql) % 100 AS bucket
+       |  FROM documents),
+       |ds AS MATERIALIZED (
+       |  SELECT doc_id, source, n_chars, $splitOfSql AS split FROM d),
+       |sh_all AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM d),
+       |keep AS (SELECT sh FROM sh_all GROUP BY sh
+       |         HAVING COUNT(*) <= ${graft.queries.Dedup.maxShingleDf}),
+       |sh AS MATERIALIZED (
+       |  SELECT sh_all.doc_id, sh_all.sh, ds.split
+       |  FROM sh_all JOIN keep USING (sh) JOIN ds USING (doc_id)),
+       |eval_sh AS (SELECT DISTINCT sh FROM sh WHERE split <> 'train'),
+       |leaky AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE split = 'train' AND sh IN (SELECT sh FROM eval_sh))
+       |SELECT CASE WHEN ds.split = 'train'
+       |    AND ds.doc_id IN (SELECT doc_id FROM leaky)
+       |  THEN 'quarantine' ELSE ds.split END AS final_split,
+       |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM ds GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_decontaminated_split" -> decontaminatedSplit _,
     "p14_epoch_schedule"    -> epochSchedule _,
     "p13_var_allocation"    -> varAllocation _,
     "p12_dedup_aware_mix"   -> dedupAwareMix _,
@@ -936,6 +1019,7 @@ object Sampling {
     "p07_dataset_split"     -> datasetSplit _)
 
   val oracle: Map[String, String] = Map(
+    "p15_decontaminated_split" -> p15Sql,
     "p14_epoch_schedule"    -> p14Sql,
     "p13_var_allocation"    -> p13Sql,
     "p12_dedup_aware_mix"   -> p12Sql,

@@ -1647,7 +1647,62 @@ object Similarity {
        |GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
+  // ------------------------------------------------- s18 IVF cell balance
+  /** s18: IVF load-balance audit — the OPERATIONAL health metric of the
+    * s03/s07 inverted file: per trained cell, its member count, its
+    * share of the corpus, and its signed deviation from the perfectly
+    * balanced 1/[[numCells]] share (ppm). At production scale cell
+    * sizes decide shard sizing and probe tail latency (every query
+    * that probes the hottest cell pays that cell's scan), so an index
+    * build ships this table next to the recall audits (s09/s15/s16/
+    * s17): recall says the index is RIGHT, balance says it is
+    * SERVABLE. A skewed corpus shows up here as a diffable relation —
+    * re-train or split the hot cell, re-run, diff.
+    *
+    * Exactness: member counts are integers from the same all-integer
+    * fixed-point assignment s03 carries (argmin of BIGINT distances,
+    * cell-id tiebreak — no float boundary anywhere); shares and
+    * deviations are floored integer ppm (sign-split). Scale: the only
+    * corpus-sized step is the one assignment pass (centroids
+    * broadcast); everything after runs on [[numCells]] rows. */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame =
+    ivfBalanceDf(t(s, dir, "embeddings"))
+
+  def ivfBalanceDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val seeds = trainedSeeds(e).persist()
+    val sizes = assignCells(seeds, e, 1, "cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum(col("n_vecs")).as("total"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div total").as("share_ppm"),
+        expr(s"""CASE WHEN n_vecs * $numCells >= total
+             THEN (n_vecs * $numCells - total) * 1000000 div total
+             ELSE -((total - n_vecs * $numCells) * 1000000 div total)
+             END""").as("dev_ppm"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB twin: the shared trained-quantizer chain, then pure integer
+    * arithmetic on the [[numCells]]-row size relation. */
+  private val ivfBalanceSql =
+    s"""WITH $trainedChainSql,
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |sizes AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |  FROM corpus GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM sizes)
+       |SELECT cell, n_vecs,
+       |  CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST(CASE WHEN n_vecs * $numCells >= total
+       |    THEN (n_vecs * $numCells - total) * 1000000 // total
+       |    ELSE -((total - n_vecs * $numCells) * 1000000 // total)
+       |    END AS BIGINT) AS dev_ppm
+       |FROM sizes, tot ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_ivf_balance"     -> ivfBalance _,
     "s17_rp_recall"       -> rpRecall _,
     "s16_quant_recall"    -> quantRecall _,
     "s15_ivf_probe_sweep" -> ivfProbeSweep _,
@@ -1667,6 +1722,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s18_ivf_balance"     -> ivfBalanceSql,
     "s17_rp_recall"       -> rpRecallSql,
     "s16_quant_recall"    -> quantRecallSql,
     "s15_ivf_probe_sweep" -> probeSweepSql,

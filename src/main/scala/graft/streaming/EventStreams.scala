@@ -261,6 +261,34 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickViewJoin]]'s
+    * abandoned-click twin: a click with NO view inside the window still
+    * emits (null view columns), but only once the watermark passes the
+    * click's join horizon (before that a matching view could still
+    * arrive — outer results are inherently watermark-delayed). This is
+    * the funnel-drop detector ("clicked, never viewed") as an unbounded
+    * stream: the same two-sided watermark + time-range condition bounds
+    * buffered state on both sides, which Spark REQUIRES before it
+    * accepts an outer stream-stream join at all. */
+  def clickViewJoinOuter(events: DataFrame, window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Custom stateful sessionization: per-user state machine with a
     * processing-timeout, the mapGroupsWithState escape hatch for
     * semantics the built-in windows can't express. Gap in millis. */

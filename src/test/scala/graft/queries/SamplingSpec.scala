@@ -86,6 +86,48 @@ class SamplingSpec extends SparkSpec {
     assert(rep.sameElements(again))
   }
 
+  test("p15 decontaminated split matches an in-memory recompute: " +
+      "quarantine holds exactly the leaky train docs, mass conserved") {
+    val out = Sampling.decontaminatedSplitDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // full independent recompute (md5 split + df-pruned shingle leak)
+    val rows = docs.selectExpr("doc_id", "text", "source", "n_chars")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100
+      if (b < Sampling.valLo) "train" else if (b < Sampling.testLo) "val"
+      else "test"
+    }
+    def shingles(tx: String): Set[String] = {
+      val tk = tx.split(" ", -1)
+      (1 to math.max(tk.length - 2, 1))
+        .map(i => tk.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val sh = rows.map { case (id, tx, _, _) => id -> shingles(tx) }.toMap
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pruned = sh.map { case (id, ss) =>
+      id -> ss.filter(df(_) <= Dedup.maxShingleDf) }
+    val evalSh = rows.iterator
+      .filter(r => splitOf(r._1) != "train").flatMap(r => pruned(r._1)).toSet
+    val want = rows.map { case (id, _, src, nc) =>
+      val s0 = splitOf(id)
+      val fin = if (s0 == "train" && pruned(id).exists(evalSh)) "quarantine"
+      else s0
+      (fin, src, nc)
+    }.groupBy(t3 => (t3._1, t3._2)).map { case ((f, s0), g) =>
+      (f, s0, g.length.toLong, g.map(_._3).sum)
+    }.toSeq.sortBy(t4 => (t4._1, t4._2))
+    assert(out.toSeq === want)
+    // conservation: quarantine came OUT of train, nothing vanished
+    assert(out.map(_._3).sum === rows.length.toLong)
+    assert(out.exists(_._1 == "quarantine"),
+      "fixture has no leaky train docs — the test is vacuous")
+  }
+
   test("p08 seeded shuffle is a permutation: every doc once, dense shard positions") {
     val out = Sampling.seededShuffleDf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -255,6 +255,28 @@ class SimilaritySpec extends SparkSpec {
       s"projection destroyed the ranking: $rows")
   }
 
+  test("s18: IVF balance conserves the corpus and its integer shares; " +
+      "bounded to numCells rows") {
+    val rows = Similarity.ivfBalanceDf(clustered)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length <= Similarity.numCells && rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    assert(total === clustered.count())
+    rows.foreach { case (cell, n, share, dev) =>
+      assert(cell >= 0L && cell < Similarity.numCells.toLong)
+      assert(n >= 1L)
+      assert(share === n * 1000000L / total)
+      val num = n * Similarity.numCells - total
+      val want = if (num >= 0) num * 1000000L / total
+      else -((-num) * 1000000L / total)
+      assert(dev === want)
+    }
+    // the shares of a 4-cluster corpus on 8 cells must be visibly
+    // skewed (some cells host a cluster, some only strays) — the
+    // audit's reason to exist
+    assert(rows.map(_._3).max > rows.map(_._3).min)
+  }
+
   test("s10: MMR picks match an in-memory greedy recompute") {
     val out = Similarity.mmrDiversifyDf(clustered).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -319,6 +319,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set((1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (4L, 5L)))
   }
 
+  test("LEFT OUTER stream-stream join: matched clicks join; an " +
+      "abandoned click emits with a null view once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = clickViewJoinOuter(mem.toDF(), window = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cv_outer_out").start()
+    val base = 86400000L // shift off epoch 0 (row AT watermark is late)
+    def at(id: Long, minute: Int, typ: String, user: Long = 1L) =
+      ev(id, minute, typ, user).copy(
+        ts = new Timestamp(base + minute * 60000L))
+    // user 1: click@1 matched by view@10; user 2: click@1, NO view ever
+    mem.addData(at(1, 1, "click", 1), at(2, 10, "view", 1),
+      at(3, 1, "click", 2))
+    q.processAllAvailable()
+    // advance both sides' watermarks far past click@1 + window + wm so
+    // the unmatched click's state expires and the null row emits (the
+    // outer emission needs one MORE batch after the advancing one)
+    mem.addData(at(8, 600, "click", 9), at(9, 600, "view", 9))
+    q.processAllAvailable()
+    mem.addData(at(10, 601, "click", 9), at(11, 601, "view", 9))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cv_outer_out")
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got.contains((1L, 1L, 2L)), s"matched click missing: $got")
+    assert(got.contains((2L, 3L, -1L)),
+      s"abandoned click never emitted its null row: $got")
+    // no click may emit BOTH matched and null rows
+    val byClick = got.groupBy(c => (c._1, c._2))
+    assert(byClick((2L, 3L)).size === 1)
+    assert(!byClick((1L, 1L)).exists(_._3 == -1L),
+      "matched click also emitted a spurious null row")
+  }
+
   test("writeStream file-sink round-trip preserves rows (append + checkpoint)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("evfilesink").toString
