@@ -1309,7 +1309,93 @@ object Dedup {
        |FROM pairppm GROUP BY hamming ORDER BY hamming""".stripMargin
   }
 
+  // ------------------------------------------------ d19 cluster drift
+  /** d19: cluster-drift audit — the known silent failure of
+    * connected-component dedup (d07): transitive chaining merges A~B,
+    * B~C into one cluster even when A and C share almost nothing, so a
+    * keeper-based dedup (d08) can delete documents that are NOT
+    * near-dups of what it kept. This audit measures that risk as a
+    * relation: for every non-keeper member, the EXACT shingle Jaccard
+    * to its cluster's keeper, rolled up per cluster size — a healthy
+    * corpus shows min_ppm staying high as size grows; chain-drift shows
+    * up as the min collapsing in the big-cluster rows. The
+    * keeper-star check is O(members), never within-cluster quadratic.
+    *
+    * Exactness: d17's distinct-shingle machinery verbatim (exact
+    * integer Jaccard ppm, floored mean of exact integers). Scale: the
+    * star pair relation is exactly the non-keeper member set;
+    * intersections are candidate-bounded; output is bounded by the
+    * number of DISTINCT cluster sizes. */
+  def clusterDrift(s: SparkSession, dir: String): DataFrame =
+    clusterDriftDf(t(s, dir, "documents"))
+
+  def clusterDriftDf(docs: DataFrame): DataFrame = {
+    val members = dupClustersDf(docs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("m"), col("cluster").as("k"),
+        col("cluster_size"))
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = members.select(col("m"), col("k"))
+      .join(sh.as("a"), col("m") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("k") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("m"), col("k"))
+      .agg(count(lit(1)).as("common"))
+    members
+      .join(common, Seq("m", "k"), "left")
+      .join(sz.as("sa"), col("m") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("k") === col("sb.doc_id"))
+      .select(col("k"), col("cluster_size"),
+        expr("""coalesce(common, 0L) * 1000000
+                div (sa.n_sh + sb.n_sh - coalesce(common, 0L))""")
+          .as("ppm"))
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("k")).as("n_clusters"),
+        count(lit(1)).as("n_members"),
+        min(col("ppm")).as("min_ppm"),
+        expr("sum(ppm) div count(1)").as("mean_ppm"),
+        max(col("ppm")).as("max_ppm"))
+      .orderBy("cluster_size")
+  }
+
+  private val clusterDriftSql =
+    s"""WITH $dupClusterCtes,
+       |cs AS (
+       |  SELECT doc_id, cluster,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+       |  FROM l$ccRounds),
+       |mem AS MATERIALIZED (
+       |  SELECT doc_id AS m, cluster AS k, cluster_size
+       |  FROM cs WHERE doc_id <> cluster),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |  FROM toks GROUP BY doc_id),
+       |com AS (
+       |  SELECT mem.m, mem.k, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM mem JOIN toks a ON mem.m = a.doc_id
+       |           JOIN toks b ON mem.k = b.doc_id AND a.tok = b.tok
+       |  GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT mem.cluster_size, mem.k,
+       |    COALESCE(c.common, 0) * 1000000
+       |      // (sa.n_sh + sb.n_sh - COALESCE(c.common, 0)) AS ppm
+       |  FROM mem LEFT JOIN com c ON mem.m = c.m AND mem.k = c.k
+       |  JOIN sz sa ON mem.m = sa.doc_id
+       |  JOIN sz sb ON mem.k = sb.doc_id)
+       |SELECT cluster_size,
+       |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+       |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_ppm,
+       |  CAST(MAX(ppm) AS BIGINT) AS max_ppm
+       |FROM pp GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_cluster_drift"   -> clusterDrift _,
     "d18_simhash_calibration" -> simhashCalibration _,
     "d17_minhash_calibration" -> minhashCalibration _,
     "d16_edit_verify"     -> editVerify _,
@@ -1330,6 +1416,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d19_cluster_drift"   -> clusterDriftSql,
     "d18_simhash_calibration" -> simhashCalibrationSql,
     "d17_minhash_calibration" -> minhashCalibrationSql,
     "d16_edit_verify"     -> editVerifySql,

@@ -98,6 +98,41 @@ class DedupSpec extends SparkSpec {
       mn <= nearPpm && nearPpm <= mx })
   }
 
+  test("d19: cluster drift reports exact member-to-keeper Jaccard per " +
+      "cluster size; the near-dup chain's floor is the 7/9 pair") {
+    val out = Dedup.clusterDriftDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // independent recompute from the labels + raw texts
+    val labels = Dedup.dupClustersDf(docs)
+      .select("doc_id", "cluster", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    def shingles(tx: String): Set[String] = {
+      val tk = tx.split(" ")
+      (1 to math.max(tk.length - 2, 1))
+        .map(i => tk.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    def jppm(a: Long, b: Long): Long = {
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val c = (sa & sb).size.toLong
+      c * 1000000L / (sa.size + sb.size - c)
+    }
+    val want = labels.filter(l => l._1 != l._2)
+      .map { case (m, k, size) => (size, k, jppm(m, k)) }
+      .groupBy(_._1).map { case (size, g) =>
+        (size, g.map(_._2).distinct.length.toLong, g.length.toLong,
+          g.map(_._3).min, g.map(_._3).sum / g.length, g.map(_._3).max)
+      }.toSeq.sortBy(_._1)
+    assert(out === want)
+    // the fixture's one multi-doc cluster {0,1,2}: keeper 0, members
+    // 1 (7/9 Jaccard) and 2 (exact copy) — the min IS the drift floor
+    assert(out.length === 1)
+    val (size, nc, nm, mn, mean, mx) = out.head
+    assert(size === 3L && nc === 1L && nm === 2L)
+    assert(mn === 7L * 1000000L / 9L && mx === 1000000L)
+    assert(mean === (mn + mx) / 2)
+  }
+
   test("ngram jaccard computes the exact shingle overlap") {
     val got = Dedup.ngramJaccardDf(docs)
       .as[(Long, Long, Double)].collect()
