@@ -1088,7 +1088,96 @@ object Sketches {
        |FROM lv ORDER BY o_orderstatus, level""".stripMargin
   }
 
+  // ------------------------------------------------ a16 Bloom FPR audit
+  /** a16: Bloom false-positive-rate audit — the membership sketch joins
+    * the audited family (count a12, distinct-count a14, quantile a15):
+    * per order status, the ABSENT probes (custkey provably not in the
+    * BUILDING set), how many of them the a08 filter wrongly passes,
+    * the measured FPR in ppm, and the filter's bit LOAD (popcount /
+    * bits, ppm) — the two numbers a Bloom is sized by. A prefilter
+    * whose measured FPR drifts above plan (load crept past the design
+    * point as the key set grew) silently stops saving the semi-join
+    * its cost; this relation is the drift detector.
+    *
+    * Exactness: hits are the same deterministic md5 bit probes a08
+    * hash-checks; popcount is integer (32-bit words — no sign bit in
+    * play); rates are floored integer ppm. Scale shape: a08's — the
+    * filter builds on the dimension side, broadcasts, and probes
+    * map-side; absent-ness comes from the same broadcast key set. */
+  def bloomFprAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableBloom
+    val keys = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val sk = keys.agg(
+      PortableBloom.portableBloom(col("c_custkey").cast("string"))
+        .as("sketch"))
+    val exactFlag = keys
+      .select(col("c_custkey").as("o_custkey"), lit(1L).as("is_bldg"))
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .crossJoin(broadcast(sk))
+      .join(broadcast(exactFlag), Seq("o_custkey"), "left")
+      .filter(col("is_bldg").isNull) // audit runs on ABSENT probes only
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_absent"),
+        sum(when(PortableBloom.hit(col("sketch"),
+          col("o_custkey").cast("string")), 1L).otherwise(0L))
+          .as("n_false"),
+        max(expr(
+          "aggregate(sketch, 0L, (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))"))
+          .as("set_bits"))
+      .select(col("o_orderstatus"), col("n_absent"), col("n_false"),
+        expr("n_false * 1000000 div n_absent").as("fpr_ppm"),
+        col("set_bits"),
+        expr(s"set_bits * 1000000 div ${PortableBloom.bits}").as("load_ppm"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** DuckDB twin: a08's bit grid + probe spelling, restricted to absent
+    * keys, plus a popcount over the word grid. */
+  private val bloomFprAuditSql = {
+    import graft.functions.PortableBloom.{bits, depth, wordBits, words}
+    val u16 = (k: String, d: String) => (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5($d || ':' || $k), $i, 1)) - 1)")
+      .reduce((acc, h) => s"($acc * 16 + $h)")
+    s"""WITH keys AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |ds AS (SELECT unnest(generate_series(0, ${depth - 1})) AS d),
+       |pos AS (
+       |  SELECT (${u16("CAST(c_custkey AS VARCHAR)", "CAST(d AS VARCHAR)")}) % $bits AS p
+       |  FROM keys CROSS JOIN ds),
+       |grid AS (SELECT unnest(generate_series(0, ${words - 1})) AS w),
+       |wordvals AS (
+       |  SELECT g.w, COALESCE(b.v, 0) AS v
+       |  FROM grid g LEFT JOIN (
+       |    SELECT p // $wordBits AS w, bit_or(1::BIGINT << (p % $wordBits)) AS v
+       |    FROM pos GROUP BY 1) b ON g.w = b.w),
+       |pc AS (SELECT CAST(SUM(bit_count(v)) AS BIGINT) AS set_bits
+       |       FROM wordvals),
+       |probe AS (
+       |  SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey,
+       |    MIN((wv.v >> (op.p % $wordBits)) & 1) AS hit
+       |  FROM orders o
+       |  CROSS JOIN ds
+       |  JOIN LATERAL (SELECT
+       |    (${u16("CAST(o.o_custkey AS VARCHAR)", "CAST(ds.d AS VARCHAR)")}) % $bits AS p) op ON true
+       |  JOIN wordvals wv ON wv.w = op.p // $wordBits
+       |  WHERE o.o_custkey NOT IN (SELECT c_custkey FROM keys)
+       |  GROUP BY 1, 2, 3)
+       |SELECT p.o_orderstatus,
+       |  COUNT(*) AS n_absent,
+       |  CAST(SUM(p.hit) AS BIGINT) AS n_false,
+       |  CAST(SUM(p.hit) * 1000000 // COUNT(*) AS BIGINT) AS fpr_ppm,
+       |  MIN(pc.set_bits) AS set_bits,
+       |  CAST(MIN(pc.set_bits) * 1000000 // $bits AS BIGINT) AS load_ppm
+       |FROM probe p CROSS JOIN pc
+       |GROUP BY p.o_orderstatus
+       |ORDER BY p.o_orderstatus""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a16_bloom_fpr_audit" -> bloomFprAudit _,
     "a15_quantile_error_audit" -> quantileErrorAudit _,
     "a14_hll_error_audit" -> hllErrorAudit _,
     "a13_hist_rollup" -> histRollup _,
@@ -1107,6 +1196,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a16_bloom_fpr_audit" -> bloomFprAuditSql,
     "a15_quantile_error_audit" -> quantileErrorAuditSql,
     "a14_hll_error_audit" -> hllErrorAuditSql,
     "a13_hist_rollup" -> histRollupSql,

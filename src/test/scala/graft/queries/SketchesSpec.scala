@@ -283,6 +283,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("a16: bloom FPR audit — measured FPR matches an in-memory probe " +
+      "of the same filter; popcount equals the reported load") {
+    import graft.Tables.t
+    import graft.functions.PortableBloom
+    val out = Sketches.bloomFprAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val keys = t(spark, sf, "customer")
+      .filter("c_mktsegment = 'BUILDING'")
+      .select("c_custkey").as[Long].collect().toSet
+    val words = new Array[Long](PortableBloom.words)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.foreach(k =>
+      PortableBloom.testAndSet(words, k.toString.getBytes("UTF-8"), md))
+    val setBits = words.map(java.lang.Long.bitCount(_).toLong).sum
+    def probe(k: Long): Boolean = // non-mutating: probe a copy
+      PortableBloom.testAndSet(words.clone(), k.toString.getBytes("UTF-8"), md)
+    val want = t(spark, sf, "orders")
+      .select("o_orderstatus", "o_custkey").as[(String, Long)].collect()
+      .filter { case (_, c) => !keys(c) }
+      .groupBy(_._1).map { case (st, g) =>
+        val nf = g.count { case (_, c) => probe(c) }.toLong
+        (st, g.length.toLong, nf, nf * 1000000L / g.length,
+          setBits, setBits * 1000000L / PortableBloom.bits)
+      }.toSeq.sortBy(_._1)
+    assert(out.toSeq === want)
+    out.foreach { case (_, nAbsent, nFalse, fpr, sb, load) =>
+      assert(nFalse <= nAbsent && fpr <= 1000000L)
+      assert(sb === setBits && load < 1000000L)
+    }
+    // the filter is honest: some absent probes exist, load is nonzero
+    assert(out.map(_._2).sum > 0L && setBits > 0L)
+  }
+
   test("a15: quantile audit — exact side matches an in-memory " +
       "percentile-disc; estimate within one histogram bucket") {
     import graft.Tables.t
