@@ -3701,8 +3701,76 @@ object Relational {
       |FROM rn GROUP BY event_type, hr
       |ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** q80: referential-integrity audit — per foreign-key relationship,
+    * the child row count, orphan count (no matching parent key) and
+    * orphan rate in ppm. A lakehouse never ENFORCES foreign keys, so
+    * at 100 TB this audit IS the integrity guarantee: run per ingest,
+    * diff per release (the a06 pre-flight discipline applied to
+    * correctness instead of skew). The star-schema edges audit clean
+    * by construction; the events→customer edge is the realistic dirty
+    * one (event streams reference users the dimension hasn't seen).
+    *
+    * Scale shape: one partial-agged scan per relationship — the child
+    * side never shuffles its payload (ids only), the parent key set
+    * is DISTINCT-collapsed before the join and the aggregate output is
+    * one row per relationship. No driver-side counting: all five
+    * audits are one unioned plan, one action. */
+  def q80FkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def one(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1L)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relationship"), col("n_child"),
+          col("n_orphans"),
+          expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+    Seq(
+      one("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+        "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      one("lineitem.l_partkey->part", t(s, dir, "lineitem"),
+        "l_partkey", t(s, dir, "part"), "p_partkey"),
+      one("lineitem.l_suppkey->supplier", t(s, dir, "lineitem"),
+        "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+      one("orders.o_custkey->customer", t(s, dir, "orders"),
+        "o_custkey", t(s, dir, "customer"), "c_custkey"),
+      one("events.user_id->customer", t(s, dir, "events"),
+        "user_id", t(s, dir, "customer"), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relationship")
+  }
+
+  private val q80Sql = {
+    def one(rel: String, child: String, key: String,
+        parent: String, pk: String) =
+      s"""SELECT '$rel' AS relationship,
+         |  CAST(COUNT(*) AS BIGINT) AS n_child,
+         |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphans,
+         |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS orphan_ppm
+         |FROM $child c LEFT JOIN
+         |  (SELECT DISTINCT $pk AS k FROM $parent) p ON c.$key = p.k"""
+        .stripMargin
+    Seq(
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      one("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      one("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_fk_integrity"    -> q80FkIntegrity _,
     "q79_ohlc_bars"       -> q79OhlcBars _,
     "q78_schema_evolution" -> q78SchemaEvolution _,
     "q77_twap"            -> q77Twap _,
@@ -3784,6 +3852,7 @@ object Relational {
     "q48_recursive_agg"   -> q48RecursiveAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q80_fk_integrity"    -> q80Sql,
     "q79_ohlc_bars"       -> q79Sql,
     "q78_schema_evolution" -> q78Sql,
     "q77_twap"            -> q77Sql,

@@ -900,6 +900,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q80: FK integrity audit matches an in-memory recompute; the " +
+      "star-schema edges audit clean by construction") {
+    import graft.Tables.t
+    val out = Relational.q80FkIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def longs(tbl: String, c: String): Array[Long] =
+      t(spark, sf, tbl).select(c).collect().map(_.getLong(0))
+    def audit(child: Array[Long], parent: Set[Long]): (Long, Long, Long) = {
+      val orph = child.count(!parent(_)).toLong
+      (child.length.toLong, orph, orph * 1000000L / child.length)
+    }
+    val cases = Map(
+      "lineitem.l_orderkey->orders" ->
+        audit(longs("lineitem", "l_orderkey"), longs("orders", "o_orderkey").toSet),
+      "lineitem.l_partkey->part" ->
+        audit(longs("lineitem", "l_partkey"), longs("part", "p_partkey").toSet),
+      "lineitem.l_suppkey->supplier" ->
+        audit(longs("lineitem", "l_suppkey"), longs("supplier", "s_suppkey").toSet),
+      "orders.o_custkey->customer" ->
+        audit(longs("orders", "o_custkey"), longs("customer", "c_custkey").toSet),
+      "events.user_id->customer" ->
+        audit(longs("events", "user_id"), longs("customer", "c_custkey").toSet))
+    assert(out === cases)
+    // the generated star schema is FK-closed; only the event stream
+    // may reference users outside the dimension
+    Seq("lineitem.l_orderkey->orders", "lineitem.l_partkey->part",
+      "lineitem.l_suppkey->supplier", "orders.o_custkey->customer")
+      .foreach(rel => assert(out(rel)._2 === 0L, s"$rel has orphans"))
+  }
+
   test("q78: schema-evolution union conserves doc counts and mass; " +
       "the absent column null-fills only the v1 slice") {
     import graft.Tables.t
