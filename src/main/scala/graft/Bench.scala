@@ -65,6 +65,10 @@ object Bench {
         // races made late queries recompute full lineages (r6: g03 min
         // 2.1 s → 13.2 s with unchanged code). Sweep the block manager
         // itself so every rep starts from zero resident blocks.
+        // ASSUMES strictly sequential reps (true here: queries run one
+        // at a time in this loop) — a cross-query session-level cache
+        // or overlapping reps would be destroyed by this sweep and
+        // re-measured cold.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         dt

@@ -53,7 +53,18 @@ object ConnectedComponents {
     * leaks one (id, label) snapshot per round into the block manager
     * for the life of the session (the r6 bench showed exactly that:
     * g03/d07 slowing 2-6× late in a 198-query run as orphaned blocks
-    * accumulated and GC raced eviction). */
+    * accumulated and GC raced eviction).
+    *
+    * The before/after diff is CONTEXT-GLOBAL: any cache that first
+    * materializes inside the checkpoint window — a concurrent query's,
+    * or this operator's own lazily-persisted edge list — would be
+    * attributed to the round's snapshot and freed one round later.
+    * Callers therefore (a) force-materialize every relation they
+    * persist BEFORE the first tracked checkpoint (see
+    * [[materialize]]), and (b) must not run two tracked propagations
+    * concurrently in one SparkContext (the sequential Bench/Verify
+    * drivers satisfy this; a concurrent serving deployment would
+    * scope freeing per-operator instead). */
   private[graft] def truncateTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -65,6 +76,17 @@ object ConnectedComponents {
   private def free(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
+  /** Eagerly materialize a persisted relation so its cache blocks
+    * REGISTER before any [[truncateTracked]] diff window opens.
+    * persist() is lazy: without this, the edge list's first
+    * materialization happens inside round 1's eager checkpoint, its
+    * cache id lands in that round's `fresh` set, and `free` at round 2
+    * silently unpersists it — every later round then re-scans and
+    * re-shuffles the edge list, defeating the persist (the ADVICE-r7
+    * finding). One count over the ids-only relation — work round 1
+    * would do anyway, now attributed correctly. */
+  private def materialize(df: DataFrame): Unit = { df.count(): Unit }
+
   /** @param nodes single-column `id` relation seeding the labels
     * @param edges two-column `src`/`dst` relation (either orientation;
     *              both directions are materialized internally)
@@ -75,6 +97,7 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
+    materialize(und) // register cache BEFORE the tracked diff windows
     // eager lineage truncation per round (see minLabelJumping): labels
     // is referenced twice per round, so an un-truncated analyzed plan
     // doubles per round — 2^rounds copies of the seed subtree for the
@@ -125,6 +148,7 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
+    materialize(und) // register cache BEFORE the tracked diff windows
     var (labels0, blocks) =
       truncateTracked(nodes.select(col("id"), col("id").as("label")))
     var labels = labels0

@@ -49,6 +49,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("the persisted edge list survives every round's snapshot freeing " +
+      "(ADVICE-r7: lazy persist attributed to round 1 and freed at round 2)") {
+    // Assert the mechanism directly: a lazily-persisted relation whose
+    // first materialization happens inside a truncateTracked window IS
+    // captured by the diff (the failure mode), while one
+    // force-materialized before the window is NOT. minLabel/
+    // minLabelJumping materialize their edge list first, so their
+    // edge caches never enter a round's freed set.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // failure mode: a lazy persist first materialized INSIDE the diff
+    // window is captured alongside the checkpoint's own blocks
+    val lazyDf = edges.select($"src", $"dst").repartition($"dst").persist()
+    val (_, freshLazy) = ConnectedComponents.truncateTracked(
+      lazyDf.select($"src".as("id"), $"src".as("label")))
+    assert(freshLazy.size >= 2,
+      s"expected the window to capture the lazy cache too: $freshLazy")
+    lazyDf.unpersist(true)
+    // the fix: force-materialized persist registers BEFORE the window,
+    // so the window reports only the checkpoint's own blocks
+    val eagerDf = edges.select($"src", $"dst").repartition($"dst").persist()
+    eagerDf.count()
+    val (_, freshEager) = ConnectedComponents.truncateTracked(
+      eagerDf.select($"src".as("id"), $"src".as("label")))
+    assert(freshEager.size === 1,
+      s"pre-materialized run must track only the checkpoint: $freshEager")
+    eagerDf.unpersist(true)
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   test("a path longer than the round bound resolves only within hops") {
     // path 0-1-2-3-4-5: with 2 rounds, node 5 sees min id within 2 hops (3)
     val path = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
