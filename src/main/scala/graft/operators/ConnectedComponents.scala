@@ -73,7 +73,10 @@ object ConnectedComponents {
     (out, fresh)
   }
 
-  private def free(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
+  /** Unpersist the given persistent-RDD ids (a superseded round's
+    * snapshot blocks) — shared with every bounded-round peel that uses
+    * [[truncateTracked]] (g03/d07's label rounds, g18's truss peel). */
+  private[graft] def free(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
   /** Eagerly materialize a persisted relation so its cache blocks

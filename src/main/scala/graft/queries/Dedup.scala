@@ -230,8 +230,54 @@ object Dedup {
     * feature space). Bit j of md5(shingle) is extracted from hex char
     * j/4 (strpos-based — portable to DuckDB); fingerprint bit = sign of
     * Σ(2·bit−1). Emitted as a 32-char bitstring (no portable hex→int in
-    * DuckDB 1.0). */
+    * DuckDB 1.0).
+    *
+    * THE CONTRACT GEOMETRY IS NOT THE SCALE GEOMETRY. 32 bits over
+    * [[simhashBands]] = 4 bands gives a 2⁸ = 256-value band keyspace:
+    * band buckets fill by BIRTHDAY, not by similarity, once the corpus
+    * outgrows the keyspace, and the banded candidate generator
+    * (d05/d18) degrades to ~n²/256 pairs per band. Measured, not
+    * guessed: the r7 sf1 sweep clocked d18 at 31.5× wall for 10× docs
+    * (96.7 s at 50 k docs, VERIFY_sf1.md), exactly the super-linear
+    * candidate volume this geometry predicts; re-swept under
+    * `simhashParamsFor(50 k)` = 48-bit/4-band the same query returns
+    * to near-linear (see SCALING.md round-8). Contract queries stay on
+    * the locked 32/4 defaults (the oracle twins spell the same
+    * geometry); every production caller at scale passes
+    * [[simhashParamsFor]] — the same corpus-size-keyed discipline as
+    * the cosine path's [[cosParamsFor]]. */
   val simhashBits = 32
+
+  /** Band count for the SimHash candidate generator (d05/d18). 4 bands
+    * make the hamming ≤ [[simhashMaxHamming]] = 3 prefilter LOSSLESS by
+    * pigeonhole (≤ 3 differing bits across 4 bands ⇒ ≥ 1 identical
+    * band). */
+  val simhashBands = 4
+
+  /** Corpus-size-keyed SimHash fingerprint geometry — (bits, bands).
+    * The band-bucket keyspace is 2^(bits/bands) and the candidate
+    * join's cost is quadratic per bucket, so band WIDTH must grow with
+    * log₂(corpus) to hold expected occupancy constant:
+    * bandW = clamp(⌈log₂ n⌉ − 4, [contract 8, 32]) (≈ 16 expected
+    * docs per bucket under a uniform fingerprint — real corpora skew
+    * denser, which is why the margin is wider than cosParamsFor's −7),
+    * bits = bandW · [[simhashBands]], bands FIXED at 4 so the
+    * hamming ≤ 3 pigeonhole stays lossless. Reproduces the
+    * oracle-locked contract geometry (32/4) for gate corpora
+    * (n ≤ 4096) and caps at 128 bits — the width one md5 supplies
+    * (hex char j/4 for bit j < 128), enough for n ≈ 10⁹ docs per
+    * band-bucket-disjoint shard; beyond that, shard the corpus before
+    * fingerprinting. NOTE: the absolute hamming cutoff tightens
+    * RELATIVELY as bits grow (3/64 ≪ 3/32); callers wanting the
+    * contract's relative threshold scale the cutoff with bits and
+    * raise the band count to cutoff + 1 to keep the pigeonhole. d18's
+    * calibration is cutoff-free, so it measures any geometry as-is. */
+  def simhashParamsFor(nDocs: Long): (Int, Int) = {
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, nDocs - 1)) // ceil(log2 n)
+    val bandW = math.min(32, math.max(simhashBits / simhashBands, lg - 4))
+    (bandW * simhashBands, simhashBands)
+  }
 
   private[graft] def bitExprSpark(j: Int): Column = {
     val c = s"substring(h, ${j / 4 + 1}, 1)"
@@ -242,7 +288,12 @@ object Dedup {
   def simHash(s: SparkSession, dir: String): DataFrame =
     simHashDf(t(s, dir, "documents"))
 
-  def simHashDf(docs: DataFrame): DataFrame = {
+  /** `bits` defaults to the oracle-locked contract width; scale callers
+    * pass `simhashParamsFor(corpus.count())._1` (bit j < 32 is
+    * identical at every width — wider fingerprints EXTEND, never
+    * reshuffle, so a stored 32-bit prefix remains comparable). */
+  def simHashDf(docs: DataFrame, bits: Int = simhashBits): DataFrame = {
+    require(bits >= 1 && bits <= 128, s"one md5 supplies 128 bits: $bits")
     val toksH = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -251,8 +302,8 @@ object Dedup {
       .withColumn("h", md5(col("tok")))
     val sums = toksH.groupBy(col("doc_id"))
       .agg(sum(bitExprSpark(0)).as("w0"),
-        (1 until simhashBits).map(j => sum(bitExprSpark(j)).as(s"w$j")): _*)
-    val fp = concat((0 until simhashBits)
+        (1 until bits).map(j => sum(bitExprSpark(j)).as(s"w$j")): _*)
+    val fp = concat((0 until bits)
       .map(j => when(col(s"w$j") >= 0, lit("1")).otherwise(lit("0"))): _*)
     sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
   }
@@ -285,12 +336,16 @@ object Dedup {
   def simHashPairs(s: SparkSession, dir: String): DataFrame =
     simHashPairsDf(t(s, dir, "documents"))
 
-  def simHashPairsDf(docs: DataFrame): DataFrame = {
+  /** `bits`/`nBands` default to the oracle-locked contract geometry;
+    * scale callers pass `simhashParamsFor(corpus.count())` (see
+    * [[simhashParamsFor]] for the cutoff-scaling note). */
+  def simHashPairsDf(docs: DataFrame, bits: Int = simhashBits,
+      nBands: Int = simhashBands): DataFrame = {
     // Fingerprints are tiny relative to the corpus — materialize once
     // (the self-join would otherwise recompute the whole sketch twice).
-    val fp = simHashDf(docs).persist()
-    val bandW = simhashBits / 4
-    val bandCols = (0 until 4).map(b =>
+    val fp = simHashDf(docs, bits).persist()
+    val bandW = bits / nBands
+    val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * bandW + 1, bandW).as("sig")).as(s"b$b"))
     val bands = fp.select(col("doc_id"), col("simhash"),
@@ -1219,10 +1274,15 @@ object Dedup {
   def simhashCalibration(s: SparkSession, dir: String): DataFrame =
     simhashCalibrationDf(t(s, dir, "documents"))
 
-  def simhashCalibrationDf(docs: DataFrame): DataFrame = {
-    val fp = simHashDf(docs).persist()
-    val bandW = simhashBits / 4
-    val bandCols = (0 until 4).map(b =>
+  /** `bits`/`nBands` default to the oracle-locked contract geometry;
+    * the r8 sf1 re-sweep runs this with `simhashParamsFor(n)` to show
+    * the widened geometry restores near-linear candidate volume
+    * (SCALING.md round-8). */
+  def simhashCalibrationDf(docs: DataFrame, bits: Int = simhashBits,
+      nBands: Int = simhashBands): DataFrame = {
+    val fp = simHashDf(docs, bits).persist()
+    val bandW = bits / nBands
+    val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * bandW + 1, bandW).as("sig")).as(s"b$b"))
     val bands = fp.select(col("doc_id"), col("simhash"),

@@ -1522,6 +1522,17 @@ object Graph {
 
   def edgeSupportDf(lineitem: DataFrame): DataFrame = {
     val oriented = orientedEdgesDf(lineitem).persist()
+    edgeSupportsOf(oriented)
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(triTopN)
+  }
+
+  /** (a, b, support) per-edge triangle support from a PERSISTED
+    * oriented edge list — each triangle contributes its three edges in
+    * canonical (a < b) form via one map-side explode, then one
+    * partial-agged groupBy. Shared by g17 (top-N report) and g18's
+    * per-round truss peel. */
+  private[graft] def edgeSupportsOf(oriented: DataFrame): DataFrame =
     triangleTriplesDf(oriented)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("ea"),
@@ -1532,9 +1543,6 @@ object Graph {
           greatest(col("v"), col("w")).as("eb")))).as("e"))
       .select(col("e.ea").as("a"), col("e.eb").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .orderBy(col("support").desc, col("a"), col("b"))
-      .limit(triTopN)
-  }
 
   /** DuckDB twin: the g02 triangle core + the 3-edge expansion. */
   private val edgeSupportSql =
@@ -1547,7 +1555,121 @@ object Graph {
        |FROM ee GROUP BY a, b
        |ORDER BY support DESC, a, b LIMIT $triTopN""".stripMargin
 
+  // ------------------------------------------------------- g18 k-truss
+  /** g18: bounded-round k-truss peel — the decomposition g17's edge
+    * support is the ingredient FOR. An edge is in the k-truss iff its
+    * triangle support on the SURVIVING subgraph is ≥ k−2: each round
+    * drops under-supported edges and recomputes support on the
+    * survivors, so bridges and weakly-embedded edges peel away and the
+    * triangle-dense community cores remain (Cohen 2008; the
+    * reference's graph-workload lineage — `LinkedGraph.java:82-105`
+    * adjacency semantics — taken to its community-core step).
+    *
+    * k is NOT a constant (g04's adaptive discipline): k−2 = the
+    * 25th-percentile support among triangle edges — the exact order
+    * statistic at ascending rank ⌈n/4⌉ (peel the weakly-supported
+    * quartile, keep the core: a higher quantile cascades to an empty
+    * truss on sparse graphs because peeling destroys triangles and
+    * recomputed supports only fall), computed over the SUPPORT
+    * HISTOGRAM (distinct-support-sized window, never row-sized), so
+    * the peel stays meaningful at every corpus scale. Rounds are FIXED
+    * ([[trussRounds]]) so the DAG is static and the oracle unrolls the
+    * identical rounds as MATERIALIZED CTEs.
+    *
+    * Scale shape: each round is one ids-only semi-join (survivor
+    * filter) + the g02/g17 triangle core (degree-oriented wedge join,
+    * Bloom-pruned closing probe) + one partial-agged groupBy — and the
+    * edge set SHRINKS monotonically, so rounds get cheaper. Hygiene is
+    * g03's `truncateTracked` discipline: each round's support snapshot
+    * is eagerly checkpointed (static plan depth), the previous round's
+    * snapshot and edge cache are freed as soon as the next
+    * materializes, and every persist is force-materialized BEFORE its
+    * tracked window (the ADVICE-r7 attribution rule). */
+  val trussRounds = 3
+
+  def ktruss(s: SparkSession, dir: String): DataFrame =
+    ktrussDf(t(s, dir, "lineitem"))
+
+  def ktrussDf(lineitem: DataFrame): DataFrame = {
+    import graft.operators.ConnectedComponents.{free, truncateTracked}
+    val sc = lineitem.sparkSession.sparkContext
+    var o = orientedEdgesDf(lineitem).persist()
+    o.count() // register the cache BEFORE the tracked diff windows
+    var (supp, blocks) = truncateTracked(edgeSupportsOf(o))
+    // threshold relation (one row, persisted): 25th-percentile support
+    // among round-1 triangle edges, k = t + 2
+    val tVal = supp.groupBy(col("support")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("support"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+      .filter(expr("cum - cnt < (n + 3) div 4 AND (n + 3) div 4 <= cum"))
+      .select(col("support").as("t"))
+      .persist()
+    tVal.count() // materialize before the next tracked window
+    for (_ <- 2 to trussRounds) {
+      val surv = supp.crossJoin(broadcast(tVal))
+        .filter(col("support") >= col("t"))
+        .select(col("a"), col("b"))
+      val oNext = o.join(surv,
+          least(col("u"), col("v")) === col("a") &&
+          greatest(col("u"), col("v")) === col("b"), "left_semi")
+        .persist()
+      oNext.count() // register BEFORE the tracked window (ADVICE-r7)
+      val (suppNext, nb) = truncateTracked(edgeSupportsOf(oNext))
+      free(sc, blocks)   // previous round's snapshot, fully consumed
+      o.unpersist(false) // previous edge set, fully consumed
+      supp = suppNext; blocks = nb; o = oNext
+    }
+    val out = supp.crossJoin(broadcast(tVal))
+      .filter(col("support") >= col("t"))
+      .select(col("a"), col("b"), col("support"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(triTopN)
+    // the final support snapshot IS checkpointed — nothing downstream
+    // re-reads the last round's edge list
+    o.unpersist(false)
+    out
+  }
+
+  /** DuckDB twin: the g02 triangle core, then per round a survivor
+    * filter + re-derived triangles + 3-edge support recount — every
+    * round CTE MATERIALIZED (each is referenced 3× by the next wedge
+    * join; the g03 2^rounds re-expansion lesson). */
+  private val ktrussSql = {
+    def suppOf(tri: String, s: String) =
+      s"""$s AS MATERIALIZED (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+         |    SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM $tri
+         |    UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM $tri
+         |    UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM $tri)
+         |  GROUP BY a, b)""".stripMargin
+    val rounds = (2 to trussRounds).map { r =>
+      s"""o$r AS MATERIALIZED (
+         |  SELECT o.u, o.v FROM o${if (r == 2) "" else r - 1} o
+         |  JOIN s${r - 1} s ON LEAST(o.u, o.v) = s.a AND GREATEST(o.u, o.v) = s.b
+         |  WHERE s.support >= (SELECT t FROM tv)),
+         |tri$r AS (
+         |  SELECT x.u, x.v, y.v AS w
+         |  FROM o$r x JOIN o$r y ON x.u = y.u AND x.v <> y.v
+         |  JOIN o$r c ON c.u = x.v AND c.v = y.v),
+         |${suppOf(s"tri$r", s"s$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $triCoreCtes,
+       |${suppOf("tri", "s1")},
+       |tv AS MATERIALIZED (
+       |  SELECT support AS t FROM (
+       |    SELECT support, cnt,
+       |      SUM(cnt) OVER (ORDER BY support) AS cum,
+       |      SUM(cnt) OVER () AS n
+       |    FROM (SELECT support, COUNT(*) AS cnt FROM s1 GROUP BY support))
+       |  WHERE cum - cnt < (n + 3) // 4 AND (n + 3) // 4 <= cum),
+       |$rounds
+       |SELECT a, b, support FROM s$trussRounds
+       |WHERE support >= (SELECT t FROM tv)
+       |ORDER BY support DESC, a, b LIMIT $triTopN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g18_ktruss" -> ktruss _,
     "g17_edge_support" -> edgeSupport _,
     "g16_ppr_landmark" -> pprLandmark _,
     "g15_harmonic" -> harmonicCentrality _,
@@ -1567,6 +1689,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g18_ktruss" -> ktrussSql,
     "g17_edge_support" -> edgeSupportSql,
     "g16_ppr_landmark" -> pprLandmarkSql,
     "g15_harmonic" -> harmonicCentralitySql,

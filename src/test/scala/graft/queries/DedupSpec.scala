@@ -160,6 +160,49 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ <= Dedup.simhashMaxHamming))
   }
 
+  test("simhashParamsFor: contract geometry at gate corpora, band width " +
+      "grows with log2(n), capped at one md5's 128 bits") {
+    // gate corpora (sf0.01 = 500 docs, anything <= 4096) keep the
+    // oracle-locked 32-bit/4-band contract geometry
+    assert(Dedup.simhashParamsFor(0L) === (32, 4))
+    assert(Dedup.simhashParamsFor(500L) === (32, 4))
+    assert(Dedup.simhashParamsFor(4096L) === (32, 4))
+    // the r7 sf1 corpus (50 k docs): ceil(log2) = 16 -> bandW 12 -> 48
+    assert(Dedup.simhashParamsFor(50000L) === (48, 4))
+    // monotone non-decreasing in n, always bands * bandW, bands fixed
+    val widths = Seq(1L, 100L, 10000L, 1000000L, 100000000L,
+      10000000000L, 1000000000000L).map(Dedup.simhashParamsFor)
+    assert(widths.map(_._1) === widths.map(_._1).sorted)
+    assert(widths.forall(_._2 === Dedup.simhashBands))
+    assert(widths.forall(w => w._1 % w._2 === 0))
+    // capped at 128 bits (md5 supplies hex char j/4 for bit j < 128)
+    assert(Dedup.simhashParamsFor(Long.MaxValue) === (128, 4))
+  }
+
+  test("widened simhash geometry EXTENDS the contract fingerprint: " +
+      "bit j < 32 identical, defaults byte-identical to explicit 32/4") {
+    val fp32 = Dedup.simHashDf(docs).as[(Long, String)].collect().toMap
+    val fp32e = Dedup.simHashDf(docs, 32).as[(Long, String)].collect().toMap
+    assert(fp32 === fp32e) // default IS the contract geometry
+    val fp64 = Dedup.simHashDf(docs, 64).as[(Long, String)].collect().toMap
+    assert(fp64.keySet === fp32.keySet)
+    fp64.foreach { case (id, f) =>
+      assert(f.length === 64)
+      assert(f.take(32) === fp32(id),
+        s"doc $id: wider fingerprint must extend, not reshuffle")
+    }
+    // pairs/calibration under explicit contract geometry == defaults
+    val p = Dedup.simHashPairsDf(docs).as[(Long, Long, Long)].collect().toSet
+    val pe = Dedup.simHashPairsDf(docs, 32, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p === pe)
+    val c = Dedup.simhashCalibrationDf(docs).collect().map(_.toString).toSet
+    val ce = Dedup.simhashCalibrationDf(docs, 32, 4)
+      .collect().map(_.toString).toSet
+    assert(c === ce)
+    spark.catalog.clearCache()
+  }
+
   test("embedding cosine near-dup finds same-direction vectors") {
     val embs = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),

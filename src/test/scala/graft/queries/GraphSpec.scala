@@ -238,6 +238,71 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g18: k-truss peel keeps exactly the dense core on a known fixture " +
+      "(K5 survives, hanging triangle and bridge peel away)") {
+    import spark.implicits._
+    // order 1 = parts 1..5 (K5: every edge support 3), order 2 = parts
+    // 10,11,12 (triangle: support 1), order 3 = {5,10} (bridge: no
+    // triangle). Supports sorted asc: [1,1,1, 3 x10] -> rank
+    // ceil(13/4) = 4 -> t = 3; the triangle peels, K5 survives all
+    // rounds at support 3.
+    val fix = ((1L to 5L).map(p => (1L, p)) ++
+      Seq(10L, 11L, 12L).map(p => (2L, p)) ++
+      Seq((3L, 5L), (3L, 10L))).toDF("l_orderkey", "l_partkey")
+    val out = Graph.ktrussDf(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val k5 = (for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j, 3L)).toSeq
+    assert(out === k5.sortBy { case (a, b, _) => (a, b) })
+    spark.catalog.clearCache()
+  }
+
+  test("g18: matches an in-memory bounded-round support peel on the corpus") {
+    // independent reference: adjacency supports, 25th-percentile
+    // threshold (exact rank ceil(n/4)), then trussRounds-1 peel rounds
+    // recomputing supports on the survivor subgraph
+    val pairs = li.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).values
+      .flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+    def supportsOf(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      edges.toSeq.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }
+        .filter(_._2 > 0).toMap
+    }
+    val s1 = supportsOf(pairs)
+    val sorted = s1.values.toSeq.sorted
+    val rank = (sorted.length + 3) / 4
+    assert(sorted.nonEmpty)
+    val t0 = sorted(rank - 1)
+    var edges = s1.filter(_._2 >= t0).keySet
+    var last = s1
+    for (_ <- 2 to Graph.trussRounds) {
+      last = supportsOf(edges)
+      edges = last.filter(_._2 >= t0).keySet
+    }
+    val want = last.filter(_._2 >= t0).toSeq
+      .map { case ((a, b), s0) => (a, b, s0) }
+      .sortBy { case (a, b, s0) => (-s0, a, b) }.take(Graph.triTopN)
+    val out = Graph.ktrussDf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === want) // ORDERED: total (support desc, a, b) order
+    assert(out.nonEmpty)
+    // truss property: every surviving edge's final support clears k-2
+    assert(out.forall(_._3 >= t0))
+    spark.catalog.clearCache()
+  }
+
+  test("g18: empty input yields an empty truss, no failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(Graph.ktrussDf(empty).count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("g07: matches an in-memory 3-round self-vote LPA; partition-invariant") {
     val out = Graph.labelPropDf(li).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
