@@ -1762,7 +1762,7 @@ object TextOps {
     * hashes contributes ≥ 1 fingerprint (the Schleimer–Wilkerson–
     * Aiken guarantee), giving expected density 2/(w+1) ≈ 22 % — the
     * measured corpus mean lands at 20 %. */
-  private val winnowW = 8
+  val winnowW = 8
 
   def winnowing(s: SparkSession, dir: String): DataFrame =
     winnowingDf(t(s, dir, "documents"))
@@ -1784,7 +1784,21 @@ object TextOps {
     * the doc-partitioned position sort shared by the count and the
     * running window (t17's cost class); selections aggregate
     * per-doc. */
-  def winnowingDf(docs: DataFrame): DataFrame = {
+  def winnowingDf(docs: DataFrame): DataFrame =
+    winnowSelDf(docs, winnowW).groupBy(col("doc_id"))
+      .agg(max(col("m")).as("n_grams"),
+        countDistinct(col("selpos")).as("n_fp"),
+        min(col("selhash")).as("fp_min_hash"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        expr("n_fp * 1000000 div n_grams").as("density_ppm"),
+        col("fp_min_hash"))
+      .orderBy("doc_id")
+
+  /** The winnowing selection core, parameterized by window size `w`:
+    * (doc_id, m = per-doc gram count, selpos, selhash) — one row per
+    * WINDOW (dedupe on (doc_id, selpos) downstream). Shared by t30
+    * (contract w = [[winnowW]]) and t33's window sweep. */
+  private def winnowSelDf(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
@@ -1794,25 +1808,17 @@ object TextOps {
         substring(md5(col("col")), 1, 16).as("hash"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, winnowW - 1)
-    val sel = grams
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
       .withColumn("key", concat(col("hash"),
         lpad((lit(100000000L) - col("pos")).cast("string"), 8, "0")))
       .withColumn("m", count(lit(1)).over(byDoc))
       .withColumn("wmin", min(col("key")).over(run))
-      .filter(col("pos") <= greatest(col("m") - (winnowW - 1), lit(1L)))
+      .filter(col("pos") <= greatest(col("m") - (w - 1), lit(1L)))
       .select(col("doc_id"), col("m"),
         (lit(100000000L) - expr("CAST(substring(wmin, 17, 8) AS BIGINT)"))
           .as("selpos"),
         expr("substring(wmin, 1, 16)").as("selhash"))
-    sel.groupBy(col("doc_id"))
-      .agg(max(col("m")).as("n_grams"),
-        countDistinct(col("selpos")).as("n_fp"),
-        min(col("selhash")).as("fp_min_hash"))
-      .select(col("doc_id"), col("n_grams"), col("n_fp"),
-        expr("n_fp * 1000000 div n_grams").as("density_ppm"),
-        col("fp_min_hash"))
-      .orderBy("doc_id")
   }
 
   private val winnowingSql =
@@ -2003,7 +2009,92 @@ object TextOps {
        |FROM documents d LEFT JOIN pred ON d.doc_id = pred.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- t33
+  /** t33: winnowing window sweep — the measured volume/coverage curve
+    * for the ONE index knob that still lacked one (the r7 verdict's
+    * audit-set closer): for each window size w in [[winnowSweepWs]],
+    * the corpus-total fingerprint count, its density (ppm of grams —
+    * theory says ≈ 2/(w+1)), and the MAX GAP between consecutive
+    * selected positions (the Schleimer–Wilkerson–Aiken guarantee is
+    * gap ≤ w; a measured max-gap AT w means the guarantee is tight,
+    * below w means the corpus winnows denser than worst-case). The
+    * s15-nprobe discipline pointed at t30: pick w per corpus from this
+    * curve — index size falls ~linearly in w while detectable-overlap
+    * length degrades as w+k−1 — instead of asserting the default.
+    *
+    * Exactness: positions and counts are integers; density is exact
+    * `n_fp·10⁶ div n_grams`; the gap's window order is the integer
+    * selpos. Output = |winnowSweepWs| rows at ANY corpus size.
+    *
+    * Scale: 4 passes of t30's cost class (the doc-partitioned position
+    * sort); selections are ~2/(w+1) of grams, so the gap window runs
+    * on relations strictly smaller than the gram stream. */
+  val winnowSweepWs = Seq(4, 8, 16, 32)
+
+  def winnowSweep(s: SparkSession, dir: String): DataFrame =
+    winnowSweepDf(t(s, dir, "documents"))
+
+  def winnowSweepDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perW = winnowSweepWs.map { w =>
+      val selD = winnowSelDf(docs, w)
+        .select(col("doc_id"), col("selpos")).distinct()
+      val gaps = selD.withColumn("gap",
+        col("selpos") - coalesce(lag(col("selpos"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("selpos"))), lit(0L)))
+      val totals = docs.withColumn("toks", split(col("text"), " "))
+        .agg(sum(greatest(size(col("toks")) - 3, lit(1)))
+          .cast("long").as("n_grams"))
+      gaps.agg(count(lit(1)).as("n_fp"), max(col("gap")).as("max_gap"))
+        .crossJoin(totals)
+        .select(lit(w.toLong).as("w"), col("n_grams"), col("n_fp"),
+          expr("n_fp * 1000000 div greatest(n_grams, 1L)").as("density_ppm"),
+          col("max_gap"))
+    }
+    perW.reduce(_.union(_)).orderBy("w")
+  }
+
+  private val winnowSweepSql = {
+    val blocks = winnowSweepWs.map { w =>
+      s"""(WITH w$w AS (
+         |  SELECT doc_id, pos, m,
+         |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+         |  FROM k),
+         |s$w AS (
+         |  SELECT DISTINCT doc_id,
+         |    100000000 - CAST(substring(wmin, 17, 8) AS BIGINT) AS selpos
+         |  FROM w$w WHERE pos <= greatest(m - ${w - 1}, 1)),
+         |g$w AS (
+         |  SELECT doc_id, selpos - COALESCE(LAG(selpos) OVER (
+         |    PARTITION BY doc_id ORDER BY selpos), 0) AS gap
+         |  FROM s$w)
+         |SELECT CAST($w AS BIGINT) AS w,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |  CAST(COUNT(*) * 1000000
+         |    // greatest((SELECT COUNT(*) FROM k), 1) AS BIGINT)
+         |    AS density_ppm,
+         |  CAST(MAX(gap) AS BIGINT) AS max_gap
+         |FROM g$w)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |        array_to_string(list_slice(tk, i, i + 3), ' ') AS gram
+       |      FROM d, UNNEST(generate_series(1, greatest(len(tk) - 3, 1)))
+       |        AS u(i)),
+       |k AS MATERIALIZED (SELECT doc_id, pos,
+       |        substring(md5(gram), 1, 16) ||
+       |          lpad(CAST(100000000 - pos AS VARCHAR), 8, '0') AS key,
+       |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |      FROM g)
+       |$blocks
+       |ORDER BY w""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_winnow_sweep" -> winnowSweep _,
     "t32_trigram_lid" -> trigramLid _,
     "t31_heaps_curve" -> heapsCurve _,
     "t30_winnowing"   -> winnowing _,
@@ -2039,6 +2130,7 @@ object TextOps {
     "t08_quality_gate"  -> qualityGate _)
 
   val oracle: Map[String, String] = Map(
+    "t33_winnow_sweep" -> winnowSweepSql,
     "t32_trigram_lid" -> trigramLidSql,
     "t31_heaps_curve" -> heapsCurveSql,
     "t30_winnowing"   -> winnowingSql,

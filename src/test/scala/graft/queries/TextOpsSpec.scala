@@ -494,6 +494,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0L)._3 === ref(0L)._2.map(_._1).size.toLong)
   }
 
+  test("t33: winnow sweep honors the gap guarantee at every w, density " +
+      "falls with w, and the contract-w row reconciles with t30") {
+    import graft.Tables.t
+    val docs = t(spark, sf, "documents")
+    val out = TextOps.winnowSweepDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) === TextOps.winnowSweepWs.map(_.toLong))
+    out.foreach { case (w, ng, nfp, dens, maxGap) =>
+      assert(maxGap <= w, s"w=$w: gap guarantee violated ($maxGap)")
+      assert(dens === nfp * 1000000L / ng)
+      assert(nfp >= 1L && ng >= nfp)
+    }
+    // volume strictly falls as the window widens; all rows share n_grams
+    assert(out.map(_._3) === out.map(_._3).sortBy(-_))
+    assert(out.map(_._2).distinct.size === 1)
+    // the w = winnowW row is t30's corpus totals (same selection core)
+    val t30 = TextOps.winnowingDf(docs)
+      .selectExpr("sum(n_grams)", "sum(n_fp)")
+      .as[(Long, Long)].collect().head
+    val row = out.find(_._1 == TextOps.winnowW.toLong).get
+    assert((row._2, row._3) === t30)
+  }
+
   test("t31: heaps curve matches an in-memory recompute on the corpus " +
       "and its tails reconcile with totals") {
     import graft.Tables.t

@@ -359,6 +359,54 @@ class EventStreamsSpec extends SparkSpec {
       "matched click also emitted a spurious null row")
   }
 
+  test("left-outer stream join equals its BATCH twin on a quasi-random " +
+      "log once every watermark has passed — batch boundaries invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    // clickViewJoinOuter is ONE definition for both executions: on a
+    // batch DataFrame withWatermark is a no-op and the left-outer
+    // interval join is the final answer; on the stream, outer rows are
+    // watermark-delayed but must converge to the same set. Same
+    // discipline as the Bloom fold twin: the semantics the operator
+    // claims is "the batch answer", whatever the batching.
+    val base = 86400000L
+    def at(id: Long, minute: Int, typ: String, user: Long) =
+      ev(id, minute, typ, user).copy(
+        ts = new Timestamp(base + minute * 60000L))
+    // deterministic quasi-random log: 3 users; clicks every 7 min,
+    // views at offsets that match some clicks inside the 30-min window
+    // and leave others abandoned; ids disjoint across types
+    val clicks = (0 until 12).map { i =>
+      at(100L + i, 1 + i * 7, "click", 1L + (i % 3)) }
+    val views = (0 until 6).map { i =>
+      at(500L + i, 5 + i * 16, "view", 1L + ((i * 2) % 3)) }
+    // watermark-advancing tail, far past every real event's horizon
+    // (outer emission needs one MORE batch after the advancing one) —
+    // part of the log on BOTH sides so the answers stay comparable
+    val tail = Seq(at(900L, 600, "click", 9L), at(901L, 600, "view", 9L),
+      at(902L, 601, "click", 9L), at(903L, 601, "view", 9L))
+    val events = (clicks ++ views ++ tail).sortBy(_.ts.getTime)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val expected = clickViewJoinOuter(events.toDF(),
+      window = "30 minutes", watermark = "10 minutes")
+      .collect().map(key).toSet
+    val mem = MemoryStream[Event]
+    val q = clickViewJoinOuter(mem.toDF(), window = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cv_outer_twin").start()
+    // feed in event-time order in a batching unrelated to the data
+    events.grouped(5).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("cv_outer_twin").collect().map(key).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got)} extra=${(got -- expected)}")
+    // the twin is non-degenerate: both matched and abandoned clicks
+    assert(expected.exists(_._3 >= 0L) && expected.exists(_._3 == -1L))
+  }
+
   test("writeStream file-sink round-trip preserves rows (append + checkpoint)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("evfilesink").toString

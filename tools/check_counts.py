@@ -3,12 +3,16 @@
 r5 said 191 when the contract was 191-going-on-198; r6 said 195/197 when
 it was 196/198).
 
-Counts the contract from the SOURCE: every `"xNN_name" ->` registration
-in src/main/scala. A query registered in both a `queries` map and an
-`oracle`/`oracleSql` map appears >= 2x (oracle-checked); a name appearing
-exactly once is a rows-only query (a01/a02 native sketches, by design).
-Compares the derived (total, oracle-checked) pair against the numbers
-written in README.md and .claude/skills/verify/SKILL.md.
+The scan is SCOPED to the registration map bodies (`val queries ... =
+Map(...)` / `val oracle ... = Map(...)`, extracted by paren balancing)
+— the ADVICE-r7 fix: a query name merely MENTIONED elsewhere (a comment,
+a helper map, an arrow-containing string) no longer reclassifies it.
+A name in a queries body is a contract query; a name also in an oracle
+body is oracle-checked; queries-only names are rows-only (a01/a02
+native sketches, by design).
+
+ContractCountsSpec is the authoritative compiled-contract guard inside
+`sbt test`; this script is the no-JVM quick check.
 
 Usage: python3 tools/check_counts.py    (exit 1 on drift)
 """
@@ -17,20 +21,47 @@ import re
 import sys
 
 root = pathlib.Path(__file__).resolve().parent.parent
-pat = re.compile(r'"([a-z]\d{2}[a-z0-9_]*)"\s*->')
+name_pat = re.compile(r'"([a-z]\d{2}[a-z0-9_]*)"\s*->')
+decl_pat = re.compile(r'val (queries|oracle)\b')
+map_open = re.compile(r'Map\s*\(')
 
-names = {}
+
+def map_body(text, start):
+    """Balanced-paren body of the first `Map(` at/after start (the type
+    annotation uses `Map[...]`, so `Map(` is the literal)."""
+    m = map_open.search(text, start)
+    if not m:
+        return ""
+    i = m.end() - 1
+    depth, j = 0, i
+    while j < len(text):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i:j + 1]
+        j += 1
+    return text[i:]
+
+
+queries, oracle = set(), set()
 for f in (root / "src" / "main" / "scala").rglob("*.scala"):
-    for m in pat.finditer(f.read_text()):
-        names[m.group(1)] = names.get(m.group(1), 0) + 1
+    text = f.read_text()
+    for m in decl_pat.finditer(text):
+        names = {n.group(1) for n in name_pat.finditer(map_body(text, m.end()))}
+        (queries if m.group(1) == "queries" else oracle).update(names)
 
-total = len(names)
-rows_only = sorted(n for n, c in names.items() if c == 1)
+total = len(queries)
+rows_only = sorted(queries - oracle)
 checked = total - len(rows_only)
+stray = sorted(oracle - queries)
 print(f"contract: {total} queries, {checked} oracle-checked, "
       f"rows-only: {', '.join(rows_only)}")
 
 fails = []
+if stray:
+    fails.append(f"oracle entries with no query registration: {stray}")
 
 readme = (root / "README.md").read_text()
 m = re.search(r"(\d+) of the (\d+) queries", readme)
