@@ -308,14 +308,16 @@ object Dedup {
     sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
   }
 
-  private val simHashSql: String = {
+  /** Twin fingerprint CTE body for any width — the contract SQL is
+    * `simHashSqlFor(simhashBits)`; d20 pins the widened geometry. */
+  private def simHashSqlFor(bits: Int): String = {
     def bit(j: Int) = {
       val c = s"substring(h, ${j / 4 + 1}, 1)"
       val v = s"(strpos('0123456789abcdef', $c) - 1)"
       s"CASE WHEN ($v // ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
     }
-    val sums = (0 until simhashBits).map(j => s"SUM(${bit(j)}) AS w$j").mkString(", ")
-    val chars = (0 until simhashBits)
+    val sums = (0 until bits).map(j => s"SUM(${bit(j)}) AS w$j").mkString(", ")
+    val chars = (0 until bits)
       .map(j => s"CASE WHEN w$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH th AS (
        |  SELECT doc_id, md5(tok) AS h FROM (
@@ -326,6 +328,8 @@ object Dedup {
        |sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
        |SELECT doc_id, $chars AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
+
+  private val simHashSql: String = simHashSqlFor(simhashBits)
 
   /** SimHash near-dup pairs: hamming ≤ 3 with a 4-band prefilter
     * (pigeonhole: ≤3 differing bits over 4 bands ⇒ ≥1 identical band,
@@ -366,15 +370,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simHashPairsSql: String = {
-    val bandW = simhashBits / 4
-    val bandRows = (0 until 4).map(b =>
+  private def simHashPairsSqlFor(bits: Int, nBands: Int): String = {
+    val bandW = bits / nBands
+    val bandRows = (0 until nBands).map(b =>
       s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${b * bandW + 1}, $bandW) AS sig FROM fp")
       .mkString("\nUNION ALL\n")
-    val ham = (1 to simhashBits)
+    val ham = (1 to bits)
       .map(j => s"CASE WHEN substring(x.simhash, $j, 1) <> substring(y.simhash, $j, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    val inner = simHashSql.replace("ORDER BY doc_id", "")
+    val inner = simHashSqlFor(bits).replace("ORDER BY doc_id", "")
     s"""WITH fp AS ($inner),
        |bands AS (
        |$bandRows),
@@ -386,6 +390,25 @@ object Dedup {
        |SELECT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= $simhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  private val simHashPairsSql: String =
+    simHashPairsSqlFor(simhashBits, simhashBands)
+
+  // --------------------------------------------- d20 scaled-geometry twin
+  /** d20: the d05 pair generator under the WIDENED fingerprint
+    * ([[simhashScaledBits]]-bit, same 4 bands) — the scale path of
+    * [[simhashParamsFor]] as its own oracle-checked relation, so the
+    * widened geometry is proven engine-portable (bit extraction,
+    * banding, hamming) exactly like the contract one, not merely
+    * spec-consistent with it. At the gate corpus the wider bands also
+    * demonstrate the occupancy effect the probe measured: fewer
+    * birthday candidates, identical true near-dups retained (the
+    * hamming <= 3 survivors are a subset of d05's, pinned in
+    * DedupSpec). */
+  val simhashScaledBits = 64
+
+  def simHashPairsScaled(s: SparkSession, dir: String): DataFrame =
+    simHashPairsDf(t(s, dir, "documents"), simhashScaledBits, simhashBands)
 
   // ------------------------------------------- embedding-cosine near-dup
   /** Embedding near-dup: pairs with rounded cosine ≥ threshold, with
@@ -1455,6 +1478,7 @@ object Dedup {
        |FROM pp GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_simhash_scaled"  -> simHashPairsScaled _,
     "d19_cluster_drift"   -> clusterDrift _,
     "d18_simhash_calibration" -> simhashCalibration _,
     "d17_minhash_calibration" -> minhashCalibration _,
@@ -1476,6 +1500,7 @@ object Dedup {
     "d12_containment"     -> containment _)
 
   val oracle: Map[String, String] = Map(
+    "d20_simhash_scaled"  -> simHashPairsSqlFor(simhashScaledBits, simhashBands),
     "d19_cluster_drift"   -> clusterDriftSql,
     "d18_simhash_calibration" -> simhashCalibrationSql,
     "d17_minhash_calibration" -> minhashCalibrationSql,

@@ -87,11 +87,17 @@ object GenScale {
           else translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r)))
     }
     replicate("embeddings") { (d, r) =>
+      // rotate by r MOD dim: slice(x, r+1, size-r) has a negative
+      // length once r >= dim (crashed at reps = 100; r < dim replicas
+      // are byte-identical to the pre-fix output). Replicas r and
+      // r + dim share a rotation — the same bounded cross-replica
+      // twin class as the text path's r mod 26.
       d.withColumn("vec_id", col("vec_id") + lit(r * 10000L))
         .withColumn("embedding",
           if (r == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-            s"slice(embedding, 1, $r))"))
+          else expr(s"concat(slice(embedding, pmod($r, size(embedding)) + 1, " +
+            s"size(embedding) - pmod($r, size(embedding))), " +
+            s"slice(embedding, 1, pmod($r, size(embedding))))"))
     }
     replicate("lineitem") { (d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * 1000000L))

@@ -203,6 +203,23 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("d20: scaled-geometry pairs are a subset of the contract pairs " +
+      "(wider fingerprint only tightens), exact copies stay at hamming 0") {
+    // ham64 >= ham32 on the shared 32-bit prefix, and ham64 <= 3 implies
+    // ham32 <= 3 which the 4-band pigeonhole always surfaces — so the
+    // widened geometry can only DROP weak pairs, never add or lose a
+    // true near-dup stratum
+    val wide = Dedup.simHashPairsDf(docs, Dedup.simhashScaledBits, 4)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    val narrow = Dedup.simHashPairsDf(docs)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(wide.keySet.subsetOf(narrow.keySet),
+      s"widened geometry invented pairs: ${wide.keySet -- narrow.keySet}")
+    assert(wide((0L, 2L)) === 0L) // the exact copy survives any width
+    wide.foreach { case (k, h) => assert(h >= narrow(k)) }
+    spark.catalog.clearCache()
+  }
+
   test("embedding cosine near-dup finds same-direction vectors") {
     val embs = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
