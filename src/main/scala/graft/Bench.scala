@@ -54,7 +54,13 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).foreach(_ => ())
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // FIRST LINE only: a multi-line Spark message interleaves
+          // with executor stderr and can clobber this marker entirely
+          // (the sf10 sweep's failures were invisible in the log; the
+          // recorded per-query time is then time-to-failure, not a
+          // completion — r8 lesson)
+          System.err.println(s"[bench] $name FAILED: " +
+            e.getMessage.linesIterator.nextOption().getOrElse(e.toString))
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop any query-internal persists
@@ -71,6 +77,12 @@ object Bench {
         // re-measured cold.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // shuffle FILES outlive the rep too: they are deleted only when
+        // the ContextCleaner GCs the shuffle dependency. At sf5+ the
+        // triangle-family reps each leave tens of GB of shuffle files,
+        // and three consecutive queries exhausted the disk (r8).
+        // An explicit GC makes the cleaner reclaim them between reps.
+        System.gc()
         dt
       }
       name -> times

@@ -229,16 +229,22 @@ object Graph {
     // weakens the prune, never drops a real wedge).
     //
     // Two jobs run at construction time (count + sketch build) — a
-    // deliberate, measured trade. The lazy alternative (catalyst
-    // BloomFilterAggregate fed through a ScalarSubquery, the
-    // InjectRuntimeFilter construction) was implemented and BENCHED
-    // 3.4× SLOWER at sf1 (102.9 s vs 30.2 s): its sketch is hard-capped
-    // by spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64 Mbit
-    // default, conf-checked at analysis), which at 12 M edges means
-    // ~22 % fpp and a 6× bigger surviving wedge shuffle. stat
-    // .bloomFilter sizes the sketch from the true edge count with no
-    // conf ceiling; the count reuses the persisted relation the query
-    // materializes anyway, so total work is unchanged.
+    // deliberate, measured trade. The sketch is built DIRECTLY with
+    // util.sketch.BloomFilter over a treeAggregate: EVERY SQL-layer
+    // construction is hard-capped at 64 Mbit in Spark 4 —
+    // InjectRuntimeFilter by spark.sql.optimizer.runtime.bloomFilter
+    // .maxNumBits at analysis (r7 finding, benched 3.4× slower), and
+    // stat.bloomFilter by the same ceiling (r8 finding: at sf1's 12 M
+    // edges it returned bitSize = 2²⁶ with expectedFpp() = 0.222;
+    // random-key probing measured 22.2 % — tools.BloomCheck). A
+    // saturated filter kept 197 M of 822 M wedges (24 %) when only
+    // 6.35 M close — the wedge exchange was 8× bigger than the sketch
+    // math promised, which is what exhausted the disk at sf5/sf10.
+    // treeAggregate sizes from the true edge count (12.2 MB at sf1 —
+    // measured kept-fraction 4.3 % / 35 M rows / 0.39 GB exchange
+    // after the fix), merges fpp-sized partials (not rows), and the
+    // count reuses the persisted relation the query materializes
+    // anyway.
     val packed = shiftleft(col("u").cast("long"), 32) + col("v").cast("long")
     val m = oriented.count()
     val wedges = oriented.join(o2, col("u") === col("u2") && col("v") =!= col("w"))
@@ -246,15 +252,29 @@ object Graph {
       // expectedNumItems capped so the sketch never exceeds ~1.2 GB of
       // driver/broadcast memory even on a 10¹⁰-edge graph; beyond the
       // cap fpp degrades gracefully (weaker prune, same exact result)
-      val bf = oriented.stat.bloomFilter(
-        packed, m.max(1000L).min(1000000000L), 0.02)
+      val zero = org.apache.spark.util.sketch.BloomFilter.create(
+        m.max(1000L).min(1000000000L), 0.02)
+      val bf = oriented.select(packed.as("k")).rdd
+        .treeAggregate(zero)(
+          (f, row) => { f.putLong(row.getLong(0)); f },
+          (a, b) => { a.mergeInPlace(b); a })
       val bc = spark.sparkContext.broadcast(bf)
       val mightClose = udf((vw: Long) => bc.value.mightContainLong(vw))
       wedges.filter(mightClose(
         shiftleft(col("v").cast("long"), 32) + col("w").cast("long")))
     }
+    // SHUFFLE_HASH: the closing probe must never SORT the wedge stream.
+    // Unhinted, the planner picks sort-merge and the sort buffers the
+    // full surviving wedge relation (197 M rows / 2.2 GB spilled at
+    // sf1, measured by tools.SpillProbe) — at sf5/sf10 those sort runs
+    // exhausted a 77 GB disk. Hash-building the ids-only EDGE side
+    // (~12 MB/partition at sf1) makes the wedge side streamed-only:
+    // probe-and-emit, nothing buffered — spill 2.18 GB → 0 and the
+    // probe wall 49.8 s → 33.5 s at sf1; the remaining disk is the
+    // irreducible 1.9 GB wedge-exchange write (SCALING.md round-8).
     pruned
-      .join(closing, col("v") === col("cv") && col("w") === col("cw"))
+      .join(closing.hint("SHUFFLE_HASH"),
+        col("v") === col("cv") && col("w") === col("cw"))
       .select(col("u"), col("v"), col("w"))
   }
 

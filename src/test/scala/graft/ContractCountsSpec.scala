@@ -37,6 +37,14 @@ class ContractCountsSpec extends AnyFunSuite {
         s"contract is $checked/$total")
   }
 
+  test("MIGRATION.md advertises the compiled contract's query count") {
+    val m = """`SparkEntry.queries` \((\d+) queries""".r
+      .findFirstMatchIn(read("MIGRATION.md"))
+    assert(m.nonEmpty, "MIGRATION.md: '(N queries' line missing")
+    assert(m.get.group(1).toInt === total,
+      s"MIGRATION.md says ${m.get.group(1)}, compiled contract is $total")
+  }
+
   test("verify SKILL.md expects the compiled contract's pass count") {
     val p = Paths.get(".claude/skills/verify/SKILL.md")
     assume(Files.exists(p), "no verify skill in this checkout")

@@ -71,6 +71,13 @@ elif (int(m.group(1)), int(m.group(2))) != (checked, total):
     fails.append(f"README.md says {m.group(1)}/{m.group(2)}, "
                  f"contract is {checked}/{total}")
 
+mig = (root / "MIGRATION.md").read_text()
+m = re.search(r"`SparkEntry.queries` \((\d+) queries", mig)
+if not m:
+    fails.append("MIGRATION.md: could not find the '(N queries' line")
+elif int(m.group(1)) != total:
+    fails.append(f"MIGRATION.md says {m.group(1)}, contract is {total}")
+
 skill_path = root / ".claude" / "skills" / "verify" / "SKILL.md"
 if skill_path.exists():
     skill = skill_path.read_text()
