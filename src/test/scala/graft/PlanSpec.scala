@@ -222,6 +222,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "pair expansion re-introduced a self-join:\n" + p)
   }
 
+  test("g02: the closing probe hash-joins — the wedge stream is never " +
+      "sorted (the r8 sf5/sf10 disk-cliff fix)") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val p = plan(graft.queries.Graph.trianglesDf(li))
+    // the closing join must be ShuffledHashJoin (edge side built,
+    // wedge side streamed); a SortMergeJoin here buffers the full
+    // wedge relation — 2.18 GB spilled at sf1, disk death at sf5+
+    assert(p.contains("ShuffledHashJoin"), p)
+    // and the wedge bloom prune (UDF probe) is in the plan
+    assert(p.contains("UDF"), "wedge bloom prune missing:\n" + p)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   test("a08: bloom probe never shuffles the fact table (broadcast-only joins)") {
     val p = plan(graft.queries.Sketches.bloomPrefilter(spark, sf))
     // the 1-row sketch and the dim flag both broadcast; a sort-merge or
