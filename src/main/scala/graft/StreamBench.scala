@@ -50,6 +50,7 @@ object StreamBench {
 
     val bloom = benchBloom(spark, rps, runSecs)
     val join = benchIntervalJoin(spark, rps, runSecs)
+    val ojoin = benchOuterJoin(spark, rps, runSecs)
     val drift = benchDrift(spark, rps, runSecs)
     val sess = benchSessionize(spark, rps, runSecs)
     val tsess = benchTimerSessionize(spark, rps, runSecs)
@@ -63,6 +64,7 @@ object StreamBench {
     val line =
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
         s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
+        s""""outer_join":${js(ojoin)},""" +
         s""""drift_monitor":${js(drift)},"sessionize":${js(sess)},""" +
         s""""timer_sessionize":${js(tsess)},""" +
         s""""hll_sketch":${js(hll)},"cms_sketch":${js(cms)}}"""
@@ -137,6 +139,31 @@ object StreamBench {
         lit(1.0).as("value"))
     runQuery(spark,
       EventStreams.clickViewJoin(events, window = "1 second", watermark = "2 seconds"),
+      secs)
+  }
+
+  /** [[benchIntervalJoin]]'s LEFT OUTER twin — every 8th click is
+    * matchless (clicks at value ≡ 14 mod 16 are routed to a user range
+    * views never reach), so those clicks wait out the full horizon and
+    * emit null-extended. Outer state is strictly larger than inner
+    * (unmatched rows held until watermark + interval), and the bounded
+    * state series across ≥ secs/2 horizons is the eviction proof for
+    * THAT path too. */
+  private def benchOuterJoin(spark: SparkSession, rps: Int, secs: Int): OpResult = {
+    import graft.streaming.EventStreams
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        // views (odd values) always land in users 0..4095; clicks at
+        // value%16==14 go to the isolated 61440+ range → never matched
+        when(col("value") % 16 === 14, (col("value") % 4096) + 61440L)
+          .otherwise(col("value") % 4096).as("user_id"),
+        when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
+        lit(1.0).as("value"))
+    runQuery(spark,
+      EventStreams.clickViewJoinOuter(events,
+        window = "1 second", watermark = "2 seconds"),
       secs)
   }
 
