@@ -59,8 +59,12 @@ object Bench {
           // (the sf10 sweep's failures were invisible in the log; the
           // recorded per-query time is then time-to-failure, not a
           // completion — r8 lesson)
+          // getMessage is null for NPEs and many JVM errors — Option
+          // it, or the catch block itself NPEs and kills the sweep
           System.err.println(s"[bench] $name FAILED: " +
-            e.getMessage.linesIterator.nextOption().getOrElse(e.toString))
+            Option(e.getMessage)
+              .flatMap(_.linesIterator.nextOption())
+              .getOrElse(e.toString))
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop any query-internal persists

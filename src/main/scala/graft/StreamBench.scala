@@ -134,7 +134,12 @@ object StreamBench {
       .option("rowsPerSecond", rps).load()
       .select(col("value").as("event_id"),
         col("timestamp").as("ts"),
-        (col("value") % 65536).as("user_id"),
+        // user_id from value DIV 2, not value: event_type is value
+        // parity, so a same-parity modulus would give clicks only even
+        // user_ids and views only odd — a join bench that never joins
+        // (ADVICE r8). div 2 pairs each click (2k) with the next view
+        // (2k+1) on user k, ~1/rps s apart — inside the 1 s interval.
+        ((col("value") / 2).cast("long") % 65536).as("user_id"),
         when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
         lit(1.0).as("value"))
     runQuery(spark,
@@ -155,10 +160,14 @@ object StreamBench {
       .option("rowsPerSecond", rps).load()
       .select(col("value").as("event_id"),
         col("timestamp").as("ts"),
-        // views (odd values) always land in users 0..4095; clicks at
-        // value%16==14 go to the isolated 61440+ range → never matched
-        when(col("value") % 16 === 14, (col("value") % 4096) + 61440L)
-          .otherwise(col("value") % 4096).as("user_id"),
+        // user_id from value DIV 2 (the benchIntervalJoin parity fix,
+        // ADVICE r8): click 2k and view 2k+1 share user k%4096, so the
+        // matched-emission path actually runs. Clicks at value%16==14
+        // (every 8th click) keep the carve-out to the isolated 61440+
+        // range views never reach → genuinely matchless stratum.
+        when(col("value") % 16 === 14,
+          ((col("value") / 2).cast("long") % 4096) + 61440L)
+          .otherwise((col("value") / 2).cast("long") % 4096).as("user_id"),
         when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
         lit(1.0).as("value"))
     runQuery(spark,

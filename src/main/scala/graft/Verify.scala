@@ -32,6 +32,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // drop any query-internal persists
+      // clearCache only drops CATALOG-cached plans — localCheckpoint
+      // blocks and raw persists (the iterative operators: g01/g03/g04/
+      // g05/g07/g09/g14/g15/g18, d07, t23) are invisible to it and
+      // accumulate across a 213-query session (the r6 failure mode;
+      // Bench learned this sweep then, Verify gets it in r9 — the g18
+      // tVal/checkpoint blocks otherwise leak one edge-scale snapshot
+      // per run, ADVICE r8). Safe here: queries run strictly one at a
+      // time, so nothing live spans the sweep.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -345,6 +345,10 @@ object Dedup {
     * [[simhashParamsFor]] for the cutoff-scaling note). */
   def simHashPairsDf(docs: DataFrame, bits: Int = simhashBits,
       nBands: Int = simhashBands): DataFrame = {
+    // non-divisible widths would silently DROP the trailing bits from
+    // every band signature, voiding the hamming-pigeonhole losslessness
+    // (simhashParamsFor always returns multiples, but params are public)
+    require(bits % nBands == 0, s"bits ($bits) % nBands ($nBands) != 0")
     // Fingerprints are tiny relative to the corpus — materialize once
     // (the self-join would otherwise recompute the whole sketch twice).
     val fp = simHashDf(docs, bits).persist()
@@ -1303,6 +1307,7 @@ object Dedup {
     * (SCALING.md round-8). */
   def simhashCalibrationDf(docs: DataFrame, bits: Int = simhashBits,
       nBands: Int = simhashBands): DataFrame = {
+    require(bits % nBands == 0, s"bits ($bits) % nBands ($nBands) != 0")
     val fp = simHashDf(docs, bits).persist()
     val bandW = bits / nBands
     val bandCols = (0 until nBands).map(b =>

@@ -1647,6 +1647,10 @@ object Graph {
     // the final support snapshot IS checkpointed — nothing downstream
     // re-reads the last round's edge list
     o.unpersist(false)
+    // tVal and the final round's checkpoint `blocks` MUST outlive this
+    // call (out reads both lazily), so they cannot be freed here —
+    // callers that loop queries must sweep sc.getPersistentRDDs after
+    // materializing, which Bench and Verify both do (ADVICE r8).
     out
   }
 
