@@ -51,6 +51,7 @@ object StreamBench {
     val bloom = benchBloom(spark, rps, runSecs)
     val join = benchIntervalJoin(spark, rps, runSecs)
     val ojoin = benchOuterJoin(spark, rps, runSecs)
+    val fjoin = benchFullJoin(spark, rps, runSecs)
     val drift = benchDrift(spark, rps, runSecs)
     val sess = benchSessionize(spark, rps, runSecs)
     val tsess = benchTimerSessionize(spark, rps, runSecs)
@@ -64,7 +65,7 @@ object StreamBench {
     val line =
       s"""{"rate_rows_per_sec":$rps,"run_secs":$runSecs,"cpus":$cpus,""" +
         s""""dedup_bloom":${js(bloom)},"interval_join":${js(join)},""" +
-        s""""outer_join":${js(ojoin)},""" +
+        s""""outer_join":${js(ojoin)},"full_join":${js(fjoin)},""" +
         s""""drift_monitor":${js(drift)},"sessionize":${js(sess)},""" +
         s""""timer_sessionize":${js(tsess)},""" +
         s""""hll_sketch":${js(hll)},"cms_sketch":${js(cms)}}"""
@@ -172,6 +173,33 @@ object StreamBench {
         lit(1.0).as("value"))
     runQuery(spark,
       EventStreams.clickViewJoinOuter(events,
+        window = "1 second", watermark = "2 seconds"),
+      secs)
+  }
+
+  /** [[benchOuterJoin]]'s FULL OUTER twin — both null-extended classes
+    * run: clicks at value%16==14 go to the 61440+ user range views
+    * never reach (null-view rows) and views at value%16==13 go to the
+    * 53248+ range clicks never reach (null-click rows); everything
+    * else pairs on user = value div 2 like the inner bench. Full-outer
+    * state holds BOTH sides' unmatched rows to their watermark
+    * horizons — the strictly-largest state of the three join modes,
+    * which is exactly what the bounded state series must prove. */
+  private def benchFullJoin(spark: SparkSession, rps: Int, secs: Int): OpResult = {
+    import graft.streaming.EventStreams
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        when(col("value") % 16 === 14,
+          ((col("value") / 2).cast("long") % 4096) + 61440L)
+          .when(col("value") % 16 === 13,
+            ((col("value") / 2).cast("long") % 4096) + 53248L)
+          .otherwise((col("value") / 2).cast("long") % 4096).as("user_id"),
+        when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
+        lit(1.0).as("value"))
+    runQuery(spark,
+      EventStreams.clickViewJoinFull(events,
         window = "1 second", watermark = "2 seconds"),
       secs)
   }

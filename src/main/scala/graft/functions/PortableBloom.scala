@@ -16,23 +16,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * family (distinct = [[PortableHll]] a03, frequency =
   * [[PortableCountMin]] a04, quantiles = a05, membership = this). The
   * 100 TB use is the semi-join pre-filter: build the filter over the
-  * small side's keys once, broadcast ~1 KB, and drop the provable
+  * small side's keys once, broadcast it, and drop the provable
   * non-matches map-side before any shuffle of the big side.
+  *
+  * GEOMETRY IS A PARAMETER (r9): the filter only filters while its
+  * load stays below the design point, and a fixed size saturates
+  * silently as the key set grows — the identical failure mode as
+  * Spark 4's 64 Mbit `InjectRuntimeFilter` cap (SCALING.md round-8)
+  * and the third application of the corpus-size-keyed-geometry
+  * discipline ([[graft.queries.Dedup.cosParamsFor]],
+  * [[graft.queries.Dedup.simhashParamsFor]]). Size with
+  * [[PortableBloom.bloomParamsFor]](nKeys); the contract default
+  * ([[PortableBloom.bits]] = 4096 / depth 4) remains the oracle-locked
+  * small-state geometry (streaming per-key dedup state, golden specs).
   *
   * Like its siblings, every ingredient is pinned so a second engine
   * rebuilds the identical bit array in SQL:
   *
-  *  - [[PortableBloom.depth]] hash functions; hash `d` of value `s` is
-  *    md5("d:s") (the [[PortableCountMin]] prefix convention);
-  *  - bit position = first two md5 bytes as a 16-bit int (= the first
-  *    four hex chars, the a03/p04 strpos/conv trick) mod
-  *    [[PortableBloom.bits]] (65536 divides evenly → unbiased);
-  *  - state = [[PortableBloom.words]] BIGINT words of
-  *    [[PortableBloom.wordBits]] = 32 ACTIVE bits each. 32, not 64:
-  *    every word stays in [0, 2^32) so `1 << bit` and `word >> bit`
-  *    never touch the sign bit — DuckDB raises on `1::BIGINT << 63`
-  *    and arithmetic-vs-logical shift of negatives differs across
-  *    engines; positive-only words sidestep the whole class;
+  *  - `depth` hash functions; hash `d` of value `s` is md5("d:s")
+  *    (the [[PortableCountMin]] prefix convention);
+  *  - bit position: for bits ≤ 65536, the first two md5 bytes as a
+  *    16-bit int (= the first four hex chars, the a03/p04
+  *    strpos/conv trick) mod `bits`; for larger filters the first
+  *    FOUR bytes as an unsigned 32-bit int mod `bits`. Both schemes
+  *    are unbiased because `bits` is a power of two (65536 % bits == 0
+  *    resp. 2^32 % bits == 0), and the scheme is a pure function of
+  *    `bits`, so both engines pick the same one. The 16-bit scheme is
+  *    kept for small filters so the contract default's bit grid is
+  *    bit-identical to every earlier round (oracle-locked);
+  *  - state = bits / [[PortableBloom.wordBits]] BIGINT words of 32
+  *    ACTIVE bits each. 32, not 64: every word stays in [0, 2^32) so
+  *    `1 << bit` and `word >> bit` never touch the sign bit — DuckDB
+  *    raises on `1::BIGINT << 63` and arithmetic-vs-logical shift of
+  *    negatives differs across engines; positive-only words sidestep
+  *    the whole class;
   *  - update sets one bit per hash row, merge is elementwise OR —
   *    commutative and idempotent, so the sketch is partition-, order-,
   *    and duplicate-invariant, and per-day/per-shard filters union by
@@ -43,11 +60,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class PortableBloom(
     child: Expression,
+    bits: Int = PortableBloom.bits,
+    depth: Int = PortableBloom.depth,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  import PortableBloom._
+  import PortableBloom.{prefixes, wordBits, maxBits}
+
+  require(bits >= 64 && bits <= maxBits && Integer.bitCount(bits) == 1,
+    s"bits must be a power of two in [64, $maxBits]: $bits")
+  require(depth >= 1 && depth <= prefixes.length,
+    s"depth in [1, ${prefixes.length}]: $depth")
+
+  private val words: Int = bits / wordBits
+  private val widePos: Boolean = bits > 65536
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -71,7 +98,12 @@ case class PortableBloom(
         md.reset()
         md.update(prefixes(d))
         val digest = md.digest(bytes)
-        val pos = (((digest(0) & 0xff) << 8) | (digest(1) & 0xff)) % bits
+        val u16 = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
+        val pos =
+          if (widePos)
+            ((((u16.toLong << 16) |
+              ((digest(2) & 0xff) << 8) | (digest(3) & 0xff))) % bits).toInt
+          else u16 % bits
         buf(pos >>> 5) |= 1L << (pos & 31)
         d += 1
       }
@@ -111,33 +143,86 @@ case class PortableBloom(
 object PortableBloom {
   /** Independent md5 hash families ("d:" prefixes). */
   val depth = 4
-  /** Filter size in bits. 65536 % bits == 0 keeps positions unbiased. */
+  /** CONTRACT-DEFAULT filter size in bits — the oracle-locked small-
+    * state geometry (streaming per-key dedup state, where n per key is
+    * tiny). Production semi-join prefilters size by key count via
+    * [[bloomParamsFor]] instead: at 2,943 keys this default is 94 %
+    * loaded with fpp ≈ 0.79 — a filter that no longer filters. */
   val bits = 4096
   /** Active bits per BIGINT word (32 — see class doc). */
   val wordBits = 32
-  /** State length: bits / wordBits BIGINT words. */
+  /** State length of the contract default: bits / wordBits words. */
   val words: Int = bits / wordBits
+  /** Geometry ceiling: 2^26 bits = 8 MB broadcast — comfortably
+    * below executor broadcast budgets; at the ceiling the design load
+    * holds through ~4.2 M keys, beyond which the filter degrades
+    * gracefully toward pass-through (callers with larger key sets
+    * shard the filter or skip the prefilter tier). */
+  val maxBits: Int = 1 << 26
 
   private val prefixes: Array[Array[Byte]] =
-    Array.tabulate(depth)(d => s"$d:".getBytes("UTF-8"))
+    Array.tabulate(16)(d => s"$d:".getBytes("UTF-8"))
+
+  /** Corpus-size-keyed Bloom geometry — (bits, depth) for `nKeys`
+    * build-side keys: bits = the smallest power of two ≥ 16·n,
+    * clamped to [contract 4096, [[maxBits]]], depth fixed at 4 (the
+    * hash-family convention every SQL twin spells). At the 16·n
+    * design point the load is 1 − e^(−depth·n/bits) ≤ 22.1 % and the
+    * false-positive rate ≤ (0.221)^4 ≈ 2,400 ppm — the prefilter
+    * drops ≥ 99.7 % of absent keys map-side. Rounding UP to a power
+    * of two means real load only ever lands at or below the design
+    * point. Reproduces the contract default (4096) for n ≤ 256. */
+  def bloomParamsFor(nKeys: Long): (Int, Int) = {
+    val target = math.max(1L, 16L * math.max(0L, nKeys))
+    val pow = 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
+    val sized = math.min(maxBits.toLong, math.max(bits.toLong, 1L << pow))
+    (sized.toInt, depth)
+  }
+
+  /** Design envelope for a [[bloomParamsFor]]-sized filter, in the ppm
+    * units a17 emits: load ≤ 250,000 ppm (design point 221,000 at the
+    * 16 bits/key ratio — rounding up to a power of two only ever lands
+    * BELOW it, so 250k is headroom, not slack) and measured fpp
+    * ≤ 25,000 ppm (~10× the 2,400 ppm design fpp — generous against
+    * probe-set noise, still 30× below the saturated filter's 790,000).
+    * SketchAuditSpec asserts the a17 `sized` row satisfies this and
+    * that a deliberately undersized filter violates it, so geometry
+    * or scale drift fails `sbt test` instead of shipping silently
+    * (the r8 lesson: a16 measured the saturation for two rounds and
+    * nothing acted on it). */
+  def withinDesignEnvelope(loadPpm: Long, fprPpm: Long): Boolean =
+    loadPpm <= 250000L && fprPpm <= 25000L
 
   /** Column API: input must be the value's STRING form (caller casts). */
-  def portableBloom(c: Column): Column = ColumnBridge.column(
-    PortableBloom(ColumnBridge.expression(c)).toAggregateExpression())
+  def portableBloom(c: Column): Column = portableBloom(c, bits, depth)
 
-  /** Bit position of `key` under hash row `d` — the same first-two-md5-
-    * bytes integer the aggregate uses, via codegen'd conv(). */
-  def position(d: Int, key: Column): Column =
-    (conv(substring(md5(concat_ws(":", lit(d), key)), 1, 4), 16, 10)
-      .cast("int") % bits)
+  /** Sized-geometry Column API (callers pass [[bloomParamsFor]]). */
+  def portableBloom(c: Column, bits: Int, depth: Int): Column =
+    ColumnBridge.column(
+      PortableBloom(ColumnBridge.expression(c), bits, depth)
+        .toAggregateExpression())
+
+  /** Bit position of `key` under hash row `d` — the same md5-prefix
+    * integer the aggregate uses, via codegen'd conv(). Scheme follows
+    * `bits` (16-bit positions for bits ≤ 65536, 32-bit above), so the
+    * contract default's grid is untouched. */
+  def position(d: Int, key: Column, bits: Int = PortableBloom.bits): Column =
+    if (bits <= 65536)
+      (conv(substring(md5(concat_ws(":", lit(d), key)), 1, 4), 16, 10)
+        .cast("int") % bits)
+    else
+      (conv(substring(md5(concat_ws(":", lit(d), key)), 1, 8), 16, 10)
+        .cast("long") % bits).cast("int")
 
   /** Imperative mirror of update+probe for STATEFUL STREAMING use
     * (e.g. [[graft.streaming.EventStreams.dedupStreamBloom]]): sets
     * the key's bits in `words` and returns true iff every bit was
     * ALREADY set (apparent duplicate). Identical positions to the
-    * aggregate's update and the SQL twin, so a state snapshot is
-    * comparable across engines. Caller supplies the MessageDigest
-    * (one per group invocation, not per key). */
+    * aggregate's update and the SQL twin at the CONTRACT default
+    * geometry (per-key streaming state is small-n, so 4096 bits is
+    * the right size THERE — sizing only matters for corpus-scale
+    * build sides). Caller supplies the MessageDigest (one per group
+    * invocation, not per key). */
   def testAndSet(words: Array[Long], keyBytes: Array[Byte],
       md: java.security.MessageDigest): Boolean = {
     var seen = true
@@ -158,9 +243,12 @@ object PortableBloom {
   /** Membership probe against a sketch column (the BIGINT-word array
     * this aggregate returns): true iff all `depth` bits are set. All
     * codegen'd built-ins (conv / element_at / shiftright / bitwise). */
-  def hit(sketch: Column, key: Column): Column =
+  def hit(sketch: Column, key: Column): Column = hit(sketch, key, bits, depth)
+
+  /** Sized-geometry probe — (bits, depth) must match the build side's. */
+  def hit(sketch: Column, key: Column, bits: Int, depth: Int): Column =
     (0 until depth).map { d =>
-      val pos = position(d, key)
+      val pos = position(d, key, bits)
       val word = element_at(sketch, shiftright(pos, 5) + 1)
       val bit = pos.bitwiseAND(lit(31))
       call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)

@@ -106,14 +106,21 @@ object Pipeline {
     * |shards|-sized manifest are touched (both persisted artifacts in
     * production).
     *
-    * The base-dedup probe composes a08's two-tier shape: a constant-
-    * size [[graft.functions.PortableBloom]] of base hashes broadcasts
-    * and rejects definite-new docs MAP-SIDE (a Bloom has no false
-    * negatives, so a miss is proof of novelty); only the maybe-dupe
-    * residue — a vanishing fraction of a mostly-novel batch — reaches
-    * the exact anti-join against the index. Batch-internal dupes then
-    * collapse by the same min-id rule, and the manifest fold is the
-    * q55 state merge (counts/sums over a full-outer shard join).
+    * The base-dedup probe composes a08's two-tier shape: a
+    * [[graft.functions.PortableBloom]] of base hashes — SIZED BY THE
+    * INDEX CARDINALITY ([[graft.functions.PortableBloom.bloomParamsFor]],
+    * r9; the fixed 4,096-bit filter was 97 %-loaded / fpp ≈ 0.89 at
+    * sf0.1's ~3,600-hash index, so every delta doc used to reach the
+    * exact join and the shortcut tier was inert) — broadcasts and
+    * rejects definite-new docs MAP-SIDE (a Bloom has no false
+    * negatives, so a miss is proof of novelty); at the sized
+    * geometry's ≤ ~2,400 ppm fpp only the true-dupe rows plus a ppm-
+    * level residue of a mostly-novel batch reach the exact anti-join
+    * against the index. The count() that sizes it runs on the
+    * persisted index (the small, already-materialized side). Batch-
+    * internal dupes then collapse by the same min-id rule, and the
+    * manifest fold is the q55 state merge (counts/sums over a
+    * full-outer shard join).
     *
     * The ORACLE rebuilds from scratch (e01's chain over base and over
     * everything, added = difference) — a pass proves the incremental
@@ -146,13 +153,17 @@ object Pipeline {
       .drop("cutoff")).persist()
     val okDelta = gated(split.filter(col("doc_id") >= col("cutoff"))
       .drop("cutoff"))
-    // persisted-in-production artifacts: hash index + Bloom of it
+    // persisted-in-production artifacts: hash index + Bloom of it,
+    // sized by the index cardinality (bloomParamsFor — the count runs
+    // on the persisted index, so it's one cheap job over the small side)
     val baseIndex = okBase.select(col("h")).distinct().persist()
+    val (bBits, bDepth) = PortableBloom.bloomParamsFor(baseIndex.count())
     val baseBloom = baseIndex.agg(
-      PortableBloom.portableBloom(col("h")).as("sk"))
+      PortableBloom.portableBloom(col("h"), bBits, bDepth).as("sk"))
     // two-tier novelty check: map-side Bloom, exact join on the residue
     val flagged = okDelta.crossJoin(broadcast(baseBloom))
-      .withColumn("maybe", PortableBloom.hit(col("sk"), col("h")))
+      .withColumn("maybe",
+        PortableBloom.hit(col("sk"), col("h"), bBits, bDepth))
       .drop("sk")
     val novel = flagged.filter(!col("maybe")).drop("maybe")
       .unionByName(flagged.filter(col("maybe")).drop("maybe")

@@ -456,27 +456,40 @@ object Sketches {
 
   /** a08: portable-Bloom semi-join pre-filter — the membership sketch
     * ([[graft.functions.PortableBloom]]) in its 100 TB role: build a
-    * ~1 KB filter over the BUILDING-segment customer keys (the small
-    * side), broadcast it, and probe every order map-side. Per order
-    * status the report shows total orders, orders passing the filter,
-    * and the exact semi-join count — bloom_pass ≥ exact_match always
-    * (no false negatives), and the gap IS the measured false-positive
-    * rate. The whole bit array is md5'd into the output, so the oracle
-    * hash-checks the sketch itself (the a03/a04 contract).
+    * filter over the BUILDING-segment customer keys (the small side),
+    * broadcast it, and probe every order map-side. Per order status
+    * the report shows total orders, orders passing the filter, and
+    * the exact semi-join count — bloom_pass ≥ exact_match always (no
+    * false negatives), and the gap IS the measured false-positive
+    * rate. The whole bit array is md5'd into the output, so the
+    * oracle hash-checks the sketch itself (the a03/a04 contract).
     *
-    * Scale shape: the filter aggregates the dimension side only (OR of
-    * 1 KB states, partition-invariant); the probe is a broadcast of
-    * one 128-word row + codegen'd bit arithmetic per fact row — no
-    * shuffle of the fact table at all. At 100 TB this runs BEFORE the
-    * real semi-join and drops ~all non-matching rows at the scan. */
+    * The geometry is SIZED BY THE KEY COUNT (r9,
+    * [[graft.functions.PortableBloom.bloomParamsFor]]): the previous
+    * fixed 4,096 bits was 94 %-loaded at sf0.1's 2,943 keys with
+    * fpp ≈ 0.79 — a prefilter passing 4 of 5 absent keys, i.e.
+    * silently inert (a16 had been measuring exactly that). Sizing at
+    * 16 bits/key keeps load ≤ 22 % and fpp ≤ ~2,400 ppm at ANY corpus
+    * size up to the 8 MB broadcast ceiling, and the count() that pays
+    * for it runs on the dimension side only. The oracle computes the
+    * SAME size from the same COUNT, so the sizing formula itself is
+    * contract-checked (the emitted `bits` column pins it readably).
+    *
+    * Scale shape: the filter aggregates the dimension side only (OR
+    * of bits/8-byte states, partition-invariant); the probe is a
+    * broadcast of one word-array row + codegen'd bit arithmetic per
+    * fact row — no shuffle of the fact table at all. At 100 TB this
+    * runs BEFORE the real semi-join and drops ≥ 99.7 % of
+    * non-matching rows at the scan. */
   def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableBloom
     val keys = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
+    val (bits, depth) = PortableBloom.bloomParamsFor(keys.count())
     val sk = keys.agg(
-      PortableBloom.portableBloom(col("c_custkey").cast("string"))
-        .as("sketch"))
+      PortableBloom.portableBloom(col("c_custkey").cast("string"),
+        bits, depth).as("sketch"))
     val exactFlag = keys
       .select(col("c_custkey").as("o_custkey"), lit(1L).as("is_bldg"))
     t(s, dir, "orders")
@@ -487,57 +500,82 @@ object Sketches {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(when(PortableBloom.hit(col("sketch"),
-          col("o_custkey").cast("string")), 1L).otherwise(0L))
+          col("o_custkey").cast("string"), bits, depth), 1L).otherwise(0L))
           .as("bloom_pass"),
         sum(coalesce(col("is_bldg"), lit(0L))).as("exact_match"),
         first(md5(concat_ws(",", col("sketch").cast("array<string>"))))
           .as("sketch_md5"))
+      .withColumn("bits", lit(bits.toLong))
       .orderBy("o_orderstatus")
   }
 
-  /** DuckDB twin: identical positions (first four md5 hex chars mod
-    * bits), 32-bit words OR-folded with bit_or over a densified word
-    * grid (zeros included — the md5 covers every word), and the probe
-    * as min-over-hash-rows of the addressed bit. */
-  private val bloomPrefilterSql = {
-    import graft.functions.PortableBloom.{bits, depth, wordBits, words}
-    val u16 = (k: String, d: String) => (1 to 4).map(i =>
+  /** Shared DuckDB spelling of the SIZED portable-Bloom build+probe
+    * over the BUILDING customer keys: `params` computes bits from the
+    * key COUNT with the [[graft.functions.PortableBloom.bloomParamsFor]]
+    * formula (next power of two ≥ 16·n, clamped to [4096, 2^26]);
+    * positions take the first FOUR md5 bytes as one 32-bit integer and
+    * use its high half for small filters (bits ≤ 65536 — the legacy
+    * 4-hex-char grid, bit-identical to the contract default) and the
+    * whole for large ones; words OR-fold with bit_or over a densified
+    * word grid (zeros included). Produces CTEs: keys, params, ds, pos,
+    * grid, wordvals, probe (per-order min-over-hash-rows hit). */
+  private def bloomSizedCtes: String = {
+    import graft.functions.PortableBloom.{depth, wordBits}
+    val u32 = (k: String, d: String) => (1 to 8).map(i =>
       s"(strpos('0123456789abcdef', substring(md5($d || ':' || $k), $i, 1)) - 1)")
-      .reduce((acc, h) => s"($acc * 16 + $h)")
-    s"""WITH keys AS (
+      .foldLeft("CAST(0 AS BIGINT)")((acc, h) => s"($acc * 16 + $h)")
+    s"""keys AS (
        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |params AS (
+       |  SELECT CAST(LEAST(GREATEST(
+       |    POWER(2, CEIL(LOG2(CAST(16 * COUNT(*) AS DOUBLE)))),
+       |    4096), 67108864) AS BIGINT) AS bits
+       |  FROM keys),
        |ds AS (SELECT unnest(generate_series(0, ${depth - 1})) AS d),
        |pos AS (
-       |  SELECT (${u16("CAST(c_custkey AS VARCHAR)", "CAST(d AS VARCHAR)")}) % $bits AS p
-       |  FROM keys CROSS JOIN ds),
-       |grid AS (SELECT unnest(generate_series(0, ${words - 1})) AS w),
+       |  SELECT CASE WHEN pr.bits <= 65536
+       |    THEN ((${u32("CAST(c_custkey AS VARCHAR)", "CAST(d AS VARCHAR)")}) // 65536) % pr.bits
+       |    ELSE (${u32("CAST(c_custkey AS VARCHAR)", "CAST(d AS VARCHAR)")}) % pr.bits
+       |    END AS p
+       |  FROM keys CROSS JOIN ds CROSS JOIN params pr),
+       |grid AS (SELECT unnest(generate_series(
+       |  0, (SELECT bits FROM params) // $wordBits - 1)) AS w),
        |wordvals AS (
        |  SELECT g.w, COALESCE(b.v, 0) AS v
        |  FROM grid g LEFT JOIN (
        |    SELECT p // $wordBits AS w, bit_or(1::BIGINT << (p % $wordBits)) AS v
        |    FROM pos GROUP BY 1) b ON g.w = b.w),
-       |sk AS (
-       |  SELECT md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY w)) AS sketch_md5
-       |  FROM wordvals),
        |probe AS (
        |  SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey,
        |    MIN((wv.v >> (op.p % $wordBits)) & 1) AS hit
        |  FROM orders o
        |  CROSS JOIN ds
-       |  JOIN LATERAL (SELECT
-       |    (${u16("CAST(o.o_custkey AS VARCHAR)", "CAST(ds.d AS VARCHAR)")}) % $bits AS p) op ON true
+       |  CROSS JOIN params pr
+       |  JOIN LATERAL (SELECT CASE WHEN pr.bits <= 65536
+       |    THEN ((${u32("CAST(o.o_custkey AS VARCHAR)", "CAST(ds.d AS VARCHAR)")}) // 65536) % pr.bits
+       |    ELSE (${u32("CAST(o.o_custkey AS VARCHAR)", "CAST(ds.d AS VARCHAR)")}) % pr.bits
+       |    END AS p) op ON true
        |  JOIN wordvals wv ON wv.w = op.p // $wordBits
-       |  GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** DuckDB twin: the sized build+probe CTEs ([[bloomSizedCtes]]) +
+    * the per-status report with the sketch md5 and chosen bits. */
+  private val bloomPrefilterSql =
+    s"""WITH $bloomSizedCtes,
+       |sk AS (
+       |  SELECT md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY w)) AS sketch_md5
+       |  FROM wordvals)
        |SELECT p.o_orderstatus,
        |  COUNT(*) AS n_orders,
        |  CAST(SUM(p.hit) AS BIGINT) AS bloom_pass,
        |  CAST(SUM(CASE WHEN p.o_custkey IN (SELECT c_custkey FROM keys)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_match,
-       |  MIN(sk.sketch_md5) AS sketch_md5
-       |FROM probe p CROSS JOIN sk
+       |  MIN(sk.sketch_md5) AS sketch_md5,
+       |  MIN(pr.bits) AS bits
+       |FROM probe p CROSS JOIN sk CROSS JOIN params pr
        |GROUP BY p.o_orderstatus
        |ORDER BY p.o_orderstatus""".stripMargin
-  }
 
   /** a09: join-cardinality pre-flight — a06's sibling question: not
     * "is the key skewed" but "HOW BIG is the join output, and how much
@@ -1092,12 +1130,18 @@ object Sketches {
   /** a16: Bloom false-positive-rate audit — the membership sketch joins
     * the audited family (count a12, distinct-count a14, quantile a15):
     * per order status, the ABSENT probes (custkey provably not in the
-    * BUILDING set), how many of them the a08 filter wrongly passes,
-    * the measured FPR in ppm, and the filter's bit LOAD (popcount /
-    * bits, ppm) — the two numbers a Bloom is sized by. A prefilter
-    * whose measured FPR drifts above plan (load crept past the design
-    * point as the key set grew) silently stops saving the semi-join
-    * its cost; this relation is the drift detector.
+    * BUILDING set), how many of them a CONTRACT-DEFAULT-geometry
+    * filter wrongly passes, the measured FPR in ppm, and the filter's
+    * bit LOAD (popcount / bits, ppm) — the two numbers a Bloom is
+    * sized by. This audit is deliberately pinned to the 4,096-bit
+    * contract default: it end-to-end oracle-locks the default bit
+    * grid (build, probe, and popcount at the grid every streaming
+    * state snapshot uses), and it is the measurement that CAUGHT the
+    * r8 saturation — at sf0.1's 2,943 keys it reads load ≈ 944,000
+    * ppm / fpr ≈ 790,000 ppm, which is why a08/e02 now size their
+    * production filters by key count ([[bloomSizedAudit]] is the
+    * sized-geometry acceptance twin, and SketchAuditSpec enforces
+    * both envelopes in `sbt test`).
     *
     * Exactness: hits are the same deterministic md5 bit probes a08
     * hash-checks; popcount is integer (32-bit words — no sign bit in
@@ -1176,7 +1220,126 @@ object Sketches {
        |ORDER BY p.o_orderstatus""".stripMargin
   }
 
+  // --------------------------------------------- a17 sized-Bloom audit
+  /** a17: sized-geometry Bloom acceptance audit — the contract-default
+    * filter and the [[graft.functions.PortableBloom.bloomParamsFor]]-
+    * sized filter built over the SAME key set (a08's BUILDING
+    * customers) and probed with the SAME absent keys (every order row
+    * whose custkey is provably not BUILDING), one row per geometry:
+    * chosen bits, key count, popcount load (ppm) and measured
+    * false-positive rate (ppm). This is the acceptance test the r8
+    * verdict asked for: the `contract_4096` row shows the saturation
+    * a16 had been reporting (~94 % load, ~790,000 ppm fpp at sf0.1),
+    * the `sized` row shows the same keys under the sized geometry at
+    * ≤ 221,000 ppm load / ≤ ~2,400 ppm fpp — and SketchAuditSpec
+    * turns the sized row's envelope into an `sbt test` failure, so a
+    * future geometry or scale drift cannot ship silently again.
+    *
+    * Exactness: identical md5 bit probes to a08/a16; integer
+    * popcounts and floored integer ppm. Scale shape: two dimension-
+    * side aggregates + one broadcast probe pass over the fact table —
+    * nothing data-sized shuffles. */
+  def bloomSizedAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableBloom
+    import graft.functions.PortableBloom.bloomParamsFor
+    val keys = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val (bits, depth) = bloomParamsFor(keys.count())
+    val popcnt = (c: String) =>
+      expr(s"aggregate($c, 0L, (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))")
+    val sk = keys.agg(
+      PortableBloom.portableBloom(col("c_custkey").cast("string"))
+        .as("skd"),
+      PortableBloom.portableBloom(col("c_custkey").cast("string"),
+        bits, depth).as("sks"),
+      count(lit(1)).as("n_keys"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"))
+      .join(broadcast(keys.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti") // audit runs on ABSENT probes only
+      .crossJoin(broadcast(sk))
+      .agg(
+        first(col("n_keys")).as("n_keys"),
+        count(lit(1)).as("n_absent"),
+        sum(when(PortableBloom.hit(col("skd"),
+          col("o_custkey").cast("string")), 1L).otherwise(0L)).as("nfd"),
+        sum(when(PortableBloom.hit(col("sks"),
+          col("o_custkey").cast("string"), bits, depth), 1L).otherwise(0L))
+          .as("nfs"),
+        max(popcnt("skd")).as("sbd"),
+        max(popcnt("sks")).as("sbs"))
+      .select(explode(array(
+        struct(lit("contract_4096").as("geometry"),
+          lit(PortableBloom.bits.toLong).as("bits"), col("n_keys"),
+          col("sbd").as("set_bits"), col("n_absent"),
+          col("nfd").as("n_false")),
+        struct(lit("sized").as("geometry"),
+          lit(bits.toLong).as("bits"), col("n_keys"),
+          col("sbs").as("set_bits"), col("n_absent"),
+          col("nfs").as("n_false")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("load_ppm", expr("set_bits * 1000000 div bits"))
+      .withColumn("fpr_ppm", expr("n_false * 1000000 div n_absent"))
+      .orderBy("geometry")
+  }
+
+  /** DuckDB twin: the sized build+probe CTEs + an a16-spelled default-
+    * geometry build+probe over the same keys, both restricted to
+    * absent order rows, unioned one row per geometry. */
+  private val bloomSizedAuditSql = {
+    import graft.functions.PortableBloom.{bits, depth, wordBits, words}
+    val u16 = (k: String, d: String) => (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5($d || ':' || $k), $i, 1)) - 1)")
+      .reduce((acc, h) => s"($acc * 16 + $h)")
+    s"""WITH $bloomSizedCtes,
+       |pcs AS (SELECT CAST(SUM(bit_count(v)) AS BIGINT) AS set_bits
+       |        FROM wordvals),
+       |posd AS (
+       |  SELECT (${u16("CAST(c_custkey AS VARCHAR)", "CAST(d AS VARCHAR)")}) % $bits AS p
+       |  FROM keys CROSS JOIN ds),
+       |gridd AS (SELECT unnest(generate_series(0, ${words - 1})) AS w),
+       |wordvalsd AS (
+       |  SELECT g.w, COALESCE(b.v, 0) AS v
+       |  FROM gridd g LEFT JOIN (
+       |    SELECT p // $wordBits AS w, bit_or(1::BIGINT << (p % $wordBits)) AS v
+       |    FROM posd GROUP BY 1) b ON g.w = b.w),
+       |pcd AS (SELECT CAST(SUM(bit_count(v)) AS BIGINT) AS set_bits
+       |        FROM wordvalsd),
+       |probed AS (
+       |  SELECT o.o_orderkey, o.o_custkey,
+       |    MIN((wv.v >> (op.p % $wordBits)) & 1) AS hit
+       |  FROM orders o
+       |  CROSS JOIN ds
+       |  JOIN LATERAL (SELECT
+       |    (${u16("CAST(o.o_custkey AS VARCHAR)", "CAST(ds.d AS VARCHAR)")}) % $bits AS p) op ON true
+       |  JOIN wordvalsd wv ON wv.w = op.p // $wordBits
+       |  WHERE o.o_custkey NOT IN (SELECT c_custkey FROM keys)
+       |  GROUP BY 1, 2),
+       |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+       |rowd AS (
+       |  SELECT 'contract_4096' AS geometry, CAST($bits AS BIGINT) AS bits,
+       |    nk.n_keys, pcd.set_bits,
+       |    CAST(COUNT(*) AS BIGINT) AS n_absent,
+       |    CAST(SUM(p.hit) AS BIGINT) AS n_false
+       |  FROM probed p CROSS JOIN nk CROSS JOIN pcd
+       |  GROUP BY 1, 2, 3, 4),
+       |rows_ AS (
+       |  SELECT 'sized' AS geometry, pr.bits, nk.n_keys, pcs.set_bits,
+       |    CAST(COUNT(*) AS BIGINT) AS n_absent,
+       |    CAST(SUM(p.hit) AS BIGINT) AS n_false
+       |  FROM probe p CROSS JOIN nk CROSS JOIN pcs CROSS JOIN params pr
+       |  WHERE p.o_custkey NOT IN (SELECT c_custkey FROM keys)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT geometry, bits, n_keys, set_bits, n_absent, n_false,
+       |  CAST(set_bits * 1000000 // bits AS BIGINT) AS load_ppm,
+       |  CAST(n_false * 1000000 // n_absent AS BIGINT) AS fpr_ppm
+       |FROM (SELECT * FROM rowd UNION ALL SELECT * FROM rows_)
+       |ORDER BY geometry""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a17_bloom_sized_audit" -> bloomSizedAudit _,
     "a16_bloom_fpr_audit" -> bloomFprAudit _,
     "a15_quantile_error_audit" -> quantileErrorAudit _,
     "a14_hll_error_audit" -> hllErrorAudit _,
@@ -1196,6 +1359,7 @@ object Sketches {
 
   /** a01/a02 rows-only (native sketches aren't portable); a03+ are. */
   val oracle: Map[String, String] = Map(
+    "a17_bloom_sized_audit" -> bloomSizedAuditSql,
     "a16_bloom_fpr_audit" -> bloomFprAuditSql,
     "a15_quantile_error_audit" -> quantileErrorAuditSql,
     "a14_hll_error_audit" -> hllErrorAuditSql,

@@ -287,6 +287,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UDF"), "wedge bloom prune missing from plan:\n" + p)
   }
 
+  test("t33: the w-invariant totals aggregate is computed once, not " +
+      "per window width") {
+    // before the r9 hoist each of the 4 per-w branches re-scanned and
+    // re-split the corpus for the same one-row n_grams aggregate: 8
+    // relation leaves in the optimized plan. Hoisted + persisted, the
+    // totals scans collapse into InMemoryRelation references, leaving
+    // exactly the 4 winnowSelDf scans as real relation leaves.
+    val plan = graft.queries.TextOps
+      .winnowSweep(spark, sf).queryExecution.optimizedPlan
+    val scans = plan.collectLeaves().count(
+      _.getClass.getSimpleName.contains("LogicalRelation"))
+    assert(scans == 4,
+      s"expected 4 corpus scans (one per w), got $scans:\n$plan")
+  }
+
   test("q48: WITH RECURSIVE plans a UnionLoop, not an unrolled union") {
     val p = graft.queries.Relational.q48RecursiveAgg(spark, sf)
       .queryExecution.optimizedPlan.toString

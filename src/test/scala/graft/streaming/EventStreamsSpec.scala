@@ -407,6 +407,91 @@ class EventStreamsSpec extends SparkSpec {
     assert(expected.exists(_._3 >= 0L) && expected.exists(_._3 == -1L))
   }
 
+  test("FULL OUTER stream-stream join: matched pairs join; abandoned " +
+      "clicks AND orphan views null-extend once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = clickViewJoinFull(mem.toDF(), window = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cv_full_out").start()
+    val base = 86400000L // shift off epoch 0 (row AT watermark is late)
+    def at(id: Long, minute: Int, typ: String, user: Long = 1L) =
+      ev(id, minute, typ, user).copy(
+        ts = new Timestamp(base + minute * 60000L))
+    // user 1: click@1 matched by view@10; user 2: click@1, NO view;
+    // user 3: view@1, NO click (the class only full-outer emits)
+    mem.addData(at(1, 1, "click", 1), at(2, 10, "view", 1),
+      at(3, 1, "click", 2), at(4, 1, "view", 3))
+    q.processAllAvailable()
+    // advance both watermarks past every horizon; null-extended rows
+    // need one MORE batch after the advancing one
+    mem.addData(at(8, 600, "click", 9), at(9, 600, "view", 9))
+    q.processAllAvailable()
+    mem.addData(at(10, 601, "click", 9), at(11, 601, "view", 9))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cv_full_out")
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got.contains((1L, 1L, 2L)), s"matched pair missing: $got")
+    assert(got.contains((2L, 3L, -1L)),
+      s"abandoned click never emitted its null-view row: $got")
+    assert(got.contains((3L, -1L, 4L)),
+      s"orphan view never emitted its null-click row: $got")
+    // matched rows never duplicate as null-extended ones
+    assert(!got.contains((1L, 1L, -1L)) && !got.contains((1L, -1L, 2L)),
+      s"matched pair also emitted a spurious null row: $got")
+  }
+
+  test("full-outer stream join equals its BATCH twin on a quasi-random " +
+      "log once every watermark has passed — batch boundaries invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    // same discipline as the left-outer twin test: one definition,
+    // two executions; the streamed answer must converge to the plain
+    // batch full-outer interval join for ANY batching.
+    val base = 86400000L
+    def at(id: Long, minute: Int, typ: String, user: Long) =
+      ev(id, minute, typ, user).copy(
+        ts = new Timestamp(base + minute * 60000L))
+    val clicks = (0 until 12).map { i =>
+      at(100L + i, 1 + i * 7, "click", 1L + (i % 3)) }
+    val views = (0 until 6).map { i =>
+      at(500L + i, 5 + i * 16, "view", 1L + ((i * 2) % 3)) }
+    // an orphan view (user 7 never clicks) so the null-click class is
+    // exercised — every generated view above happens to find a click
+    val orphan = Seq(at(800L, 40, "view", 7L))
+    val tail = Seq(at(900L, 600, "click", 9L), at(901L, 600, "view", 9L),
+      at(902L, 601, "click", 9L), at(903L, 601, "view", 9L))
+    val events = (clicks ++ views ++ orphan ++ tail).sortBy(_.ts.getTime)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    val expected = clickViewJoinFull(events.toDF(),
+      window = "30 minutes", watermark = "10 minutes")
+      .collect().map(key).toSet
+    val mem = MemoryStream[Event]
+    val q = clickViewJoinFull(mem.toDF(), window = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cv_full_twin").start()
+    events.grouped(5).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("cv_full_twin").collect().map(key).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got)} extra=${(got -- expected)}")
+    // non-degenerate: all three row classes present in the answer
+    assert(expected.exists(k => k._2 >= 0L && k._3 >= 0L) &&
+      expected.exists(_._3 == -1L) && expected.exists(_._2 == -1L))
+  }
+
   test("writeStream file-sink round-trip preserves rows (append + checkpoint)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("evfilesink").toString
