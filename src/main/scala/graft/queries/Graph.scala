@@ -203,9 +203,44 @@ object Graph {
   /** The (u, v, w) triangle-triple relation from a PERSISTED oriented
     * edge list — the wedge-enumeration + Bloom-prune + closing-probe
     * core shared by g02/g10 (per-node corner counts) and g17 (per-edge
-    * support). */
-  private[graft] def triangleTriplesDf(oriented: DataFrame): DataFrame = {
-    val spark = oriented.sparkSession
+    * support). Builds its own edge sketch; the overload accepts a
+    * caller-built one ([[buildEdgeSketch]]). A sketch over a SUPERSET
+    * edge set stays CORRECT (false positives only weaken the prune;
+    * the exact closing join removes them) — but do NOT reuse one
+    * across PEEL rounds: peeling removes exactly the edges the prune
+    * must know are gone, so a stale superset filter passes the dead
+    * wedges a fresh one drops — measured a WASH for g18's peel (335.0
+    * vs 335.3 s at sf5; SCALING.md round-9 A/B), so reuse only when
+    * the edge set is UNCHANGED between calls. */
+  private[graft] def triangleTriplesDf(oriented: DataFrame): DataFrame =
+    triangleTriplesDf(oriented, buildEdgeSketch(oriented))
+
+  /** Driver-built, uncapped Bloom over the packed (u,v) edge keys.
+    * None ⇔ the edge set is empty (no prune needed — no wedges
+    * either). Two jobs run at construction (count + sketch build) — a
+    * deliberate, measured trade; see the prune rationale below. */
+  private[graft] def buildEdgeSketch(oriented: DataFrame): Option[
+      org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = {
+    val packed = shiftleft(col("u").cast("long"), 32) + col("v").cast("long")
+    val m = oriented.count()
+    if (m == 0) None else {
+      // expectedNumItems capped so the sketch never exceeds ~1.2 GB of
+      // driver/broadcast memory even on a 10¹⁰-edge graph; beyond the
+      // cap fpp degrades gracefully (weaker prune, same exact result)
+      val zero = org.apache.spark.util.sketch.BloomFilter.create(
+        m.max(1000L).min(1000000000L), 0.02)
+      val bf = oriented.select(packed.as("k")).rdd
+        .treeAggregate(zero)(
+          (f, row) => { f.putLong(row.getLong(0)); f },
+          (a, b) => { a.mergeInPlace(b); a })
+      Some(oriented.sparkSession.sparkContext.broadcast(bf))
+    }
+  }
+
+  private[graft] def triangleTriplesDf(oriented: DataFrame,
+      sketch: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]]): DataFrame = {
     // wedge enumeration stays a STREAMED self-join on u: an array
     // expansion (collect_set per center + O(deg²) pair array, the
     // coPairsDf trick) was measured 9× SLOWER here (82 s vs 9 s at
@@ -245,23 +280,13 @@ object Graph {
     // after the fix), merges fpp-sized partials (not rows), and the
     // count reuses the persisted relation the query materializes
     // anyway.
-    val packed = shiftleft(col("u").cast("long"), 32) + col("v").cast("long")
-    val m = oriented.count()
     val wedges = oriented.join(o2, col("u") === col("u2") && col("v") =!= col("w"))
-    val pruned = if (m == 0) wedges else {
-      // expectedNumItems capped so the sketch never exceeds ~1.2 GB of
-      // driver/broadcast memory even on a 10¹⁰-edge graph; beyond the
-      // cap fpp degrades gracefully (weaker prune, same exact result)
-      val zero = org.apache.spark.util.sketch.BloomFilter.create(
-        m.max(1000L).min(1000000000L), 0.02)
-      val bf = oriented.select(packed.as("k")).rdd
-        .treeAggregate(zero)(
-          (f, row) => { f.putLong(row.getLong(0)); f },
-          (a, b) => { a.mergeInPlace(b); a })
-      val bc = spark.sparkContext.broadcast(bf)
-      val mightClose = udf((vw: Long) => bc.value.mightContainLong(vw))
-      wedges.filter(mightClose(
-        shiftleft(col("v").cast("long"), 32) + col("w").cast("long")))
+    val pruned = sketch match {
+      case None => wedges
+      case Some(bc) =>
+        val mightClose = udf((vw: Long) => bc.value.mightContainLong(vw))
+        wedges.filter(mightClose(
+          shiftleft(col("v").cast("long"), 32) + col("w").cast("long")))
     }
     // SHUFFLE_HASH: the closing probe must never SORT the wedge stream.
     // Unhinted, the planner picks sort-merge and the sort buffers the
@@ -1553,7 +1578,18 @@ object Graph {
     * partial-agged groupBy. Shared by g17 (top-N report) and g18's
     * per-round truss peel. */
   private[graft] def edgeSupportsOf(oriented: DataFrame): DataFrame =
-    triangleTriplesDf(oriented)
+    edgeSupportsOf(oriented, buildEdgeSketch(oriented))
+
+  /** Sketch-passing overload: a sketch built over any SUPERSET of
+    * `oriented` keeps the result exact (false positives only weaken
+    * the prune) — but see the [[triangleTriplesDf]] reuse warning:
+    * reusing a pre-peel sketch across peel rounds measured as a wash
+    * (the weaker prune eats the saved build), so only pass one when
+    * the edge set is unchanged between calls. */
+  private[graft] def edgeSupportsOf(oriented: DataFrame,
+      sketch: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]]): DataFrame =
+    triangleTriplesDf(oriented, sketch)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("ea"),
           greatest(col("u"), col("v")).as("eb")),
@@ -1615,6 +1651,14 @@ object Graph {
     val sc = lineitem.sparkSession.sparkContext
     var o = orientedEdgesDf(lineitem).persist()
     o.count() // register the cache BEFORE the tracked diff windows
+    // Each round builds a FRESH edge sketch — reusing round 1's bloom
+    // across rounds (a superset filter, so still exact) was measured
+    // and found a wash (r9, VERDICT-r8 #4): 335.0 s reused vs 335.3 s
+    // fresh at sf5, 11.15 vs 11.87 s at sf0.1. The saved count+build
+    // jobs are cheap, and the stale filter passes exactly the wedges
+    // whose closing edge was just peeled — the rows the rebuild
+    // exists to drop. Below the keep bar → keep the simpler fresh
+    // build. SCALING.md round-9 has the full A/B.
     var (supp, blocks) = truncateTracked(edgeSupportsOf(o))
     // threshold relation (one row, persisted): 25th-percentile support
     // among round-1 triangle edges, k = t + 2
