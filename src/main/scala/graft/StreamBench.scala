@@ -162,13 +162,17 @@ object StreamBench {
       .select(col("value").as("event_id"),
         col("timestamp").as("ts"),
         // user_id from value DIV 2 (the benchIntervalJoin parity fix,
-        // ADVICE r8): click 2k and view 2k+1 share user k%4096, so the
-        // matched-emission path actually runs. Clicks at value%16==14
-        // (every 8th click) keep the carve-out to the isolated 61440+
-        // range views never reach → genuinely matchless stratum.
+        // ADVICE r8): click 2k and view 2k+1 share user k%61440, so
+        // the matched-emission path actually runs — at the SAME
+        // ~1.6 views/click match density as the inner bench (the
+        // first fix used a 4096-user space: ~24 matches/click, a 24×
+        // output amplification that snowballed the backlog and read
+        // as unbounded state). Clicks at value%16==14 (every 8th
+        // click) keep the carve-out to the isolated 61440+ range
+        // views never reach → genuinely matchless stratum.
         when(col("value") % 16 === 14,
           ((col("value") / 2).cast("long") % 4096) + 61440L)
-          .otherwise((col("value") / 2).cast("long") % 4096).as("user_id"),
+          .otherwise((col("value") / 2).cast("long") % 61440).as("user_id"),
         when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
         lit(1.0).as("value"))
     runQuery(spark,
@@ -191,11 +195,14 @@ object StreamBench {
       .option("rowsPerSecond", rps).load()
       .select(col("value").as("event_id"),
         col("timestamp").as("ts"),
+        // same 61440-user base density as the outer bench; matchless
+        // clicks park at 61440+, matchless views at 70000+ (disjoint
+        // from base AND from the click carve-out)
         when(col("value") % 16 === 14,
           ((col("value") / 2).cast("long") % 4096) + 61440L)
           .when(col("value") % 16 === 13,
-            ((col("value") / 2).cast("long") % 4096) + 53248L)
-          .otherwise((col("value") / 2).cast("long") % 4096).as("user_id"),
+            ((col("value") / 2).cast("long") % 4096) + 70000L)
+          .otherwise((col("value") / 2).cast("long") % 61440).as("user_id"),
         when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
         lit(1.0).as("value"))
     runQuery(spark,
