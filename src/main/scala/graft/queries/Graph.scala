@@ -412,13 +412,14 @@ object Graph {
   val ccSupport = 3
   val compRounds = 4
 
-  def components(s: SparkSession, dir: String): DataFrame =
-    componentsDf(t(s, dir, "lineitem"))
-
-  def componentsDf(lineitem: DataFrame): DataFrame = {
-    // per-order pair expansion, one (ok, pair) row per co-occurrence —
-    // counted, not distinct-ed, so support = number of shared orders
-    val pairCounts = lineitem
+  /** Shared co-purchase pair expansion — ONE spelling for the three
+    * queries on this graph (g03 components, g07 LPA, g19 modularity):
+    * parts linked when they co-occur in ≥ [[ccSupport]] distinct
+    * orders, one (a<b, support) row per recurring pair. Per-order
+    * join-free array expansion (the g02 shape), counted not
+    * distinct-ed, so support = number of shared orders. */
+  private[queries] def supportPairsDf(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .groupBy(col("ok"))
@@ -430,6 +431,24 @@ object Graph {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= ccSupport)
+
+  /** The pc CTE twin of [[supportPairsDf]] — the oracle side may
+    * afford the quadratic self-join form. Shared verbatim by the
+    * g03/g07/g19 twins (a drifted copy would silently desync the
+    * graphs they analyze). */
+  private val coPairSupportCte =
+    s"""pc AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |    COUNT(DISTINCT a.l_orderkey) AS support
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $ccSupport)""".stripMargin
+
+  def components(s: SparkSession, dir: String): DataFrame =
+    componentsDf(t(s, dir, "lineitem"))
+
+  def componentsDf(lineitem: DataFrame): DataFrame = {
+    val pairCounts = supportPairsDf(lineitem)
     // the expansion is the expensive subtree and feeds four consumers
     // (nodes twice via union, und twice) — persist it once
     val edges = pairCounts.select(col("a").as("src"), col("b").as("dst"))
@@ -465,12 +484,7 @@ object Graph {
          |  SELECT p.id, q.label
          |  FROM p$r p JOIN p$r q ON p.label = q.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pc AS MATERIALIZED (
-       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
-       |    COUNT(DISTINCT a.l_orderkey) AS support
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $ccSupport),
+    s"""WITH $coPairSupportCte,
        |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM pc
        |      UNION ALL SELECT b, a FROM pc),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM u),
@@ -760,18 +774,7 @@ object Graph {
     labelPropDf(t(s, dir, "lineitem"))
 
   def labelPropDf(lineitem: DataFrame): DataFrame = {
-    val pairCounts = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("pks"))
-      .select(explode(expr(
-        """flatten(transform(pks,
-           (x, i) -> transform(slice(pks, i + 2, size(pks)),
-                               y -> struct(x AS a, y AS b))))""")).as("e"))
-      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= ccSupport)
+    val pairCounts = supportPairsDf(lineitem)
     val edges = pairCounts
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairCounts.select(col("b").as("src"), col("a").as("dst")))
@@ -818,12 +821,7 @@ object Graph {
          |      ORDER BY c DESC, lbl) AS rk FROM c$r)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pc AS MATERIALIZED (
-       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
-       |    COUNT(DISTINCT a.l_orderkey) AS support
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $ccSupport),
+    s"""WITH $coPairSupportCte,
        |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM pc
        |      UNION ALL SELECT b, a FROM pc),
        |l0 AS MATERIALIZED (
@@ -1736,7 +1734,160 @@ object Graph {
        |ORDER BY support DESC, a, b LIMIT $triTopN""".stripMargin
   }
 
+  // ---------------------------------------------------- g19 modularity
+  /** g19: Newman modularity of the co-purchase graph's two partitions —
+    * the quality metric OVER the partition operators: does g03's
+    * connectivity partition or g07's LPA density partition explain the
+    * edge mass better? Q = Σ_c [ e_c/m − (d_c/2m)² ] per community c
+    * (e_c intra-community edges, d_c degree mass, m total edges) —
+    * the objective Louvain climbs, here computed exactly for the two
+    * partitions the surface already ships, so "did the community pass
+    * produce structure" is a measured relation, not a visual judgment.
+    *
+    * Determinism (the g01 fixed-point discipline): every term is an
+    * exact integer in ppm — intra_ppm = e_c·10⁶ div m, the expected
+    * share (d_c·10⁶ div 2m)² div 10⁶ — summed over communities; both
+    * engines floor identically, no float anywhere. Overflow audit
+    * (the q59 widen rule): d_c·10⁶ ≤ 2m·10⁶ (< 2⁶³ through sf10⁴);
+    * the share is ≤ 10⁶ so its square is ≤ 10¹².
+    *
+    * Scale shape: reuses [[supportPairsDf]] (persisted once, feeds
+    * both label recurrences and the scorer), g03's pointer-jumping CC
+    * labels and g07's LPA recurrence verbatim; scoring is two
+    * node-sized hash joins (labels ⋈ degrees, pairs ⋈ labels×2) +
+    * community-sized aggs; output is 2 rows. Nothing beyond the label
+    * rounds themselves moves more than |E| integers. */
+  def modularity(s: SparkSession, dir: String): DataFrame =
+    modularityDf(t(s, dir, "lineitem"))
+
+  def modularityDf(lineitem: DataFrame): DataFrame = {
+    import graft.operators.ConnectedComponents.truncate
+    // one-direction unique pairs (a<b): m = |pairs|; persisted — feeds
+    // the CC seed, the LPA seed, the degree agg and the intra scorer
+    val pairs = supportPairsDf(lineitem)
+      .select(col("a"), col("b")).persist()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val cc = graft.operators.ConnectedComponents
+      .minLabelJumping(nodes, edges, compRounds)
+      .select(col("id").as("node"), col("label").as("lbl"))
+    // g07's LPA recurrence verbatim (self-vote, struct-max argmax)
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
+    var lpa = truncate(und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to lpRounds) {
+      lpa = truncate(und.join(lpa, und("src") === lpa("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionByName(lpa.select(col("node"), col("lbl")))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("top"))
+        .select(col("node"), (-col("top.nl")).as("lbl")))
+    }
+    val m = pairs.agg(count(lit(1)).as("m")) // one-row, broadcast below
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    def score(lbls: DataFrame, method: String): DataFrame = {
+      val dsum = deg.join(lbls, "node")
+        .groupBy(col("lbl")).agg(sum(col("d")).as("dc"))
+      val intra = pairs
+        .join(lbls.select(col("node").as("a"), col("lbl").as("la")), "a")
+        .join(lbls.select(col("node").as("b"), col("lbl").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+      dsum.join(intra, Seq("lbl"), "left")
+        .na.fill(0L, Seq("ec")) // communities with no internal edge
+        .crossJoin(broadcast(m)) // broadcast-scalar idiom: one-row agg
+        .withColumn("q_c", expr(
+          """ec * 1000000 div m
+             - ((dc * 1000000 div (2 * m)) * (dc * 1000000 div (2 * m)))
+               div 1000000"""))
+        .agg(count(lit(1)).as("n_communities"),
+          coalesce(sum(col("ec")), lit(0L)).as("intra_edges"),
+          coalesce(sum(col("q_c")), lit(0L)).as("q_ppm"))
+        .select(lit(method).as("method"),
+          col("n_communities"), col("intra_edges"), col("q_ppm"))
+    }
+    score(cc, "components").unionByName(score(lpa, "lpa"))
+      .orderBy("method")
+  }
+
+  /** DuckDB twin: the shared pc CTE, BOTH recurrences unrolled under
+    * disjoint CTE names (cp/cl = g03's propagate/jump, lc/ll = g07's
+    * count/argmax — every round CTE MATERIALIZED, the g03 2^rounds
+    * lesson), then the identical integer-ppm scorer per partition.
+    * The LPA argmax keeps g07's deliberately-different ROW_NUMBER
+    * spelling so a tie-break bug in either engine breaks the
+    * differential here too. */
+  private val modularitySql = {
+    val ccRounds = (1 to compRounds).map { r =>
+      s"""cp$r AS MATERIALIZED (
+         |  SELECT l.id, LEAST(l.label, COALESCE(m.nbr, l.label)) AS label
+         |  FROM cl${r - 1} l LEFT JOIN (
+         |    SELECT u.src AS id, MIN(n.label) AS nbr
+         |    FROM u JOIN cl${r - 1} n ON n.id = u.dst GROUP BY u.src) m
+         |  USING (id)),
+         |cl$r AS MATERIALIZED (
+         |  SELECT p.id, q.label
+         |  FROM cp$r p JOIN cp$r q ON p.label = q.id)""".stripMargin
+    }.mkString(",\n")
+    val lpaRounds = (1 to lpRounds).map { r =>
+      s"""lc$r AS MATERIALIZED (
+         |  SELECT node, lbl, COUNT(*) AS c FROM (
+         |    SELECT e.dst AS node, l.lbl
+         |    FROM u e JOIN ll${r - 1} l ON e.src = l.node
+         |    UNION ALL SELECT node, lbl FROM ll${r - 1})
+         |  GROUP BY 1, 2),
+         |ll$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rk FROM lc$r)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    def scoreCtes(tag: String, lblCte: String, nodeCol: String,
+                  lblCol: String, method: String): String =
+      s"""ds_$tag AS (
+         |  SELECT l.$lblCol AS lbl, SUM(g.d) AS dc
+         |  FROM deg g JOIN $lblCte l ON g.node = l.$nodeCol
+         |  GROUP BY 1),
+         |in_$tag AS (
+         |  SELECT la.$lblCol AS lbl, CAST(COUNT(*) AS BIGINT) AS ec
+         |  FROM p JOIN $lblCte la ON p.a = la.$nodeCol
+         |         JOIN $lblCte lb ON p.b = lb.$nodeCol
+         |           AND la.$lblCol = lb.$lblCol
+         |  GROUP BY 1),
+         |q_$tag AS (
+         |  SELECT '$method' AS method,
+         |    CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    CAST(COALESCE(SUM(COALESCE(ec, 0)), 0) AS BIGINT) AS intra_edges,
+         |    CAST(COALESCE(SUM(COALESCE(ec, 0) * 1000000 // m
+         |      - ((dc * 1000000 // (2 * m)) * (dc * 1000000 // (2 * m)))
+         |        // 1000000), 0) AS BIGINT) AS q_ppm
+         |  FROM ds_$tag LEFT JOIN in_$tag USING (lbl) CROSS JOIN mm)""".stripMargin
+    s"""WITH $coPairSupportCte,
+       |p AS MATERIALIZED (SELECT a, b FROM pc),
+       |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+       |      UNION ALL SELECT b, a FROM p),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM u GROUP BY src),
+       |cl0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM u),
+       |$ccRounds,
+       |ll0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM u),
+       |$lpaRounds,
+       |${scoreCtes("cc", s"cl$compRounds", "id", "label", "components")},
+       |${scoreCtes("lpa", s"ll$lpRounds", "node", "lbl", "lpa")}
+       |SELECT * FROM q_cc UNION ALL SELECT * FROM q_lpa
+       |ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g19_modularity" -> modularity _,
     "g18_ktruss" -> ktruss _,
     "g17_edge_support" -> edgeSupport _,
     "g16_ppr_landmark" -> pprLandmark _,
@@ -1757,6 +1908,7 @@ object Graph {
     "g05_bfs_hops"  -> bfsHops _)
 
   val oracle: Map[String, String] = Map(
+    "g19_modularity" -> modularitySql,
     "g18_ktruss" -> ktrussSql,
     "g17_edge_support" -> edgeSupportSql,
     "g16_ppr_landmark" -> pprLandmarkSql,

@@ -445,7 +445,127 @@ object Pipeline {
       |    AS BIGINT) AS top_share_ppm
       |FROM g ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------- e06
+  /** e06: pipeline attrition funnel — the data-card table a corpus
+    * release publishes (the C4/Dolma-style per-gate survivor table):
+    * documents and token mass surviving each stage, raw → t08 quality
+    * gate → d01 exact dedup → d10 decontamination, with the per-stage
+    * drop. Each gate reuses the EXACT spelling of the operator it
+    * audits ([[TextOps.gateScored]], the d01 min-doc_id keeper, d10's
+    * df-pruned shingle rule against the raw — the eval suite is
+    * external and ungated — benchmark slice), so the funnel can never
+    * drift from the pipeline it describes.
+    *
+    * Scale shape: every stage aggregate is a one-row partial-agged
+    * pass (the e01 40-byte discipline — payloads never shuffle: dedup
+    * moves (md5, doc_id), decontamination moves df-pruned shingles
+    * with the eval side broadcast, exactly d10's posture); the only
+    * window is the dropped-column lag over the funnel itself —
+    * stage-count-sized by construction, never data-sized. */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame =
+    qualityFunnelDf(t(s, dir, "documents"))
+
+  def qualityFunnelDf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.gateScored(documents)
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("reason"))
+    val ok = scored.filter(col("reason") === "ok")
+    val keepers = ok
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // kept feeds its own stage row, the shingle stream and the final
+    // stage — persist the slim (doc_id, text, n_tokens) relation once
+    val kept = ok.join(keepers, "doc_id")
+      .select(col("doc_id"), col("text"), col("n_tokens")).persist()
+    val cand = kept.filter(col("doc_id") % Dedup.evalStride =!= 0)
+    val evalDocs = documents
+      .filter(col("doc_id") % Dedup.evalStride === 0)
+      .select(col("doc_id"), col("text"))
+    val base = cand.select(col("doc_id"), col("text"))
+      .unionByName(evalDocs)
+    val shAll = base
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+           i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
+      .distinct()
+    val keepSh = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.maxShingleDf)
+      .select(col("sh"))
+    val sh = shAll.join(keepSh, "sh")
+    val evalSh = sh.filter(col("doc_id") % Dedup.evalStride === 0)
+      .select(col("sh")).distinct()
+    val contaminated = sh.filter(col("doc_id") % Dedup.evalStride =!= 0)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = cand.join(contaminated, Seq("doc_id"), "left_anti")
+    def stageRow(df: DataFrame, ord: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("docs_out"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_out"))
+        .select(lit(ord).as("stage"), lit(name).as("gate"),
+          col("docs_out"), col("tokens_out"))
+    val funnel = stageRow(scored, 0L, "raw")
+      .unionByName(stageRow(ok, 1L, "quality_gate"))
+      .unionByName(stageRow(kept, 2L, "exact_dedup"))
+      .unionByName(stageRow(clean, 3L, "decontaminated"))
+    funnel.withColumn("dropped",
+        coalesce(lag(col("docs_out"), 1).over(Window.orderBy(col("stage"))),
+          col("docs_out")) - col("docs_out"))
+      .orderBy("stage")
+  }
+
+  /** DuckDB twin: the shared t08 gate CTEs, d01 keeper rule and d10
+    * shingle rule spelled identically; the funnel's dropped column is
+    * the same 4-row LAG. */
+  private val qualityFunnelSql =
+    s"""WITH $gateOkCtes,
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
+       |kept AS (
+       |  SELECT o.doc_id, o.text, o.n_tokens
+       |  FROM ok o JOIN keepers k ON o.doc_id = k.doc_id),
+       |cand AS (SELECT * FROM kept WHERE doc_id % ${Dedup.evalStride} <> 0),
+       |ev AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id % ${Dedup.evalStride} = 0),
+       |base AS (SELECT doc_id, text FROM cand
+       |         UNION ALL SELECT doc_id, text FROM ev),
+       |bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+       |sh_all AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM bt),
+       |keep_sh AS (SELECT sh FROM sh_all GROUP BY sh
+       |            HAVING COUNT(*) <= ${Dedup.maxShingleDf}),
+       |shp AS (SELECT sh_all.* FROM sh_all JOIN keep_sh USING (sh)),
+       |eval_sh AS (SELECT DISTINCT sh FROM shp
+       |            WHERE doc_id % ${Dedup.evalStride} = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM shp
+       |  WHERE doc_id % ${Dedup.evalStride} <> 0
+       |    AND sh IN (SELECT sh FROM eval_sh)),
+       |f AS (
+       |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
+       |    CAST(COUNT(*) AS BIGINT) AS docs_out,
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens_out
+       |  FROM st
+       |  UNION ALL
+       |  SELECT 1, 'quality_gate', COUNT(*),
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM ok
+       |  UNION ALL
+       |  SELECT 2, 'exact_dedup', COUNT(*),
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM kept
+       |  UNION ALL
+       |  SELECT 3, 'decontaminated', COUNT(*),
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+       |  FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT stage, gate, docs_out, tokens_out,
+       |  COALESCE(LAG(docs_out) OVER (ORDER BY stage), docs_out) - docs_out
+       |    AS dropped
+       |FROM f ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_quality_funnel" -> qualityFunnel _,
     "e05_source_concentration" -> sourceConcentration _,
     "e04_corpus_report" -> corpusReport _,
     "e03_snapshot_diff" -> snapshotDiff _,
@@ -453,6 +573,7 @@ object Pipeline {
     "e02_corpus_refresh" -> corpusRefresh _)
 
   val oracle: Map[String, String] = Map(
+    "e06_quality_funnel" -> qualityFunnelSql,
     "e05_source_concentration" -> sourceConcentrationSql,
     "e04_corpus_report" -> corpusReportSql,
     "e03_snapshot_diff" -> snapshotDiffSql,

@@ -1701,7 +1701,85 @@ object Similarity {
        |    END AS BIGINT) AS dev_ppm
        |FROM sizes, tot ORDER BY cell""".stripMargin
 
+  // --------------------------------------------------- s19 kNN graph
+  /** s19: all-corpus kNN graph — EVERY vector's top-[[kGraphK]]
+    * neighbors within its trained IVF cell (single probe), with the
+    * cell carried alongside. The s01–s03 family answers "given a
+    * bounded query set, who is close"; the kNN graph asks it for the
+    * whole corpus — the construction primitive under SemDeDup-style
+    * graph filtering (d13 keeps only each cluster's representative;
+    * the graph keeps the neighborhood structure itself), embedding
+    * near-dup clustering, and similarity-graph label propagation.
+    *
+    * Because the output is corpus-sized (≤ k rows per vector), the
+    * candidate generator MUST be the cell-blocked one: per-cell
+    * all-pairs is Σ|c|², never the corpus cross join s01 affords only
+    * for its capped query set. Single-probe neighbors miss
+    * cross-boundary true neighbors exactly as s03's corpus side does —
+    * s09/s15 measure that recall trade, s18 the cell balance that
+    * bounds the per-cell quadratic; at larger corpora nCells rises
+    * ∝ n to hold Σ|c|² ≈ n²/nCells linear in n (the s15 knob).
+    *
+    * Determinism: cell choice is the integer fixed-point argmin
+    * ([[assignCells]] — no float in any discrete choice); ranking is
+    * the s01 rounded-cosine + neighbor-id total order.
+    *
+    * Scale: centroids broadcast (KBs), assignment one codegen'd map;
+    * the self-join shuffles both sides co-partitioned on cell; the
+    * rank window is per-vector over ≤ |cell| candidates. */
+  val kGraphK = 3
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphDf(t(s, dir, "embeddings"))
+
+  def knnGraphDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val seeds = trainedSeeds(e).persist()
+    val corpus = assignCells(seeds, e, 1, "cell")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.as("q")
+      .join(corpus.as("c"), col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("q.cell").as("cell"),
+        col("c.vec_id").as("neighbor_id"), cosCol.as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kGraphK)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** DuckDB twin: the shared trained chain, corpus self-join within
+    * cell (corpus MATERIALIZED — referenced twice by the candidate
+    * join), the s03 dot/norm/rank spelling. */
+  private val knnGraphSql =
+    s"""WITH $trainedChainSql,
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |corpus AS MATERIALIZED (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |cand AS (
+       |  SELECT q.vec_id, q.cell, c.vec_id AS neighbor_id
+       |  FROM corpus q JOIN corpus c
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |d AS (
+       |  SELECT cand.vec_id, cand.cell, cand.neighbor_id,
+       |    SUM(qx.v * cx.v) AS dot
+       |  FROM cand JOIN x qx ON qx.vec_id = cand.vec_id
+       |            JOIN x cx ON cx.vec_id = cand.neighbor_id AND qx.i = cx.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT d.vec_id, d.cell, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON d.vec_id = nq.vec_id
+       |         JOIN n nb ON d.neighbor_id = nb.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, cell, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT vec_id, cell, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $kGraphK ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_knn_graph"       -> knnGraph _,
     "s18_ivf_balance"     -> ivfBalance _,
     "s17_rp_recall"       -> rpRecall _,
     "s16_quant_recall"    -> quantRecall _,
@@ -1722,6 +1800,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s19_knn_graph"       -> knnGraphSql,
     "s18_ivf_balance"     -> ivfBalanceSql,
     "s17_rp_recall"       -> rpRecallSql,
     "s16_quant_recall"    -> quantRecallSql,

@@ -612,4 +612,49 @@ class GraphSpec extends SparkSpec {
         .foreach(r => assert(r._4 * 10 < 9 * r._5))
     }
   }
+
+  test("g19: two disjoint triangles score Q = 0.5 exactly under both " +
+    "partitions; partition-invariant") {
+    import spark.implicits._
+    // orders 1-3 each contain parts {1,2,3}, orders 4-6 parts {4,5,6}:
+    // every in-clique pair co-occurs in 3 orders (= ccSupport), so the
+    // graph is two disjoint triangles. m = 6; per clique e_c = 3,
+    // d_c = 6 → intra_ppm 500000, expected (500000)²/10⁶ = 250000,
+    // q_c = 250000 → Q = 500000 ppm with 2 communities either way
+    // (LPA converges to min-id labels inside each triangle in round 1).
+    val li = (1L to 3L).flatMap(ok => Seq(1L, 2L, 3L).map(pk => (ok, pk)))
+      .++((4L to 6L).flatMap(ok => Seq(4L, 5L, 6L).map(pk => (ok, pk))))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.modularityDf(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("components", 2L, 6L, 500000L),
+      ("lpa", 2L, 6L, 500000L)))
+    val again = Graph.modularityDf(li.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sameElements(again))
+  }
+
+  test("g19: a single community scores Q = 0 exactly (intra = expected)") {
+    import spark.implicits._
+    // one triangle: the whole graph is one component = one community;
+    // e_c = m and d_c = 2m, so intra_ppm = 10⁶ = expected_ppm → Q = 0
+    val li = (1L to 3L).flatMap(ok => Seq(1L, 2L, 3L).map(pk => (ok, pk)))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.modularityDf(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("components", 1L, 3L, 0L),
+      ("lpa", 1L, 3L, 0L)))
+  }
+
+  test("g19: empty input yields the two zero rows, no failure") {
+    import spark.implicits._
+    val li = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    val out = Graph.modularityDf(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("components", 0L, 0L, 0L),
+      ("lpa", 0L, 0L, 0L)))
+  }
 }

@@ -119,4 +119,35 @@ class PipelineSpec extends SparkSpec {
       assert(top >= 1000000L / n - 1)
     }
   }
+
+  test("e06: funnel stages reconcile hand-traced gate/dedup/decontam " +
+    "drops; dropped telescopes; partition-invariant") {
+    // fixture trace: docs 2 (too_short), 4 (low_diversity),
+    // 5 (no_stopwords) fail the gate → {0, 1, 3}; doc 1 is doc 0's
+    // exact copy → {0, 3}; doc 0 IS the eval slice (0 % 50 = 0) so it
+    // leaves the corpus at the decontamination stage; doc 3 shares no
+    // 3-gram with it → survives → {3}
+    val tok = Map(0 -> 12L, 1 -> 12L, 2 -> 3L, 3 -> 11L, 4 -> 12L, 5 -> 10L)
+    val out = Pipeline.qualityFunnelDf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, "raw", 6L, tok.values.sum, 0L),
+      (1L, "quality_gate", 3L, tok(0) + tok(1) + tok(3), 3L),
+      (2L, "exact_dedup", 2L, tok(0) + tok(3), 1L),
+      (3L, "decontaminated", 1L, tok(3), 1L)))
+    // docs_out monotone non-increasing and dropped telescopes by
+    // construction — re-assert on the real table where the trace is
+    // not hand-checkable
+    val sfOut = Pipeline.qualityFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(sfOut.length === 4)
+    sfOut.sliding(2).foreach { case Array((_, prev, _), (_, cur, dropped)) =>
+      assert(cur <= prev && dropped === prev - cur)
+    }
+    val again = Pipeline.qualityFunnelDf(docs.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.sameElements(again))
+  }
 }

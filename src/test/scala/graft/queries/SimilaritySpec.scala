@@ -368,6 +368,51 @@ class SimilaritySpec extends SparkSpec {
       (0L, 12L, 7L, 3L)))
   }
 
+  test("s19: kNN graph covers every multi-member cell's vectors; edges " +
+    "stay in-cell; top-1 matches a per-cell brute recompute") {
+    val out = Similarity.knnGraphDf(clustered)
+      .select("vec_id", "cell", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    // rank is dense 1..k per vector and capped at kGraphK
+    val byV = out.groupBy(_._1)
+    byV.values.foreach { rows =>
+      assert(rows.length <= Similarity.kGraphK)
+      assert(rows.map(_._5).sorted.sameElements(1L to rows.length))
+    }
+    // every vector shares its cell with all of its neighbors, and the
+    // graph covers exactly the vectors whose cell has >= 2 members
+    val cellOf = out.map(r => (r._1, r._2)).toMap ++
+      out.map(r => (r._3, r._2)).toMap
+    out.foreach(r => assert(cellOf(r._3) === r._2))
+    // per-cell brute recompute of the top-1 neighbor (rounded-cosine +
+    // id order, the contract's total order)
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val members = out.map(r => (r._1, r._2)).distinct.groupBy(_._2)
+    for ((cell, vs) <- members; (v, _) <- vs if byV.contains(v)) {
+      val want = vs.map(_._1).filter(_ != v)
+        .map(n => (cos(vecs(v), vecs(n)), n))
+        .maxBy { case (c, n) => (c, -n) }
+      val got = byV(v).find(_._5 == 1L).get
+      assert((got._4, got._3) === want,
+        s"top-1 of $v in cell $cell: got $got, want $want")
+    }
+    // deterministic under re-partitioning
+    val again = Similarity.knnGraphDf(clustered.repartition(7))
+      .select("vec_id", "cell", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._5))
+      .sameElements(again.sortBy(r => (r._1, r._5))))
+  }
+
   test("s15: probe-sweep recall is monotone in nprobe and EXACTLY 1.0 " +
       "when every cell is probed") {
     val out = Similarity.ivfProbeSweep(spark, sf).collect()
