@@ -1153,9 +1153,15 @@ object Sketches {
     val keys = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
+    // popcount hoisted onto the one-row sketch relation (the a17
+    // lesson: the per-row fold under the probe agg re-ran 64 words ×
+    // every absent row)
     val sk = keys.agg(
       PortableBloom.portableBloom(col("c_custkey").cast("string"))
         .as("sketch"))
+      .select(col("sketch"), expr(
+        "aggregate(sketch, 0L, (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))")
+        .as("sb"))
     val exactFlag = keys
       .select(col("c_custkey").as("o_custkey"), lit(1L).as("is_bldg"))
     t(s, dir, "orders")
@@ -1168,9 +1174,7 @@ object Sketches {
         sum(when(PortableBloom.hit(col("sketch"),
           col("o_custkey").cast("string")), 1L).otherwise(0L))
           .as("n_false"),
-        max(expr(
-          "aggregate(sketch, 0L, (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))"))
-          .as("set_bits"))
+        first(col("sb")).as("set_bits"))
       .select(col("o_orderstatus"), col("n_absent"), col("n_false"),
         expr("n_false * 1000000 div n_absent").as("fpr_ppm"),
         col("set_bits"),
@@ -1248,12 +1252,20 @@ object Sketches {
     val (bits, depth) = bloomParamsFor(keys.count())
     val popcnt = (c: String) =>
       expr(s"aggregate($c, 0L, (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))")
+    // Popcounts are properties of the ONE-ROW sketch relation — compute
+    // them here, once. Inside the probe-side agg the identical fold
+    // re-ran per absent row (interpreted ArrayAggregate × 15 M rows ×
+    // 8 K sized-geometry words at sf1 — the straggler task that stalled
+    // the round-9 sf1 sweep; row-invariant expressions never belong
+    // under a row-sized aggregate).
     val sk = keys.agg(
       PortableBloom.portableBloom(col("c_custkey").cast("string"))
         .as("skd"),
       PortableBloom.portableBloom(col("c_custkey").cast("string"),
         bits, depth).as("sks"),
       count(lit(1)).as("n_keys"))
+      .select(col("skd"), col("sks"), col("n_keys"),
+        popcnt("skd").as("sbd"), popcnt("sks").as("sbs"))
     t(s, dir, "orders")
       .select(col("o_custkey"))
       .join(broadcast(keys.select(col("c_custkey").as("o_custkey"))),
@@ -1267,8 +1279,8 @@ object Sketches {
         sum(when(PortableBloom.hit(col("sks"),
           col("o_custkey").cast("string"), bits, depth), 1L).otherwise(0L))
           .as("nfs"),
-        max(popcnt("skd")).as("sbd"),
-        max(popcnt("sks")).as("sbs"))
+        first(col("sbd")).as("sbd"),
+        first(col("sbs")).as("sbs"))
       .select(explode(array(
         struct(lit("contract_4096").as("geometry"),
           lit(PortableBloom.bits.toLong).as("bits"), col("n_keys"),

@@ -832,4 +832,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("a17/a16: sketch popcounts stay on the one-row sketch relation — " +
+    "the probe-side aggregate carries first(), never the array fold") {
+    // the r9 straggler: an interpreted ArrayAggregate popcount under
+    // the probe agg re-ran 8K words × 15M absent rows at sf1; the fix
+    // hoists it onto the broadcast one-row sketch. first(sbd)/first(sb)
+    // in the probe agg IS the hoist — re-inlining the fold removes it.
+    val p17 = plan(graft.queries.Sketches.bloomSizedAudit(spark, sf))
+    assert(p17.contains("first(sbd") && p17.contains("first(sbs"),
+      "a17 probe agg no longer first()s the hoisted popcounts:\n" + p17)
+    val p16 = plan(graft.queries.Sketches.bloomFprAudit(spark, sf))
+    assert(p16.contains("first(sb"),
+      "a16 probe agg no longer first()s the hoisted popcount:\n" + p16)
+  }
 }

@@ -73,7 +73,26 @@ NEW_BF = """d AS (
         FROM embeddings) c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % 50 = 0 AND q.vec_id < 50000)"""
 
-REWRITES = [(OLD, NEW), (OLD_D13, NEW_D13), (OLD_BF, NEW_BF)]
+# s19's all-corpus in-cell kNN graph: ~50M candidate pairs x 64 dims
+# unnest join at sf1 (the d06 shape, corpus-sized) — same
+# list_dot_product treatment, cells compared after ROUND(.,4).
+OLD_S19 = """d AS (
+  SELECT cand.vec_id, cand.cell, cand.neighbor_id,
+    SUM(qx.v * cx.v) AS dot
+  FROM cand JOIN x qx ON qx.vec_id = cand.vec_id
+            JOIN x cx ON cx.vec_id = cand.neighbor_id AND qx.i = cx.i
+  GROUP BY 1, 2, 3)"""
+NEW_S19 = """d AS (
+  SELECT cand.vec_id, cand.cell, cand.neighbor_id,
+    list_dot_product(ea.emb, eb.emb) AS dot
+  FROM cand
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings) ea ON cand.vec_id = ea.vec_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings) eb ON cand.neighbor_id = eb.vec_id)"""
+
+REWRITES = [(OLD, NEW), (OLD_D13, NEW_D13), (OLD_BF, NEW_BF),
+            (OLD_S19, NEW_S19)]
 
 def main(out_dir):
     p = f"{out_dir}/oracle_sql.json"
