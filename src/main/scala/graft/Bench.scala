@@ -76,23 +76,59 @@ object Bench {
     // still runs between IT and the timed reps.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1")
       .toInt.max(0)
-    // Process-CPU per query, alongside wall: the r9 double-run measured
-    // the wall envelope as RUN-level (whole rep distributions shift
-    // between JVMs — q08 read [0.41..0.51] in one run and [0.71..1.02]
-    // in the next, disjoint), so no rep count can tighten wall below
-    // ~1.4×. Process-CPU time is immune to scheduling/idle-wait and is
-    // the column the round-over-round diff should trust for "did this
-    // query's WORK change"; a wall-mover with a flat cpu row is host
-    // noise by construction.
-    val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Executor-thread CPU per query, alongside wall: the r9 double-run
+    // measured the wall envelope as RUN-level (whole rep distributions
+    // shift between JVMs — q08 read [0.41..0.51] in one run and
+    // [0.71..1.02] in the next, disjoint), so no rep count tightens
+    // wall below ~1.3-1.4× p90 on this host. A first cut recorded
+    // whole-PROCESS CpuTime and measured WORSE than wall (median mover
+    // 1.175 vs 1.078 across a back-to-back pair): process CPU sweeps
+    // in JIT/GC/ContextCleaner background threads, which dwarf a
+    // sub-second query's own work. The column that isolates "did this
+    // query's WORK change" is the CPU of the EXECUTOR TASK THREADS
+    // only — in local mode a stable pool named "Executor task launch
+    // worker-N" — summed before/after each rep via ThreadMXBean.
+    // Snapshot (threadId → cpuNanos) and difference PER ID: the pool's
+    // threads die on a 60 s keepalive, and a dead thread's accumulated
+    // CPU vanishing from an aggregate sum made whole-rep deltas go
+    // NEGATIVE (9 queries in the first full run). Per-id deltas are
+    // immune: a respawned id counts from zero (correct), a thread that
+    // dies mid-rep merely undercounts its tail.
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+    def execCpuSnap(): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+      val out = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val ids = tmx.getAllThreadIds
+      val infos = tmx.getThreadInfo(ids)
+      var i = 0
+      while (i < ids.length) {
+        val info = infos(i)
+        if (info != null &&
+            info.getThreadName.startsWith("Executor task launch worker")) {
+          val t = tmx.getThreadCpuTime(ids(i))
+          if (t > 0) out.put(ids(i), t)
+        }
+        i += 1
+      }
+      out
+    }
+    def execCpuDelta(
+        before: java.util.HashMap[java.lang.Long, java.lang.Long],
+        after: java.util.HashMap[java.lang.Long, java.lang.Long]): Long = {
+      var sum = 0L
+      val it = after.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val b = before.getOrDefault(e.getKey, 0L)
+        if (e.getValue > b) sum += e.getValue - b
+      }
+      sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       val times = (1 - warmups to reps).map { _ =>
         val t0 = System.nanoTime()
-        val c0 = osBean.getProcessCpuTime
+        val c0 = execCpuSnap()
         try fn(spark, sfDir).foreach(_ => ())
         catch { case e: Throwable =>
           // FIRST LINE only: a multi-line Spark message interleaves
@@ -107,7 +143,7 @@ object Bench {
               .flatMap(_.linesIterator.nextOption())
               .getOrElse(e.toString))
         }
-        val dc = (osBean.getProcessCpuTime - c0) / 1e9
+        val dc = execCpuDelta(c0, execCpuSnap()) / 1e9
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop any query-internal persists
         // clearCache only drops CATALOG-cached plans — localCheckpoint
@@ -138,8 +174,8 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"${v.map(_._1).min}%.3f" }
       .mkString("{", ",", "}")
-    // per-query min process-CPU seconds — the run-stable column (see
-    // the osBean note above)
+    // per-query min executor-thread-CPU seconds — the work column (see
+    // the execCpu note above)
     val cpuQs = results
       .map { case (k, v) => "\"" + k + "\":" + f"${v.map(_._2).min}%.3f" }
       .mkString("{", ",", "}")
