@@ -92,8 +92,11 @@ object Bench {
     // threads die on a 60 s keepalive, and a dead thread's accumulated
     // CPU vanishing from an aggregate sum made whole-rep deltas go
     // NEGATIVE (9 queries in the first full run). Per-id deltas are
-    // immune: a respawned id counts from zero (correct), a thread that
-    // dies mid-rep merely undercounts its tail.
+    // immune: a respawned id counts from zero (correct); a thread that
+    // hits its keepalive mid-rep is absent from the after snapshot, so
+    // its ENTIRE in-rep CPU is lost (not just the tail) — acceptable
+    // for a diagnostic column, and the pool is stable within a rep in
+    // practice (the keepalive only fires across long idle gaps).
     val tmx = java.lang.management.ManagementFactory.getThreadMXBean
     def execCpuSnap(): java.util.HashMap[java.lang.Long, java.lang.Long] = {
       val out = new java.util.HashMap[java.lang.Long, java.lang.Long]()
@@ -143,8 +146,13 @@ object Bench {
               .flatMap(_.linesIterator.nextOption())
               .getOrElse(e.toString))
         }
-        val dc = execCpuDelta(c0, execCpuSnap()) / 1e9
+        // Wall stops BEFORE the closing CPU snapshot (an all-thread
+        // ThreadMXBean walk) so the wall metric stays uncontaminated
+        // by the instrumentation — the methodology treats 1.15× movers
+        // as signal, and sub-second queries would otherwise carry the
+        // snapshot cost inside every rep (ADVICE r9).
         val dt = (System.nanoTime() - t0) / 1e9
+        val dc = execCpuDelta(c0, execCpuSnap()) / 1e9
         spark.catalog.clearCache() // drop any query-internal persists
         // clearCache only drops CATALOG-cached plans — localCheckpoint
         // and raw RDD persist blocks (the iterative operators: g01/g03/

@@ -98,13 +98,27 @@ def main(out_dir):
     p = f"{out_dir}/oracle_sql.json"
     j = json.load(open(p))
     patched = []
+    matched = [False] * len(REWRITES)
     for name, sql in j.items():
-        for old, new in REWRITES:
+        for k, (old, new) in enumerate(REWRITES):
             if old in sql:
+                matched[k] = True
                 sql = sql.replace(old, new)
                 if name not in patched:
                     patched.append(name)
         j[name] = sql
+    # A textual rewrite that matches nothing is a silent no-op that
+    # leaves that oracle on the quadratic unnest join — the exact
+    # straggler class this file exists to avoid (ADVICE r9). Fail loud
+    # so generated-SQL drift is caught at patch time, not 500s into
+    # the DuckDB run.
+    unmatched = [i for i, m in enumerate(matched) if not m]
+    if unmatched:
+        for i in unmatched:
+            head = REWRITES[i][0].splitlines()[0:2]
+            print(f"UNMATCHED rewrite #{i}: {' / '.join(head)}",
+                  file=sys.stderr)
+        sys.exit(1)
     json.dump(j, open(p, "w"))
     print("patched:", sorted(patched))
 
