@@ -192,6 +192,73 @@ object Similarity {
   val numCells = 8
   val numProbes = 2
 
+  /** Geometry ceiling for the corpus-size-keyed cell count: 2^16
+    * trained centroids. At dim 64 doubles that is a ~32 MB broadcast —
+    * at the edge of comfortable executor broadcast budgets; past the
+    * ceiling (n > [[maxCells]]·[[targetCellSize]] ≈ 16.8 M vectors)
+    * cell occupancy grows again and a production build shards the
+    * corpus or moves to a hierarchical coarse quantizer (the same
+    * documented-degradation contract as [[graft.functions.
+    * PortableBloom.maxBits]]). */
+  val maxCells = 65536
+
+  /** Design cell occupancy for corpus-sized outputs (the s19 kNN
+    * graph): cells sized so Σ|c|² ≈ n·[[targetCellSize]] stays LINEAR
+    * in the corpus instead of the n²/nCells a fixed count degrades to
+    * (measured: 100× in-cell pairs for 10× data at sf1 under the fixed
+    * contract count — VERIFY_sf1.md r9). 256 keeps the per-cell
+    * all-pairs block at ~32k candidate rows. */
+  val targetCellSize = 256
+
+  /** Corpus-size-keyed IVF cell count — the fourth application of the
+    * sized-geometry discipline (cosine planes, SimHash bits, Bloom
+    * bits): nCells = the smallest power of two ≥ n/[[targetCellSize]],
+    * clamped to [contract [[numCells]], [[maxCells]]]. Reproduces the
+    * oracle-locked contract count (8) for gate corpora
+    * (n ≤ 2048 = 8·256), so the bounded-query s-series keeps its
+    * locked geometry; corpus-sized consumers (s19, s20) compute it
+    * from the corpus count and their DuckDB twins recompute the SAME
+    * size from the same COUNT(*), so the sizing formula itself is
+    * oracle-checked (the bloomParamsFor pattern). The trade this
+    * keying makes explicit: assignment work grows as n·nCells
+    * (map-side broadcast flops, no shuffle, no row blow-up), bought
+    * against the in-cell join volume n·targetCellSize (shuffled rows)
+    * — at the 100 TB design point the shuffled quadratic is the term
+    * that kills the plan, the broadcast flops are not. */
+  def cellsParamsFor(nVecs: Long): Int = {
+    val target = math.max(1L,
+      (math.max(0L, nVecs) + targetCellSize - 1) / targetCellSize.toLong)
+    val pow = 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
+    math.min(maxCells.toLong, math.max(numCells.toLong, 1L << pow)).toInt
+  }
+
+  /** Balance envelope for a [[cellsParamsFor]]-sized assignment, in
+    * the units s20 audits: the in-cell pair volume Σ|c|² must stay
+    * within 4× of the perfectly balanced n²/nCells (skew slack — real
+    * embedding corpora cluster; 4× of ideal is still ~4·targetCellSize
+    * per vector once nCells is keyed). SketchAuditSpec asserts the
+    * sized assignment satisfies this on the gate corpus AND that a
+    * degenerate all-in-one-cell assignment violates it, so both
+    * geometry drift and a collapsed quantizer fail `sbt test` instead
+    * of shipping a quadratic silently (the a16/bloom lesson). */
+  def withinKnnEnvelope(nVecs: Long, nCells: Int, sumSqPairs: Long): Boolean =
+    BigInt(sumSqPairs) * nCells <= BigInt(4) * BigInt(nVecs) * BigInt(nVecs)
+
+  /** DuckDB spelling of [[cellsParamsFor]] over a corpus COUNT(*) —
+    * composed into the s19/s20 twins so the size is recomputed from
+    * the same count on the oracle side (a drifted formula
+    * hash-fails). `CEIL(n/256.0)` and `POWER(2, CEIL(LOG2(...)))` are
+    * exact here: /256 is an exponent shift, integer-valued doubles
+    * below 2^53 are exact, and LOG2 of an exact power of two is
+    * integral. */
+  private[queries] val sizedCellsSql: String =
+    s"""nc AS (SELECT GREATEST($numCells, LEAST($maxCells,
+       |  CAST(POWER(2, CEIL(LOG2(GREATEST(
+       |    CEIL(CAST(COUNT(*) AS DOUBLE) / $targetCellSize), 1))))
+       |  AS BIGINT))) AS n_cells FROM embeddings)""".stripMargin
+
+  private[queries] val sizedCellsRef = "(SELECT n_cells FROM nc)"
+
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKDf(t(s, dir, "embeddings"))
 
@@ -369,7 +436,7 @@ object Similarity {
   /** Oracle CTE chain shared by s03/s05/s07: unnested layout `x`,
     * integer distances to the raw first-[[numCells]] seeds `sd0`, the
     * Lloyd assignment `seed_assign` (argmin, cell-id tiebreak). */
-  private def kmeansChainSql: String =
+  private def kmeansChainSqlFor(nCellsSql: String): String =
     // x is referenced up to 7× downstream (sd0 twice, ct, cd, n, the
     // dot-product join twice) — MATERIALIZED per the g03/d07 lesson or
     // DuckDB re-runs the unnest per reference at scale
@@ -380,19 +447,25 @@ object Similarity {
        |sd0 AS MATERIALIZED (
        |  SELECT c.vec_id, s.vec_id AS cell, ${sqDistSumSql("c.v", "s.v")} AS d
        |  FROM x c JOIN x s ON c.i = s.i
-       |  WHERE s.vec_id < $numCells GROUP BY 1, 2),
+       |  WHERE s.vec_id < $nCellsSql GROUP BY 1, 2),
        |seed_assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY d, cell) AS srk
        |    FROM sd0) WHERE srk = 1)""".stripMargin
 
-  /** [[kmeansChainSql]] extended with the trained quantizer s03/s07
+  /** Contract-count chain (the oracle-locked [[numCells]] geometry the
+    * bounded-query s-series spells). */
+  private def kmeansChainSql: String = kmeansChainSqlFor(numCells.toString)
+
+  /** [[kmeansChainSqlFor]] extended with the trained quantizer s03/s07
     * assign against: centroids `ct` (MATERIALIZED — referenced per
     * probe side), corpus-vs-centroid integer distances `cd`, and the
-    * nearest-cell ranking `rk`. */
-  private[queries] def trainedChainSql: String =
-    s"""$kmeansChainSql,
+    * nearest-cell ranking `rk`. `nCellsSql` is the seed-count
+    * expression — a literal for the contract chain, the [[sizedCellsRef]]
+    * scalar for corpus-size-keyed consumers (s19/s20). */
+  private[queries] def trainedChainSqlFor(nCellsSql: String): String =
+    s"""${kmeansChainSqlFor(nCellsSql)},
        |ct AS MATERIALIZED (
        |  SELECT a.cell, x.i - 1 AS pos, ${fpMeanSql("x.v")} AS centroid
        |  FROM x JOIN seed_assign a ON x.vec_id = a.vec_id
@@ -404,6 +477,9 @@ object Similarity {
        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY d, cell) AS rk
        |  FROM cd)""".stripMargin
+
+  private[queries] def trainedChainSql: String =
+    trainedChainSqlFor(numCells.toString)
 
   /** DuckDB twin of [[ivfTopKDf]]: same trained-centroid integer cell
     * assignment (corpus 1-probe, queries 2-probe), within-cell
@@ -1668,20 +1744,30 @@ object Similarity {
   def ivfBalance(s: SparkSession, dir: String): DataFrame =
     ivfBalanceDf(t(s, dir, "embeddings"))
 
-  def ivfBalanceDf(embs: DataFrame): DataFrame = {
-    val e = emb(embs)
-    val seeds = trainedSeeds(e).persist()
+  def ivfBalanceDf(embs: DataFrame): DataFrame =
+    balanceDf(emb(embs), numCells, withNCells = false)
+
+  /** Shared balance spelling (s18 at the contract count, s20 at the
+    * [[cellsParamsFor]]-sized count — one spelling, the g03/g07/g19
+    * discipline). `withNCells` additionally emits the cell count as a
+    * column so the sized twin re-derives it from COUNT(*) and the
+    * sizing formula itself is hash-checked. */
+  private def balanceDf(e: DataFrame, nCells: Int,
+      withNCells: Boolean): DataFrame = {
+    val seeds = trainedSeeds(e, nCells).persist()
     val sizes = assignCells(seeds, e, 1, "cell")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val tot = sizes.agg(sum(col("n_vecs")).as("total"))
-    sizes.crossJoin(broadcast(tot))
-      .select(col("cell"), col("n_vecs"),
+    val base = sizes.crossJoin(broadcast(tot))
+    val cols = Seq(col("cell")) ++
+      (if (withNCells) Seq(lit(nCells.toLong).as("n_cells")) else Nil) ++
+      Seq(col("n_vecs"),
         expr("n_vecs * 1000000 div total").as("share_ppm"),
-        expr(s"""CASE WHEN n_vecs * $numCells >= total
-             THEN (n_vecs * $numCells - total) * 1000000 div total
-             ELSE -((total - n_vecs * $numCells) * 1000000 div total)
+        expr(s"""CASE WHEN n_vecs * $nCells >= total
+             THEN (n_vecs * $nCells - total) * 1000000 div total
+             ELSE -((total - n_vecs * $nCells) * 1000000 div total)
              END""").as("dev_ppm"))
-      .orderBy("cell")
+    base.select(cols: _*).orderBy("cell")
   }
 
   /** DuckDB twin: the shared trained-quantizer chain, then pure integer
@@ -1716,9 +1802,17 @@ object Similarity {
     * all-pairs is Σ|c|², never the corpus cross join s01 affords only
     * for its capped query set. Single-probe neighbors miss
     * cross-boundary true neighbors exactly as s03's corpus side does —
-    * s09/s15 measure that recall trade, s18 the cell balance that
-    * bounds the per-cell quadratic; at larger corpora nCells rises
-    * ∝ n to hold Σ|c|² ≈ n²/nCells linear in n (the s15 knob).
+    * s09/s15 measure that recall trade, s20 the balance of the sized
+    * cells that bounds the per-cell quadratic.
+    *
+    * THE CELL COUNT IS CORPUS-SIZE-KEYED ([[cellsParamsFor]] — r10,
+    * closing the r9 `weak`): at the fixed contract count the in-cell
+    * pair volume is n²/8 and the r9 sf1 sweep measured it — 100× pairs
+    * for 10× data. Sized cells hold Σ|c|² ≈ n·[[targetCellSize]]
+    * linear; the DuckDB twin recomputes the count from the same
+    * COUNT(*) ([[sizedCellsSql]]), so the sizing formula is itself
+    * oracle-checked, and gate corpora (n ≤ 2048) reproduce the locked
+    * contract geometry exactly.
     *
     * Determinism: cell choice is the integer fixed-point argmin
     * ([[assignCells]] — no float in any discrete choice); ranking is
@@ -1734,7 +1828,9 @@ object Similarity {
 
   def knnGraphDf(embs: DataFrame): DataFrame = {
     val e = emb(embs)
-    val seeds = trainedSeeds(e).persist()
+    // one metadata-cheap driver count keys the geometry (the
+    // bloomParamsFor pattern — a08/e02 size their filters the same way)
+    val seeds = trainedSeeds(e, cellsParamsFor(embs.count())).persist()
     val corpus = assignCells(seeds, e, 1, "cell")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -1748,11 +1844,14 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  /** DuckDB twin: the shared trained chain, corpus self-join within
-    * cell (corpus MATERIALIZED — referenced twice by the candidate
-    * join), the s03 dot/norm/rank spelling. */
+  /** DuckDB twin: the sized cell count recomputed from COUNT(*)
+    * ([[sizedCellsSql]]), the shared trained chain seeded by that
+    * scalar, corpus self-join within cell (corpus MATERIALIZED —
+    * referenced twice by the candidate join), the s03 dot/norm/rank
+    * spelling. */
   private val knnGraphSql =
-    s"""WITH $trainedChainSql,
+    s"""WITH $sizedCellsSql,
+       |${trainedChainSqlFor(sizedCellsRef)},
        |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
        |corpus AS MATERIALIZED (SELECT vec_id, cell FROM rk WHERE rk = 1),
        |cand AS (
@@ -1778,7 +1877,43 @@ object Similarity {
        |SELECT vec_id, cell, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= $kGraphK ORDER BY vec_id, rank""".stripMargin
 
+  // ----------------------------------------------- s20 sized balance
+  /** s20: the s18 load-balance audit AT THE SIZED CELL COUNT — the
+    * operational twin of s19's geometry. s18 audits the oracle-locked
+    * contract index (8 cells, the bounded-query series); s20 audits
+    * the [[cellsParamsFor]]-keyed index the corpus-sized consumers
+    * run on, and additionally emits `n_cells` so the sizing formula
+    * is recomputed from COUNT(*) on the oracle side and hash-checked
+    * (the a17/bloomParamsFor acceptance pattern). Together with the
+    * SketchAuditSpec envelope ([[withinKnnEnvelope]]) this makes
+    * geometry drift fail `sbt test` AND the driver gate. */
+  def sizedBalance(s: SparkSession, dir: String): DataFrame =
+    sizedBalanceDf(t(s, dir, "embeddings"))
+
+  def sizedBalanceDf(embs: DataFrame): DataFrame =
+    balanceDf(emb(embs), cellsParamsFor(embs.count()), withNCells = true)
+
+  /** DuckDB twin: sized count from COUNT(*), the shared trained chain
+    * seeded by it, then integer arithmetic on the nc-row size
+    * relation with the SAME scalar in the dev arithmetic. */
+  private val sizedBalanceSql =
+    s"""WITH $sizedCellsSql,
+       |${trainedChainSqlFor(sizedCellsRef)},
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |sizes AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |  FROM corpus GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM sizes)
+       |SELECT cell, CAST($sizedCellsRef AS BIGINT) AS n_cells, n_vecs,
+       |  CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST(CASE WHEN n_vecs * $sizedCellsRef >= total
+       |    THEN (n_vecs * $sizedCellsRef - total) * 1000000 // total
+       |    ELSE -((total - n_vecs * $sizedCellsRef) * 1000000 // total)
+       |    END AS BIGINT) AS dev_ppm
+       |FROM sizes, tot ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_sized_balance"   -> sizedBalance _,
     "s19_knn_graph"       -> knnGraph _,
     "s18_ivf_balance"     -> ivfBalance _,
     "s17_rp_recall"       -> rpRecall _,
@@ -1800,6 +1935,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s20_sized_balance"   -> sizedBalanceSql,
     "s19_knn_graph"       -> knnGraphSql,
     "s18_ivf_balance"     -> ivfBalanceSql,
     "s17_rp_recall"       -> rpRecallSql,

@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   *    ≥ 900k ppm floor; s14's beyond-pigeonhole recall (measured
   *    210k–270k ppm across gate SFs — the designed cost of pruning
   *    past the distance-8 guarantee) keeps a ≥ 100k ppm collapse
-  *    floor. s09 is deliberately NOT floored here: its envelope is
+  *    floor;
+  *  - the [[Similarity.cellsParamsFor]]-sized IVF assignment (s19/s20,
+  *    r10) keeps its [[Similarity.withinKnnEnvelope]] balance bound,
+  *    the formula pins reproduce the contract count at gate corpora,
+  *    and a collapsed quantizer violates the envelope (teeth).
+  *    s09 is deliberately NOT floored here: its envelope is
   *    corpus-dependent (untuned planes on the gate embeddings), and
   *    the tuned-corpus floor is already enforced at
   *    SimilaritySpec "LSH top-k recall ... clustered data".
@@ -126,6 +131,39 @@ class SketchAuditSpec extends SparkSpec {
     assert(Dedup.simhashRelativeParamsFor(1000L) == ((32, 4, 3)))
     assert(Dedup.simhashRelativeParamsFor(60000L) == ((64, 8, 6)))
     assert(Dedup.simhashRelativeParamsFor(1000000000L) == ((128, 16, 12)))
+  }
+
+  test("s19/s20: the IVF cell count is corpus-size-keyed, the sized " +
+      "assignment stays inside the balance envelope, and the envelope " +
+      "has teeth") {
+    // sizing formula pins — gate corpora reproduce the oracle-locked
+    // contract count; the keying holds Σ|c|² ≈ n·targetCellSize linear
+    // (the r9 weak: fixed 8 cells measured 100× in-cell pairs for 10×
+    // data at sf1)
+    assert(Similarity.cellsParamsFor(500L) == 8)
+    assert(Similarity.cellsParamsFor(2000L) == 8)
+    assert(Similarity.cellsParamsFor(2048L) == 8)
+    assert(Similarity.cellsParamsFor(2049L) == 16)
+    assert(Similarity.cellsParamsFor(20000L) == 128)
+    assert(Similarity.cellsParamsFor(1L << 32) == Similarity.maxCells)
+    // the sized assignment on the gate corpus: in-cell pair volume
+    // within the 4×-of-ideal balance envelope
+    val sizes = Similarity.sizedBalance(spark, sf).collect()
+    val n = sizes.map(_.getAs[Long]("n_vecs")).sum
+    val nCells = sizes.head.getAs[Long]("n_cells").toInt
+    assert(nCells == Similarity.cellsParamsFor(n),
+      s"emitted n_cells ($nCells) drifted from cellsParamsFor($n)")
+    val sumSq = sizes.map(r => {
+      val c = r.getAs[Long]("n_vecs"); c * c
+    }).sum
+    assert(Similarity.withinKnnEnvelope(n, nCells, sumSq),
+      s"sized cells outside balance envelope: n=$n cells=$nCells " +
+        s"sumSq=$sumSq (ideal ${n * n / nCells})")
+    // teeth: a collapsed quantizer (everything in one of the cells —
+    // Σ|c|² = n²) must violate the envelope, or the threshold has
+    // rotted and a quadratic would ship silently
+    assert(!Similarity.withinKnnEnvelope(n, nCells, n * n),
+      "envelope lost its teeth: a fully-collapsed assignment passes")
   }
 
   test("s14: multi-index Hamming recall keeps its collapse floor") {
