@@ -267,11 +267,13 @@ object Dedup {
     * (n ≤ 4096) and caps at 128 bits — the width one md5 supplies
     * (hex char j/4 for bit j < 128), enough for n ≈ 10⁹ docs per
     * band-bucket-disjoint shard; beyond that, shard the corpus before
-    * fingerprinting. NOTE: the absolute hamming cutoff tightens
-    * RELATIVELY as bits grow (3/64 ≪ 3/32); callers wanting the
-    * contract's relative threshold scale the cutoff with bits and
-    * raise the band count to cutoff + 1 to keep the pigeonhole. d18's
-    * calibration is cutoff-free, so it measures any geometry as-is. */
+    * fingerprinting. NOTE: this function keys the BAND geometry only —
+    * under an absolute hamming cutoff the threshold tightens RELATIVELY
+    * as bits grow (3/64 ≪ 3/32), which d21 measured at a 440k-vs-800k
+    * ppm recall cost. Since r10 the scale DEFAULT is therefore
+    * [[simhashRelativeParamsFor]] (bits, bands, ratio-scaled cutoff) —
+    * d20 pins it; use this function directly only for cutoff-free
+    * consumers (d18's calibration measures any geometry as-is). */
   def simhashParamsFor(nDocs: Long): (Int, Int) = {
     val lg = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, nDocs - 1)) // ceil(log2 n)
@@ -340,11 +342,14 @@ object Dedup {
   def simHashPairs(s: SparkSession, dir: String): DataFrame =
     simHashPairsDf(t(s, dir, "documents"))
 
-  /** `bits`/`nBands` default to the oracle-locked contract geometry;
-    * scale callers pass `simhashParamsFor(corpus.count())` (see
-    * [[simhashParamsFor]] for the cutoff-scaling note). */
+  /** `bits`/`nBands`/`cutoff` default to the oracle-locked contract
+    * geometry; scale callers pass the full
+    * `simhashRelativeParamsFor(corpus.count())` triple — the measured
+    * default since r10 (d21: 800k vs 440k ppm recall at equal 1.0
+    * precision; decision recorded in SCALING.md). */
   def simHashPairsDf(docs: DataFrame, bits: Int = simhashBits,
-      nBands: Int = simhashBands): DataFrame = {
+      nBands: Int = simhashBands,
+      cutoff: Int = simhashMaxHamming): DataFrame = {
     // non-divisible widths would silently DROP the trailing bits from
     // every band signature, voiding the hamming-pigeonhole losslessness
     // (simhashParamsFor always returns multiples, but params are public)
@@ -369,12 +374,13 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         ham.as("hamming"))
-      .filter(col("hamming") <= simhashMaxHamming)
+      .filter(col("hamming") <= cutoff)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  private def simHashPairsSqlFor(bits: Int, nBands: Int): String = {
+  private def simHashPairsSqlFor(bits: Int, nBands: Int,
+      cutoff: Int = simhashMaxHamming): String = {
     val bandW = bits / nBands
     val bandRows = (0 until nBands).map(b =>
       s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${b * bandW + 1}, $bandW) AS sig FROM fp")
@@ -392,27 +398,36 @@ object Dedup {
        |  FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM cand
-       |WHERE hamming <= $simhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE hamming <= $cutoff ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private val simHashPairsSql: String =
     simHashPairsSqlFor(simhashBits, simhashBands)
 
   // --------------------------------------------- d20 scaled-geometry twin
-  /** d20: the d05 pair generator under the WIDENED fingerprint
-    * ([[simhashScaledBits]]-bit, same 4 bands) — the scale path of
-    * [[simhashParamsFor]] as its own oracle-checked relation, so the
-    * widened geometry is proven engine-portable (bit extraction,
-    * banding, hamming) exactly like the contract one, not merely
-    * spec-consistent with it. At the gate corpus the wider bands also
-    * demonstrate the occupancy effect the probe measured: fewer
-    * birthday candidates, identical true near-dups retained (the
-    * hamming <= 3 survivors are a subset of d05's, pinned in
-    * DedupSpec). */
+  /** d20: the d05 pair generator under the WIDENED fingerprint at the
+    * RELATIVE-cutoff geometry ([[simhashRelativeParamsFor]] at the
+    * gate-corpus decade: 64 bits, 8 bands, hamming ≤ 6) — the scale
+    * default as its own oracle-checked relation, so the widened
+    * geometry is proven engine-portable (bit extraction, banding,
+    * hamming) exactly like the contract one, not merely
+    * spec-consistent with it.
+    *
+    * THE DEFAULT FOLLOWS THE MEASUREMENT (r10, VERDICT-r9 ask #2):
+    * through r9 the scaled path shipped the absolute hamming ≤ 3
+    * cutoff, and d21 measured it recalling 440,000 ppm of the exact-
+    * Jaccard truth where the relative cutoff recalls 800,000 — at
+    * EQUAL 1.0 precision and (at the gate corpus) equal candidate
+    * volume (d21's n_pairs column; SCALING.md r10 records the trade
+    * at sf1 too). DedupSpec pins the containment direction: the
+    * relative pairs are a superset of the absolute-cutoff survivors
+    * (8 half-width bands cover every 16-bit band match, cutoff 6 ≥ 3),
+    * and exact copies stay at hamming 0. */
   val simhashScaledBits = 64
 
   def simHashPairsScaled(s: SparkSession, dir: String): DataFrame =
-    simHashPairsDf(t(s, dir, "documents"), simhashScaledBits, simhashBands)
+    simHashPairsDf(t(s, dir, "documents"), simhashScaledBits,
+      simhashRelativeBands, simhashRelativeCutoff)
 
   // --------------------------------- d21 relative-threshold geometry
   /** Relative-threshold SimHash geometry — the [[simhashParamsFor]]
@@ -1652,7 +1667,8 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d21_simhash_relative" -> simhashRelativeAuditSql,
-    "d20_simhash_scaled"  -> simHashPairsSqlFor(simhashScaledBits, simhashBands),
+    "d20_simhash_scaled"  -> simHashPairsSqlFor(simhashScaledBits,
+      simhashRelativeBands, simhashRelativeCutoff),
     "d19_cluster_drift"   -> clusterDriftSql,
     "d18_simhash_calibration" -> simhashCalibrationSql,
     "d17_minhash_calibration" -> minhashCalibrationSql,

@@ -203,20 +203,23 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("d20: scaled-geometry pairs are a subset of the contract pairs " +
-      "(wider fingerprint only tightens), exact copies stay at hamming 0") {
-    // ham64 >= ham32 on the shared 32-bit prefix, and ham64 <= 3 implies
-    // ham32 <= 3 which the 4-band pigeonhole always surfaces — so the
-    // widened geometry can only DROP weak pairs, never add or lose a
-    // true near-dup stratum
-    val wide = Dedup.simHashPairsDf(docs, Dedup.simhashScaledBits, 4)
+  test("d20: relative-cutoff scaled pairs contain the absolute-cutoff " +
+      "survivors (the r10 default recovers the recall the absolute " +
+      "cutoff drops), exact copies stay at hamming 0") {
+    // containment is structural, not statistical: every 16-bit band
+    // match is covered by both its 8-bit halves (8 half-width bands ⊇
+    // 4 full-width bands as candidate generators) and cutoff 6 ≥ 3 —
+    // so the relative geometry can only ADD pairs the absolute one
+    // dropped, never lose one
+    val rel = Dedup.simHashPairsDf(docs, Dedup.simhashScaledBits,
+        Dedup.simhashRelativeBands, Dedup.simhashRelativeCutoff)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
-    val narrow = Dedup.simHashPairsDf(docs)
+    val abs = Dedup.simHashPairsDf(docs, Dedup.simhashScaledBits, 4)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
-    assert(wide.keySet.subsetOf(narrow.keySet),
-      s"widened geometry invented pairs: ${wide.keySet -- narrow.keySet}")
-    assert(wide((0L, 2L)) === 0L) // the exact copy survives any width
-    wide.foreach { case (k, h) => assert(h >= narrow(k)) }
+    assert(abs.keySet.subsetOf(rel.keySet),
+      s"relative geometry lost absolute survivors: ${abs.keySet -- rel.keySet}")
+    assert(rel((0L, 2L)) === 0L) // the exact copy survives any geometry
+    abs.foreach { case (k, h) => assert(rel(k) === h) } // same fingerprint
     spark.catalog.clearCache()
   }
 

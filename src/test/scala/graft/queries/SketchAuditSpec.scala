@@ -121,6 +121,12 @@ class SketchAuditSpec extends SparkSpec {
     val (abs, rel) = (rows("absolute_h3"), rows("relative_h6"))
     assert(rel.getAs[Long]("recall_ppm") >= abs.getAs[Long]("recall_ppm"),
       "the relative cutoff exists to restore recall the absolute one drops")
+    // the relative geometry is the scale DEFAULT since r10 (d20 ships
+    // it) — pin the measured floor (800k ppm at the gate corpus, r9)
+    // with headroom so a regression below ~3/4 of truth fails loud
+    assert(rel.getAs[Long]("recall_ppm") >= 750000L,
+      s"default scaled geometry recall collapsed: " +
+        s"${rel.getAs[Long]("recall_ppm")} ppm")
     // lossless pigeonhole: bands > cutoff on both rows
     rows.values.foreach { r =>
       assert(r.getAs[Long]("bands") > r.getAs[Long]("cutoff"))
