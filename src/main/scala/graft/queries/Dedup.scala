@@ -112,39 +112,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Shared DuckDB CTE chain ending in `bands` (the LSH index relation)
-    * — composed into the d02/d07/d11 oracles. */
-  private val minHashBandsSql: String = {
+  /** Shared DuckDB CTE chain ending in `{p}bands` (the LSH index
+    * relation) — composed into the d02/d07/d11 oracles over
+    * `documents` (empty prefix) and, prefixed, into pipeline-stage
+    * twins that run the SAME spelling over an intermediate relation
+    * (e06's near-dup stage over `kept`). */
+  private def minHashBandsSqlFrom(rel: String, p: String): String = {
     val sigCols = (0 until numHashes)
       .map(k => s"min(substring(md5('${k / 4}:' || tok), ${1 + 8 * (k % 4)}, 8)) AS s$k")
       .mkString(", ")
     val bandRows = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"s${b * rowsPerBand + r}")
         .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
+      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM ${p}sigs"
     }.mkString("\nUNION ALL\n")
     // sigs is referenced by all band branches AND the final pair scoring
     // (6 sites), bands by both join sides — MATERIALIZED (the g03/d07
     // lesson) or DuckDB re-inlines the whole shingle DISTINCT + minhash
     // agg per site (disk-exhausted at sf1 before the hint)
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |toks AS (
+    s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
+       |${p}toks AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 1)),
        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tok
-       |  FROM d),
-       |sigs AS MATERIALIZED (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
-       |bands AS MATERIALIZED (
+       |  FROM ${p}d),
+       |${p}sigs AS MATERIALIZED (SELECT doc_id, $sigCols FROM ${p}toks GROUP BY doc_id),
+       |${p}bands AS MATERIALIZED (
        |$bandRows)""".stripMargin
   }
 
-  /** `bands` chain + `cand` (doc_a < doc_b candidate pairs). */
-  private val minHashCandSql: String =
-    s"""$minHashBandsSql,
-       |cand AS (
+  private val minHashBandsSql: String = minHashBandsSqlFrom("documents", "")
+
+  /** `{p}bands` chain + `{p}cand` (doc_a < doc_b candidate pairs). */
+  private def minHashCandSqlFrom(rel: String, p: String): String =
+    s"""${minHashBandsSqlFrom(rel, p)},
+       |${p}cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM ${p}bands a JOIN ${p}bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val minHashCandSql: String = minHashCandSqlFrom("documents", "")
 
   private val minHashLshSql: String = {
     val est = (0 until numHashes)
@@ -715,28 +722,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Shared CTE chain ending in `l{ccRounds}` (doc_id → cluster) —
-    * composed into the d07 and d08 oracles. */
-  private val dupClusterCtes: String = {
+  /** Near-dup KEEPER ids over an arbitrary `(doc_id, text, …)`
+    * relation — d07's resolution (d02 banded candidates → [[ccRounds]]
+    * min-label components → keeper = cluster min) packaged for
+    * pipeline stages that fuzzy-dedup an intermediate corpus (e06's
+    * stage between exact dedup and decontamination — the C4/Dolma
+    * funnel order). One spelling: the SQL twin composes
+    * [[dupClusterCtesFrom]] with the same source relation. */
+  private[queries] def nearDupKeepers(docs: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id").as("id")),
+        minHashCandidates(minHashSigs(docs))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        ccRounds)
+      .filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+
+  /** Shared CTE chain ending in `{p}l{ccRounds}` (doc_id → cluster) —
+    * composed into the d07/d08 oracles over `documents` (empty
+    * prefix) and, prefixed, into e06's near-dup stage over `kept`. */
+  private[queries] def dupClusterCtesFrom(rel: String, p: String): String = {
     // MATERIALIZED like the g03 oracle: every round references its
     // predecessor twice, and DuckDB inlines CTEs by default — an
     // inlined chain re-expands the MinHash signature computation
     // 2^rounds times (the plan-doubling the Spark side cures with
     // localCheckpoint)
     val rounds = (1 to ccRounds).map { r =>
-      s"""l$r AS MATERIALIZED (
+      s"""${p}l$r AS MATERIALIZED (
          |  SELECT l.doc_id, LEAST(l.cluster, COALESCE(m.nbr, l.cluster)) AS cluster
-         |  FROM l${r - 1} l LEFT JOIN (
+         |  FROM ${p}l${r - 1} l LEFT JOIN (
          |    SELECT u.doc_a AS doc_id, MIN(n.cluster) AS nbr
-         |    FROM u JOIN l${r - 1} n ON n.doc_id = u.doc_b GROUP BY u.doc_a) m
+         |    FROM ${p}u u JOIN ${p}l${r - 1} n ON n.doc_id = u.doc_b GROUP BY u.doc_a) m
          |  USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    s"""$minHashCandSql,
-       |u AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
-       |      UNION ALL SELECT doc_b, doc_a FROM cand),
-       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM documents),
+    s"""${minHashCandSqlFrom(rel, p)},
+       |${p}u AS MATERIALIZED (SELECT doc_a, doc_b FROM ${p}cand
+       |      UNION ALL SELECT doc_b, doc_a FROM ${p}cand),
+       |${p}l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM $rel),
        |$rounds""".stripMargin
   }
+
+  private val dupClusterCtes: String = dupClusterCtesFrom("documents", "")
 
   private val dupClustersSql: String =
     s"""WITH $dupClusterCtes

@@ -449,19 +449,24 @@ object Pipeline {
   /** e06: pipeline attrition funnel — the data-card table a corpus
     * release publishes (the C4/Dolma-style per-gate survivor table):
     * documents and token mass surviving each stage, raw → t08 quality
-    * gate → d01 exact dedup → d10 decontamination, with the per-stage
-    * drop. Each gate reuses the EXACT spelling of the operator it
-    * audits ([[TextOps.gateScored]], the d01 min-doc_id keeper, d10's
-    * df-pruned shingle rule against the raw — the eval suite is
-    * external and ungated — benchmark slice), so the funnel can never
-    * drift from the pipeline it describes.
+    * gate → d01 exact dedup → d02/d07 NEAR dedup (r10 — real corpus
+    * cards run fuzzy dedup between exact dedup and decontamination) →
+    * d10 decontamination, with the per-stage drop. Each gate reuses
+    * the EXACT spelling of the operator it audits
+    * ([[TextOps.gateScored]], the d01 min-doc_id keeper,
+    * [[Dedup.nearDupKeepers]] — d02's banded candidates resolved to
+    * d07's cluster keepers — and d10's df-pruned shingle rule against
+    * the raw — the eval suite is external and ungated — benchmark
+    * slice), so the funnel can never drift from the pipeline it
+    * describes.
     *
     * Scale shape: every stage aggregate is a one-row partial-agged
     * pass (the e01 40-byte discipline — payloads never shuffle: dedup
-    * moves (md5, doc_id), decontamination moves df-pruned shingles
-    * with the eval side broadcast, exactly d10's posture); the only
-    * window is the dropped-column lag over the funnel itself —
-    * stage-count-sized by construction, never data-sized. */
+    * moves (md5, doc_id), the near stage moves (doc_id, 8-hex band
+    * sig) rows and id-only CC edges, decontamination moves df-pruned
+    * shingles with the eval side broadcast, exactly d10's posture);
+    * the only window is the dropped-column lag over the funnel
+    * itself — stage-count-sized by construction, never data-sized. */
   def qualityFunnel(s: SparkSession, dir: String): DataFrame =
     qualityFunnelDf(t(s, dir, "documents"))
 
@@ -474,11 +479,14 @@ object Pipeline {
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // kept feeds its own stage row, the shingle stream and the final
-    // stage — persist the slim (doc_id, text, n_tokens) relation once
+    // kept feeds its own stage row and the near-dup chain; near feeds
+    // its stage row, the shingle stream and the final stage — persist
+    // both slim (doc_id, text, n_tokens) relations once
     val kept = ok.join(keepers, "doc_id")
       .select(col("doc_id"), col("text"), col("n_tokens")).persist()
-    val cand = kept.filter(col("doc_id") % Dedup.evalStride =!= 0)
+    val near = kept.join(Dedup.nearDupKeepers(kept), Seq("doc_id"),
+      "left_semi").persist()
+    val cand = near.filter(col("doc_id") % Dedup.evalStride =!= 0)
     val evalDocs = documents
       .filter(col("doc_id") % Dedup.evalStride === 0)
       .select(col("doc_id"), col("text"))
@@ -508,23 +516,31 @@ object Pipeline {
     val funnel = stageRow(scored, 0L, "raw")
       .unionByName(stageRow(ok, 1L, "quality_gate"))
       .unionByName(stageRow(kept, 2L, "exact_dedup"))
-      .unionByName(stageRow(clean, 3L, "decontaminated"))
+      .unionByName(stageRow(near, 3L, "near_dedup"))
+      .unionByName(stageRow(clean, 4L, "decontaminated"))
     funnel.withColumn("dropped",
         coalesce(lag(col("docs_out"), 1).over(Window.orderBy(col("stage"))),
           col("docs_out")) - col("docs_out"))
       .orderBy("stage")
   }
 
-  /** DuckDB twin: the shared t08 gate CTEs, d01 keeper rule and d10
-    * shingle rule spelled identically; the funnel's dropped column is
-    * the same 4-row LAG. */
+  /** DuckDB twin: the shared t08 gate CTEs, d01 keeper rule, the
+    * nd_-prefixed d02/d07 near-dup chain over `kept`
+    * ([[Dedup.dupClusterCtesFrom]] — same spelling, different source
+    * relation) and d10 shingle rule spelled identically; the funnel's
+    * dropped column is the same 5-row LAG. */
   private val qualityFunnelSql =
     s"""WITH $gateOkCtes,
        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT o.doc_id, o.text, o.n_tokens
        |  FROM ok o JOIN keepers k ON o.doc_id = k.doc_id),
-       |cand AS (SELECT * FROM kept WHERE doc_id % ${Dedup.evalStride} <> 0),
+       |${Dedup.dupClusterCtesFrom("kept", "nd_")},
+       |near AS MATERIALIZED (
+       |  SELECT k.doc_id, k.text, k.n_tokens
+       |  FROM kept k JOIN nd_l${Dedup.ccRounds} l
+       |    ON k.doc_id = l.doc_id AND l.doc_id = l.cluster),
+       |cand AS (SELECT * FROM near WHERE doc_id % ${Dedup.evalStride} <> 0),
        |ev AS (SELECT doc_id, text FROM documents
        |       WHERE doc_id % ${Dedup.evalStride} = 0),
        |base AS (SELECT doc_id, text FROM cand
@@ -556,7 +572,10 @@ object Pipeline {
        |  SELECT 2, 'exact_dedup', COUNT(*),
        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM kept
        |  UNION ALL
-       |  SELECT 3, 'decontaminated', COUNT(*),
+       |  SELECT 3, 'near_dedup', COUNT(*),
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM near
+       |  UNION ALL
+       |  SELECT 4, 'decontaminated', COUNT(*),
        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
        |  FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
        |SELECT stage, gate, docs_out, tokens_out,

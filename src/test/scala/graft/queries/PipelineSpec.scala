@@ -124,9 +124,11 @@ class PipelineSpec extends SparkSpec {
     "drops; dropped telescopes; partition-invariant") {
     // fixture trace: docs 2 (too_short), 4 (low_diversity),
     // 5 (no_stopwords) fail the gate → {0, 1, 3}; doc 1 is doc 0's
-    // exact copy → {0, 3}; doc 0 IS the eval slice (0 % 50 = 0) so it
-    // leaves the corpus at the decontamination stage; doc 3 shares no
-    // 3-gram with it → survives → {3}
+    // exact copy → {0, 3}; docs 0 and 3 share no 3-gram shingle, so
+    // the near-dup stage (d02 candidates → d07 keepers, r10) keeps
+    // both; doc 0 IS the eval slice (0 % 50 = 0) so it leaves the
+    // corpus at the decontamination stage; doc 3 shares no 3-gram
+    // with it → survives → {3}
     val tok = Map(0 -> 12L, 1 -> 12L, 2 -> 3L, 3 -> 11L, 4 -> 12L, 5 -> 10L)
     val out = Pipeline.qualityFunnelDf(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
@@ -135,13 +137,14 @@ class PipelineSpec extends SparkSpec {
       (0L, "raw", 6L, tok.values.sum, 0L),
       (1L, "quality_gate", 3L, tok(0) + tok(1) + tok(3), 3L),
       (2L, "exact_dedup", 2L, tok(0) + tok(3), 1L),
-      (3L, "decontaminated", 1L, tok(3), 1L)))
+      (3L, "near_dedup", 2L, tok(0) + tok(3), 0L),
+      (4L, "decontaminated", 1L, tok(3), 1L)))
     // docs_out monotone non-increasing and dropped telescopes by
     // construction — re-assert on the real table where the trace is
     // not hand-checkable
     val sfOut = Pipeline.qualityFunnel(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
-    assert(sfOut.length === 4)
+    assert(sfOut.length === 5)
     sfOut.sliding(2).foreach { case Array((_, prev, _), (_, cur, dropped)) =>
       assert(cur <= prev && dropped === prev - cur)
     }
