@@ -15,9 +15,18 @@ scaled data / local DuckDB:
    nanos-as-long) — handled by check_oracle.py --events-ns-long, not
    here.
 
-Usage: python3 tools/sf1_patch_oracles.py <verifyOutDir>
+3. the sized IVF chain (s19/s20, r10) computes its cell count as a
+   scalar subquery `(SELECT n_cells FROM nc)`; DuckDB cannot push a
+   subquery-dependent filter into the seed scan (measured: the literal
+   plan FILTERs under the unnest join, the subquery plan post-joins —
+   105 GB RSS at sf1 before being killed), so the patch inlines the
+   LITERAL cell count computed from the corpus COUNT(*) with the same
+   cellsParamsFor formula. Requires the <sfDir> argument. The driver
+   gate (sf0.01) keeps the in-SQL formula — this is local-sweep only.
+
+Usage: python3 tools/sf1_patch_oracles.py <verifyOutDir> [<sfDir>]
 """
-import json, sys
+import json, math, sys
 
 OLD = """d AS (
   SELECT vec_a, vec_b, SUM(xa.v * xb.v) AS dot
@@ -91,36 +100,64 @@ NEW_S19 = """d AS (
   JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings) eb ON cand.neighbor_id = eb.vec_id)"""
 
-REWRITES = [(OLD, NEW), (OLD_D13, NEW_D13), (OLD_BF, NEW_BF),
-            (OLD_S19, NEW_S19)]
+# (target queries, old, new): targets name the oracles each rewrite
+# MUST hit — used to fail loud when a target is present in the dump
+# but the pattern no longer matches its generated SQL (a silent no-op
+# leaves that oracle on the quadratic unnest join, ADVICE r9). A
+# restricted Verify dump that omits a target skips that check.
+REWRITES = [
+    ({"d06_embedding_cosine", "d09_multi_signal"}, OLD, NEW),
+    ({"d13_semdedup"}, OLD_D13, NEW_D13),
+    ({"s01_topk_bruteforce", "s09_ann_recall"}, OLD_BF, NEW_BF),
+    ({"s19_knn_graph"}, OLD_S19, NEW_S19),
+]
 
-def main(out_dir):
+NC_REF = "(SELECT n_cells FROM nc)"
+
+def sized_cells(n):
+    """cellsParamsFor twin: next-pow2(ceil(n/256)) clamped [8, 65536]."""
+    target = max(1, math.ceil(n / 256))
+    nc = 1 << (target - 1).bit_length()
+    return max(8, min(65536, nc))
+
+def main(out_dir, sf_dir=None):
     p = f"{out_dir}/oracle_sql.json"
     j = json.load(open(p))
     patched = []
-    matched = [False] * len(REWRITES)
+    failures = []
+    if any(NC_REF in s for s in j.values()):
+        if sf_dir is None:
+            print("sized-cell oracles present: pass <sfDir> so the "
+                  "literal cell count can be computed", file=sys.stderr)
+            sys.exit(1)
+        import duckdb
+        n = duckdb.query(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        lit = str(sized_cells(n))
+        for name in list(j):
+            if NC_REF in j[name]:
+                j[name] = j[name].replace(NC_REF, lit)
+                patched.append(name)
+        print(f"inlined n_cells={lit} (n={n}) into:",
+              sorted(set(patched)))
     for name, sql in j.items():
-        for k, (old, new) in enumerate(REWRITES):
+        for targets, old, new in REWRITES:
             if old in sql:
-                matched[k] = True
                 sql = sql.replace(old, new)
                 if name not in patched:
                     patched.append(name)
+            elif name in targets:
+                failures.append(
+                    f"UNMATCHED rewrite for {name}: "
+                    f"{' / '.join(old.splitlines()[0:2])}")
         j[name] = sql
-    # A textual rewrite that matches nothing is a silent no-op that
-    # leaves that oracle on the quadratic unnest join — the exact
-    # straggler class this file exists to avoid (ADVICE r9). Fail loud
-    # so generated-SQL drift is caught at patch time, not 500s into
-    # the DuckDB run.
-    unmatched = [i for i, m in enumerate(matched) if not m]
-    if unmatched:
-        for i in unmatched:
-            head = REWRITES[i][0].splitlines()[0:2]
-            print(f"UNMATCHED rewrite #{i}: {' / '.join(head)}",
-                  file=sys.stderr)
+    if failures:
+        for f in failures:
+            print(f, file=sys.stderr)
         sys.exit(1)
     json.dump(j, open(p, "w"))
     print("patched:", sorted(patched))
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
