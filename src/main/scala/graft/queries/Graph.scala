@@ -1648,7 +1648,9 @@ object Graph {
     import graft.operators.ConnectedComponents.{free, truncateTracked}
     val sc = lineitem.sparkSession.sparkContext
     var o = orientedEdgesDf(lineitem).persist()
-    o.count() // register the cache BEFORE the tracked diff windows
+    // the count registers the cache BEFORE the tracked diff windows;
+    // its value feeds the zero-peel fixed-point break below
+    var nEdges = o.count()
     // Each round builds a FRESH edge sketch — reusing round 1's bloom
     // across rounds (a superset filter, so still exact) was measured
     // and found a wash (r9, VERDICT-r8 #4): 335.0 s reused vs 335.3 s
@@ -1667,7 +1669,8 @@ object Graph {
       .select(col("support").as("t"))
       .persist()
     tVal.count() // materialize before the next tracked window
-    for (_ <- 2 to trussRounds) {
+    var fixed = false
+    for (_ <- 2 to trussRounds) if (!fixed) {
       val surv = supp.crossJoin(broadcast(tVal))
         .filter(col("support") >= col("t"))
         .select(col("a"), col("b"))
@@ -1675,11 +1678,26 @@ object Graph {
           least(col("u"), col("v")) === col("a") &&
           greatest(col("u"), col("v")) === col("b"), "left_semi")
         .persist()
-      oNext.count() // register BEFORE the tracked window (ADVICE-r7)
-      val (suppNext, nb) = truncateTracked(edgeSupportsOf(oNext))
-      free(sc, blocks)   // previous round's snapshot, fully consumed
-      o.unpersist(false) // previous edge set, fully consumed
-      supp = suppNext; blocks = nb; o = oNext
+      // register BEFORE the tracked window (ADVICE-r7); the count also
+      // detects the EXACT fixed point: a semi-join only removes rows,
+      // so an unchanged count means an unchanged edge set, the
+      // recomputed support relation would be identical, and every
+      // remaining round is a provable no-op — skip them, output
+      // unchanged by construction. (Threshold-based early stops were
+      // measured and REJECTED: on the dense sf5 generation rounds
+      // keep peeling 15 %/8 % and never converge within the contract
+      // rounds, so any x%-cutoff would change the output —
+      // SCALING.md round-10.)
+      val nNext = oNext.count()
+      if (nNext == nEdges) {
+        oNext.unpersist(false)
+        fixed = true
+      } else {
+        val (suppNext, nb) = truncateTracked(edgeSupportsOf(oNext))
+        free(sc, blocks)   // previous round's snapshot, fully consumed
+        o.unpersist(false) // previous edge set, fully consumed
+        supp = suppNext; blocks = nb; o = oNext; nEdges = nNext
+      }
     }
     val out = supp.crossJoin(broadcast(tVal))
       .filter(col("support") >= col("t"))

@@ -273,13 +273,29 @@ object Similarity {
     * hash mismatch.) */
   private[queries] def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
       out: String): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cell"))
-    probe.crossJoin(broadcast(seeds))
+    val scored = probe.crossJoin(broadcast(seeds))
       .withColumn("d", fpSqDist(col("v"), col("sv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= n)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
+    if (n == 1)
+      // single-probe argmin as a PARTIAL-AGGED min(struct(d, cell)) —
+      // lexicographic struct min IS "ORDER BY d, cell ... rk = 1", but
+      // the map side collapses the n·nCells scored rows to one row per
+      // vector BEFORE the exchange, where the window form shuffles and
+      // sorts all n·nCells of them (at the sized cell count that is
+      // the corpus ×128 — the difference between an n-row and an
+      // n·nCells-row shuffle at 100 TB; r10, measured in SCALING.md).
+      // first(v)/first(nrm) are per-vector constants.
+      scored.groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cell"))).as("m"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("m.cell").as(out))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d"), col("cell"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell").as(out))
+    }
   }
 
   /** Deterministic raw seed relation `(cell, sv)`: the first
