@@ -833,6 +833,25 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s19/s18: single-probe cell assignment is a partial-agged argmin " +
+    "(no n·nCells window shuffle)") {
+    // the r10 fix: min(struct(d, cell)) combines map-side, so the
+    // exchange carries one row per vector; the ROW_NUMBER formulation
+    // would shuffle and sort corpus×nCells rows (at the sized cell
+    // count: ×128 and up)
+    for (df <- Seq(graft.queries.Similarity.knnGraph(spark, sf),
+        graft.queries.Similarity.ivfBalance(spark, sf))) {
+      val p = finalSection(plan(df))
+      assert(p.contains("partial_min"),
+        "cell assignment lost its map-side combine:\n" + p)
+    }
+    // s18's plan (assignment → agg → one-row cross) must carry no
+    // window at all; s19 keeps exactly one (the per-vector top-k rank)
+    val p18 = finalSection(plan(graft.queries.Similarity.ivfBalance(spark, sf)))
+    assert(!p18.contains("Window"),
+      "s18 assignment regressed to the window formulation:\n" + p18)
+  }
+
   test("a17/a16: sketch popcounts stay on the one-row sketch relation — " +
     "the probe-side aggregate carries first(), never the array fold") {
     // the r9 straggler: an interpreted ArrayAggregate popcount under
