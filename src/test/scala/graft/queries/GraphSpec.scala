@@ -245,7 +245,11 @@ class GraphSpec extends SparkSpec {
     // 10,11,12 (triangle: support 1), order 3 = {5,10} (bridge: no
     // triangle). Supports sorted asc: [1,1,1, 3 x10] -> rank
     // ceil(13/4) = 4 -> t = 3; the triangle peels, K5 survives all
-    // rounds at support 3.
+    // rounds at support 3. Round 3 peels ZERO edges here, so this
+    // fixture also exercises the r10 fixed-point break (output must
+    // be identical to the fully-unrolled rounds — which this
+    // hand-computed expectation and the in-memory reference test
+    // below both pin).
     val fix = ((1L to 5L).map(p => (1L, p)) ++
       Seq(10L, 11L, 12L).map(p => (2L, p)) ++
       Seq((3L, 5L), (3L, 10L))).toDF("l_orderkey", "l_partkey")
