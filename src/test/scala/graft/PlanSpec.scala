@@ -414,6 +414,21 @@ class PlanSpec extends SparkSpec {
       "a shuffle carries the document body:\n" + exchanges.mkString("\n"))
   }
 
+  test("e06: no funnel-stage shuffle carries the document body " +
+    "(near-dup stage included)") {
+    // the e01 40-byte discipline extended to the r10 5-stage funnel:
+    // exact dedup moves (md5, id), the near-dup stage moves (id,
+    // 8-hex band sig) rows and ids-only CC edges, decontamination
+    // moves df-pruned shingles — the text column must never enter an
+    // Exchange
+    val p = plan(graft.queries.Pipeline.qualityFunnel(spark, sf))
+    val exchanges = "Exchange[^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text")),
+      "a funnel shuffle carries the document body:\n" +
+        exchanges.mkString("\n"))
+  }
+
   test("t22: dominance signals partial-aggregate map-side; no HOF in " +
     "the agg path") {
     val p = plan(graft.queries.TextOps.gopherRules(spark, sf))
