@@ -244,6 +244,30 @@ object Similarity {
   def withinKnnEnvelope(nVecs: Long, nCells: Int, sumSqPairs: Long): Boolean =
     BigInt(sumSqPairs) * nCells <= BigInt(4) * BigInt(nVecs) * BigInt(nVecs)
 
+  /** Design training-sample size per trained cell: the Lloyd step
+    * needs ~[[trainTarget]] members per cell to place a stable
+    * centroid — training on more buys nothing the assignment pass
+    * doesn't already pay for. (Defined before [[sizedCellsSql]],
+    * which interpolates it — object vals initialize in order.) */
+  val trainTarget = 64
+
+  /** Corpus-size-keyed TRAINING stride — the fifth geometry
+    * application (cosine planes, SimHash bits, Bloom bits, IVF cells):
+    * the Lloyd refinement trains on every `stride`-th vector so the
+    * training pass costs sample·nCells ≈ [[trainTarget]]·nCells²
+    * distance evaluations REGARDLESS of corpus size, instead of the
+    * full n·nCells (at 10⁹ vectors / 65536 cells: 4.2 M training
+    * vectors instead of 10⁹). Gate corpora degenerate to stride 1 —
+    * full training, byte-identical to the pre-r10 behavior — so the
+    * oracle-locked contract indexes are untouched; the sized
+    * consumers' DuckDB twins recompute the stride from the same
+    * COUNT(*) (exact integer floor-div), so the formula is itself
+    * hash-checked, and s20 emits it as a column. Deterministic
+    * (vec_id modulus), never a random sample — both engines pick the
+    * same vectors. */
+  def trainStrideFor(nVecs: Long, nCells: Int): Long =
+    math.max(1L, nVecs / (trainTarget.toLong * nCells))
+
   /** DuckDB spelling of [[cellsParamsFor]] over a corpus COUNT(*) —
     * composed into the s19/s20 twins so the size is recomputed from
     * the same count on the oracle side (a drifted formula
@@ -255,9 +279,16 @@ object Similarity {
     s"""nc AS (SELECT GREATEST($numCells, LEAST($maxCells,
        |  CAST(POWER(2, CEIL(LOG2(GREATEST(
        |    CEIL(CAST(COUNT(*) AS DOUBLE) / $targetCellSize), 1))))
-       |  AS BIGINT))) AS n_cells FROM embeddings)""".stripMargin
+       |  AS BIGINT))) AS n_cells FROM embeddings),
+       |ts AS (SELECT GREATEST(1, CAST(COUNT(*)
+       |  // ($trainTarget * (SELECT n_cells FROM nc)) AS BIGINT))
+       |  AS train_stride FROM embeddings)""".stripMargin
 
   private[queries] val sizedCellsRef = "(SELECT n_cells FROM nc)"
+
+  /** [[trainStrideFor]]'s scalar in the sized twins (exact BIGINT
+    * floor-div of the same COUNT(*)). */
+  private[queries] val trainStrideRef = "(SELECT train_stride FROM ts)"
 
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKDf(t(s, dir, "embeddings"))
@@ -306,10 +337,14 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("v").as("sv"))
 
   /** Trained seed vectors `(cell, sv)`: the [[lloydCells]] centroids
-    * re-assembled into dense arrays (8 rows — the collect_list runs
-    * over cells × dim mean cells, never corpus vectors). */
-  private[queries] def trainedSeeds(e: DataFrame, n: Int = numCells): DataFrame =
-    lloydCells(e, n)
+    * re-assembled into dense arrays (nCells rows — the collect_list
+    * runs over cells × dim mean cells, never corpus vectors).
+    * `stride` > 1 trains on the deterministic vec_id-modulus sample
+    * ([[trainStrideFor]]); the full corpus is still ASSIGNED to the
+    * resulting centroids by the callers. */
+  private[queries] def trainedSeeds(e: DataFrame, n: Int = numCells,
+      stride: Long = 1L): DataFrame =
+    lloydCells(e, n, stride)
       .groupBy(col("cell"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, centroid))), p -> p.centroid)")
@@ -431,8 +466,14 @@ object Similarity {
   /** The Lloyd-step body shared by s05 and the s03/s07 trained
     * quantizer: integer-assign every vector to its nearest raw seed,
     * recompute exact fixed-point centroid means per (cell, pos). */
-  private def lloydCells(e: DataFrame, n: Int = numCells): DataFrame =
-    assignCells(rawSeeds(e, n), e, 1, "cell")
+  private def lloydCells(e: DataFrame, n: Int = numCells,
+      stride: Long = 1L): DataFrame =
+    // raw seeds come from the FULL corpus (the first-nCells seed
+    // convention); `stride` > 1 samples only the TRAINING MEMBERSHIP
+    // (which vectors get assigned and averaged) — trainStrideFor
+    assignCells(rawSeeds(e, n),
+        if (stride > 1L) e.filter(col("vec_id") % stride === 0) else e,
+        1, "cell")
       .select(col("cell"), posexplode(col("v")))
       .toDF("cell", "pos", "x")
       .groupBy(col("cell"), col("pos").cast("long").as("pos"))
@@ -452,10 +493,13 @@ object Similarity {
   /** Oracle CTE chain shared by s03/s05/s07: unnested layout `x`,
     * integer distances to the raw first-[[numCells]] seeds `sd0`, the
     * Lloyd assignment `seed_assign` (argmin, cell-id tiebreak). */
-  private def kmeansChainSqlFor(nCellsSql: String): String =
+  private def kmeansChainSqlFor(nCellsSql: String,
+      trainPred: String = ""): String =
     // x is referenced up to 7× downstream (sd0 twice, ct, cd, n, the
     // dot-product join twice) — MATERIALIZED per the g03/d07 lesson or
-    // DuckDB re-runs the unnest per reference at scale
+    // DuckDB re-runs the unnest per reference at scale. `trainPred`
+    // (sized chains only) restricts the TRAINING membership to the
+    // trainStrideFor sample; the contract chain's text is unchanged.
     s"""x AS MATERIALIZED (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
@@ -463,7 +507,7 @@ object Similarity {
        |sd0 AS MATERIALIZED (
        |  SELECT c.vec_id, s.vec_id AS cell, ${sqDistSumSql("c.v", "s.v")} AS d
        |  FROM x c JOIN x s ON c.i = s.i
-       |  WHERE s.vec_id < $nCellsSql GROUP BY 1, 2),
+       |  WHERE s.vec_id < $nCellsSql$trainPred GROUP BY 1, 2),
        |seed_assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -480,8 +524,9 @@ object Similarity {
     * nearest-cell ranking `rk`. `nCellsSql` is the seed-count
     * expression — a literal for the contract chain, the [[sizedCellsRef]]
     * scalar for corpus-size-keyed consumers (s19/s20). */
-  private[queries] def trainedChainSqlFor(nCellsSql: String): String =
-    s"""${kmeansChainSqlFor(nCellsSql)},
+  private[queries] def trainedChainSqlFor(nCellsSql: String,
+      trainPred: String = ""): String =
+    s"""${kmeansChainSqlFor(nCellsSql, trainPred)},
        |ct AS MATERIALIZED (
        |  SELECT a.cell, x.i - 1 AS pos, ${fpMeanSql("x.v")} AS centroid
        |  FROM x JOIN seed_assign a ON x.vec_id = a.vec_id
@@ -1761,22 +1806,24 @@ object Similarity {
     ivfBalanceDf(t(s, dir, "embeddings"))
 
   def ivfBalanceDf(embs: DataFrame): DataFrame =
-    balanceDf(emb(embs), numCells, withNCells = false)
+    balanceDf(emb(embs), numCells, 1L, withNCells = false)
 
   /** Shared balance spelling (s18 at the contract count, s20 at the
     * [[cellsParamsFor]]-sized count — one spelling, the g03/g07/g19
-    * discipline). `withNCells` additionally emits the cell count as a
-    * column so the sized twin re-derives it from COUNT(*) and the
-    * sizing formula itself is hash-checked. */
-  private def balanceDf(e: DataFrame, nCells: Int,
+    * discipline). `withNCells` additionally emits the cell count AND
+    * the training stride as columns so the sized twin re-derives both
+    * from COUNT(*) and the sizing formulas themselves are
+    * hash-checked. */
+  private def balanceDf(e: DataFrame, nCells: Int, trainStride: Long,
       withNCells: Boolean): DataFrame = {
-    val seeds = trainedSeeds(e, nCells).persist()
+    val seeds = trainedSeeds(e, nCells, trainStride).persist()
     val sizes = assignCells(seeds, e, 1, "cell")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val tot = sizes.agg(sum(col("n_vecs")).as("total"))
     val base = sizes.crossJoin(broadcast(tot))
     val cols = Seq(col("cell")) ++
-      (if (withNCells) Seq(lit(nCells.toLong).as("n_cells")) else Nil) ++
+      (if (withNCells) Seq(lit(nCells.toLong).as("n_cells"),
+        lit(trainStride).as("train_stride")) else Nil) ++
       Seq(col("n_vecs"),
         expr("n_vecs * 1000000 div total").as("share_ppm"),
         expr(s"""CASE WHEN n_vecs * $nCells >= total
@@ -1845,8 +1892,12 @@ object Similarity {
   def knnGraphDf(embs: DataFrame): DataFrame = {
     val e = emb(embs)
     // one metadata-cheap driver count keys the geometry (the
-    // bloomParamsFor pattern — a08/e02 size their filters the same way)
-    val seeds = trainedSeeds(e, cellsParamsFor(embs.count())).persist()
+    // bloomParamsFor pattern — a08/e02 size their filters the same
+    // way); training runs on the trainStrideFor sample so the Lloyd
+    // pass is ~trainTarget·nCells² flops at any corpus size
+    val n = embs.count()
+    val nCells = cellsParamsFor(n)
+    val seeds = trainedSeeds(e, nCells, trainStrideFor(n, nCells)).persist()
     val corpus = assignCells(seeds, e, 1, "cell")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -1867,7 +1918,8 @@ object Similarity {
     * spelling. */
   private val knnGraphSql =
     s"""WITH $sizedCellsSql,
-       |${trainedChainSqlFor(sizedCellsRef)},
+       |${trainedChainSqlFor(sizedCellsRef,
+          s" AND c.vec_id % $trainStrideRef = 0")},
        |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
        |corpus AS MATERIALIZED (SELECT vec_id, cell FROM rk WHERE rk = 1),
        |cand AS (
@@ -1906,21 +1958,27 @@ object Similarity {
   def sizedBalance(s: SparkSession, dir: String): DataFrame =
     sizedBalanceDf(t(s, dir, "embeddings"))
 
-  def sizedBalanceDf(embs: DataFrame): DataFrame =
-    balanceDf(emb(embs), cellsParamsFor(embs.count()), withNCells = true)
+  def sizedBalanceDf(embs: DataFrame): DataFrame = {
+    val n = embs.count()
+    val nCells = cellsParamsFor(n)
+    balanceDf(emb(embs), nCells, trainStrideFor(n, nCells),
+      withNCells = true)
+  }
 
   /** DuckDB twin: sized count from COUNT(*), the shared trained chain
     * seeded by it, then integer arithmetic on the nc-row size
     * relation with the SAME scalar in the dev arithmetic. */
   private val sizedBalanceSql =
     s"""WITH $sizedCellsSql,
-       |${trainedChainSqlFor(sizedCellsRef)},
+       |${trainedChainSqlFor(sizedCellsRef,
+          s" AND c.vec_id % $trainStrideRef = 0")},
        |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
        |sizes AS (
        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
        |  FROM corpus GROUP BY cell),
        |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM sizes)
-       |SELECT cell, CAST($sizedCellsRef AS BIGINT) AS n_cells, n_vecs,
+       |SELECT cell, CAST($sizedCellsRef AS BIGINT) AS n_cells,
+       |  CAST($trainStrideRef AS BIGINT) AS train_stride, n_vecs,
        |  CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
        |  CAST(CASE WHEN n_vecs * $sizedCellsRef >= total
        |    THEN (n_vecs * $sizedCellsRef - total) * 1000000 // total

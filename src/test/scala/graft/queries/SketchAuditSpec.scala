@@ -152,6 +152,13 @@ class SketchAuditSpec extends SparkSpec {
     assert(Similarity.cellsParamsFor(2049L) == 16)
     assert(Similarity.cellsParamsFor(20000L) == 128)
     assert(Similarity.cellsParamsFor(1L << 32) == Similarity.maxCells)
+    // the training stride degenerates to 1 (full training — the
+    // pre-r10 behavior, oracle-locked) at gate corpora and bounds the
+    // Lloyd pass at ~trainTarget·nCells² flops at scale
+    assert(Similarity.trainStrideFor(500L, 8) == 1L)
+    assert(Similarity.trainStrideFor(2000L, 8) == 3L)
+    assert(Similarity.trainStrideFor(20000L, 128) == 2L)
+    assert(Similarity.trainStrideFor(1000000000L, 65536) == 238L)
     // the sized assignment on the gate corpus: in-cell pair volume
     // within the 4×-of-ideal balance envelope
     val sizes = Similarity.sizedBalance(spark, sf).collect()

@@ -113,12 +113,17 @@ REWRITES = [
 ]
 
 NC_REF = "(SELECT n_cells FROM nc)"
+TS_REF = "(SELECT train_stride FROM ts)"
 
 def sized_cells(n):
     """cellsParamsFor twin: next-pow2(ceil(n/256)) clamped [8, 65536]."""
     target = max(1, math.ceil(n / 256))
     nc = 1 << (target - 1).bit_length()
     return max(8, min(65536, nc))
+
+def train_stride(n, nc):
+    """trainStrideFor twin: max(1, n // (64 * nCells))."""
+    return max(1, n // (64 * nc))
 
 def main(out_dir, sf_dir=None):
     p = f"{out_dir}/oracle_sql.json"
@@ -134,12 +139,14 @@ def main(out_dir, sf_dir=None):
         n = duckdb.query(
             f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()[0]
-        lit = str(sized_cells(n))
+        nc = sized_cells(n)
+        ts = train_stride(n, nc)
         for name in list(j):
             if NC_REF in j[name]:
-                j[name] = j[name].replace(NC_REF, lit)
+                j[name] = (j[name].replace(NC_REF, str(nc))
+                                  .replace(TS_REF, str(ts)))
                 patched.append(name)
-        print(f"inlined n_cells={lit} (n={n}) into:",
+        print(f"inlined n_cells={nc} train_stride={ts} (n={n}) into:",
               sorted(set(patched)))
     for name, sql in j.items():
         for targets, old, new in REWRITES:
