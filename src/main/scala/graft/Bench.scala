@@ -52,10 +52,22 @@ object Bench {
     // queries run FIRST pay the cold-IO cost and the round-over-round
     // diff reads run ORDER as query regressions (r8: 34 of 41 shared
     // queries drifted 1.0-1.34× with untouched code — VERDICT-r8 #6).
+    // Generation fingerprint, collected during the same walk: total
+    // parquet bytes + newest mtime (epoch s). The driver REGENERATES
+    // the testdata every round, so round-over-round per-query deltas
+    // are confounded by generation density (r10's 41 % total swell was
+    // only attributable by cross-referencing SCALING.md prose) — the
+    // artifact itself must say which generation it measured
+    // (VERDICT-r10 ask #3).
+    var genBytes = 0L
+    var genMtime = 0L
     locally {
       val buf = new Array[Byte](1 << 20)
       java.nio.file.Files.walk(Paths.get(sfDir)).forEach { p =>
         if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) {
+          genBytes += Files.size(p)
+          genMtime = math.max(genMtime,
+            Files.getLastModifiedTime(p).toMillis / 1000L)
           val in = Files.newInputStream(p)
           try { while (in.read(buf) >= 0) () } finally in.close()
         }
@@ -205,7 +217,7 @@ object Bench {
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu":$cpuQs,"spread":$spread,"sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu":$cpuQs,"spread":$spread,"sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes"}"""
     // The driver keeps only a ~2.3 KB stdout TAIL: the full line
     // (~14 KB with spread) truncates mid-stream and parses as null
     // (BENCH_r03/r04). Print it first for humans, then emit a compact
@@ -260,8 +272,13 @@ object Bench {
     if (refSlow) System.err.println(
       s"[bench] GUARD: reference workload over budget at sf0.1: " +
         slow.map(_._1).mkString(","))
+    // Run-conditions + generation stamp IN THE COMPACT LINE (not just
+    // the big one): warmup count, host load, and the data-generation
+    // fingerprint — so BENCH_rN.json alone separates generation
+    // density from run noise from code (VERDICT-r10 ask #3; the r10
+    // 41 % swell needed SCALING.md prose to attribute).
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"ref_ms":$refGuard,"ref_guard":"${if (refSlow) "FAIL" else "ok"}","fam_ms":$famMs,"top_ms":$topMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes","n_queries":${results.size},"ref_ms":$refGuard,"ref_guard":"${if (refSlow) "FAIL" else "ok"}","fam_ms":$famMs,"top_ms":$topMs}"""
     // The compact line must be the LAST BARE stdout line the driver
     // sees (BENCH_r03-r05 all parsed null because sbt wrapped it in
     // "[info] " and appended its "[success] Total time" epilogue).

@@ -257,9 +257,13 @@ object Similarity {
     * training pass costs sample·nCells ≈ [[trainTarget]]·nCells²
     * distance evaluations REGARDLESS of corpus size, instead of the
     * full n·nCells (at 10⁹ vectors / 65536 cells: 4.2 M training
-    * vectors instead of 10⁹). Gate corpora degenerate to stride 1 —
-    * full training, byte-identical to the pre-r10 behavior — so the
-    * oracle-locked contract indexes are untouched; the sized
+    * vectors instead of 10⁹). The sf0.01 driver gate (n=500, 8 cells)
+    * degenerates to stride 1 — full training, byte-identical to the
+    * pre-r10 behavior — while the sf0.1 bench corpus (n=2000, 8
+    * cells) trains at stride 3 (both pinned in SketchAuditSpec); the
+    * oracle-locked contract indexes (s03/s05/s07) are untouched
+    * either way because they pass the default stride 1 explicitly
+    * ([[trainedSeeds]]); the sized
     * consumers' DuckDB twins recompute the stride from the same
     * COUNT(*) (exact integer floor-div), so the formula is itself
     * hash-checked, and s20 emits it as a column. Deterministic

@@ -115,15 +115,35 @@ REWRITES = [
 NC_REF = "(SELECT n_cells FROM nc)"
 TS_REF = "(SELECT train_stride FROM ts)"
 
-def sized_cells(n):
-    """cellsParamsFor twin: next-pow2(ceil(n/256)) clamped [8, 65536]."""
-    target = max(1, math.ceil(n / 256))
-    nc = 1 << (target - 1).bit_length()
-    return max(8, min(65536, nc))
+def geometry_constants(sql):
+    """Parse (numCells, maxCells, targetCellSize, trainTarget) out of the
+    DUMPED nc/ts CTE text instead of re-declaring them here: the dump is
+    generated from Similarity.scala's sizedCellsSql, so the literals it
+    carries ARE the engine's current constants — a hardcoded copy would
+    silently inline stale values if cellsParamsFor/trainStrideFor ever
+    change (ADVICE r10). Fails loud when the CTE shape itself drifts."""
+    import re
+    m_clamp = re.search(r"GREATEST\((\d+), LEAST\((\d+),", sql)
+    m_tgt = re.search(r"AS DOUBLE\) / (\d+)\)", sql)
+    m_train = re.search(r"// \((\d+) \*", sql)
+    if not (m_clamp and m_tgt and m_train):
+        print("could not parse geometry constants from the dumped nc/ts "
+              "CTE — sizedCellsSql's shape drifted; update "
+              "geometry_constants()", file=sys.stderr)
+        sys.exit(1)
+    return (int(m_clamp.group(1)), int(m_clamp.group(2)),
+            int(m_tgt.group(1)), int(m_train.group(1)))
 
-def train_stride(n, nc):
-    """trainStrideFor twin: max(1, n // (64 * nCells))."""
-    return max(1, n // (64 * nc))
+def sized_cells(n, num_cells, max_cells, target_cell_size):
+    """cellsParamsFor twin over the PARSED constants:
+    next-pow2(ceil(n/target)) clamped [num_cells, max_cells]."""
+    target = max(1, math.ceil(n / target_cell_size))
+    nc = 1 << (target - 1).bit_length()
+    return max(num_cells, min(max_cells, nc))
+
+def train_stride(n, nc, train_target):
+    """trainStrideFor twin: max(1, n // (trainTarget * nCells))."""
+    return max(1, n // (train_target * nc))
 
 def main(out_dir, sf_dir=None):
     p = f"{out_dir}/oracle_sql.json"
@@ -139,22 +159,29 @@ def main(out_dir, sf_dir=None):
         n = duckdb.query(
             f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()[0]
-        nc = sized_cells(n)
-        ts = train_stride(n, nc)
+        carrier = next(s for s in j.values() if NC_REF in s)
+        num_cells, max_cells, tgt, train_tgt = geometry_constants(carrier)
+        nc = sized_cells(n, num_cells, max_cells, tgt)
+        ts = train_stride(n, nc, train_tgt)
         for name in list(j):
             if NC_REF in j[name]:
                 j[name] = (j[name].replace(NC_REF, str(nc))
                                   .replace(TS_REF, str(ts)))
                 patched.append(name)
-        print(f"inlined n_cells={nc} train_stride={ts} (n={n}) into:",
-              sorted(set(patched)))
+        print(f"inlined n_cells={nc} train_stride={ts} (n={n}, constants "
+              f"parsed from dump: [{num_cells},{max_cells}]/{tgt}/{train_tgt}) "
+              f"into:", sorted(set(patched)))
     for name, sql in j.items():
         for targets, old, new in REWRITES:
             if old in sql:
                 sql = sql.replace(old, new)
                 if name not in patched:
                     patched.append(name)
-            elif name in targets:
+            elif name in targets and new not in sql:
+                # `new` already present = an already-patched dump (the
+                # tool re-ran on its own output) — idempotent no-op, not
+                # generated-SQL drift (ADVICE r10); only a dump matching
+                # NEITHER form fails loud.
                 failures.append(
                     f"UNMATCHED rewrite for {name}: "
                     f"{' / '.join(old.splitlines()[0:2])}")
