@@ -448,12 +448,17 @@ object Pipeline {
   // ------------------------------------------------------------- e06
   /** e06: pipeline attrition funnel — the data-card table a corpus
     * release publishes (the C4/Dolma-style per-gate survivor table):
-    * documents and token mass surviving each stage, raw → t08 quality
-    * gate → d01 exact dedup → d02/d07 NEAR dedup (r10 — real corpus
-    * cards run fuzzy dedup between exact dedup and decontamination) →
-    * d10 decontamination, with the per-stage drop. Each gate reuses
-    * the EXACT spelling of the operator it audits
-    * ([[TextOps.gateScored]], the d01 min-doc_id keeper,
+    * documents and token mass surviving each stage, raw → t05
+    * language ID (r11 — C4's published stage order runs langdetect
+    * FIRST) → t08 quality gate → d01 exact dedup → d02/d07 NEAR dedup
+    * (r10 — real corpus cards run fuzzy dedup between exact dedup and
+    * decontamination) → d10 decontamination, with the per-stage drop.
+    * Each gate reuses the EXACT spelling of the operator it audits
+    * ([[TextOps.withLangScores]]/[[TextOps.langPred]] — t05's
+    * marker-scored chained argmax, with the one confidence analogue a
+    * marker classifier affords: the winning language must actually
+    * score (`score_en > 0`), C4's langdetect ≥ 0.99 in miniature —
+    * [[TextOps.gateScored]], the d01 min-doc_id keeper,
     * [[Dedup.nearDupKeepers]] — d02's banded candidates resolved to
     * d07's cluster keepers — and d10's df-pruned shingle rule against
     * the raw — the eval suite is external and ungated — benchmark
@@ -473,8 +478,16 @@ object Pipeline {
   def qualityFunnelDf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = TextOps.gateScored(documents)
+      .select(col("doc_id"), col("text"), col("toks"), col("n_tokens"),
+        col("reason"))
+    // lang-ID gate (stage 1): t05's marker scores + chained argmax over
+    // the SAME token array the quality stats read — a map-side filter,
+    // no shuffle (the funnel's stage aggregates stay one-row partial
+    // aggs and no Exchange ever carries the document body)
+    val langed = TextOps.withLangScores(scored, "toks")
+      .filter(TextOps.langPred === "en" && col("score_en") > 0)
       .select(col("doc_id"), col("text"), col("n_tokens"), col("reason"))
-    val ok = scored.filter(col("reason") === "ok")
+    val ok = langed.filter(col("reason") === "ok")
     val keepers = ok
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
@@ -514,27 +527,44 @@ object Pipeline {
         .select(lit(ord).as("stage"), lit(name).as("gate"),
           col("docs_out"), col("tokens_out"))
     val funnel = stageRow(scored, 0L, "raw")
-      .unionByName(stageRow(ok, 1L, "quality_gate"))
-      .unionByName(stageRow(kept, 2L, "exact_dedup"))
-      .unionByName(stageRow(near, 3L, "near_dedup"))
-      .unionByName(stageRow(clean, 4L, "decontaminated"))
+      .unionByName(stageRow(langed, 1L, "lang_id"))
+      .unionByName(stageRow(ok, 2L, "quality_gate"))
+      .unionByName(stageRow(kept, 3L, "exact_dedup"))
+      .unionByName(stageRow(near, 4L, "near_dedup"))
+      .unionByName(stageRow(clean, 5L, "decontaminated"))
     funnel.withColumn("dropped",
         coalesce(lag(col("docs_out"), 1).over(Window.orderBy(col("stage"))),
           col("docs_out")) - col("docs_out"))
       .orderBy("stage")
   }
 
-  /** DuckDB twin: the shared t08 gate CTEs, d01 keeper rule, the
-    * nd_-prefixed d02/d07 near-dup chain over `kept`
-    * ([[Dedup.dupClusterCtesFrom]] — same spelling, different source
-    * relation) and d10 shingle rule spelled identically; the funnel's
-    * dropped column is the same 5-row LAG. */
+  /** DuckDB twin: the shared t08 gate CTEs, the t05 lang-ID rule
+    * ([[TextOps.langScoresSql]]/[[TextOps.langPredSql]] — one
+    * spelling) as a doc_id filter composed over the SAME `d.toks`,
+    * d01 keeper rule, the nd_-prefixed d02/d07 near-dup chain over
+    * `kept` ([[Dedup.dupClusterCtesFrom]] — same spelling, different
+    * source relation) and d10 shingle rule spelled identically; the
+    * funnel's dropped column is the same 6-row LAG. The lang filter
+    * CTE composes AROUND the shared gateOkCtes (e01/e02 reuse those
+    * unfiltered) — gate-then-lang equals lang-then-gate because both
+    * rules are row-local, so `ok ∩ lk` IS the C4 stage order's
+    * quality-gate survivor set. */
   private val qualityFunnelSql =
     s"""WITH $gateOkCtes,
-       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
+       |lk AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |${TextOps.langScoresSql("toks")}
+       |    FROM d)
+       |  WHERE (${TextOps.langPredSql}) = 'en' AND score_en > 0),
+       |lang_kept AS (
+       |  SELECT st.doc_id, st.n_tokens FROM st JOIN lk USING (doc_id)),
+       |okl AS MATERIALIZED (
+       |  SELECT o.* FROM ok o JOIN lk USING (doc_id)),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM okl GROUP BY md5(text)),
        |kept AS MATERIALIZED (
        |  SELECT o.doc_id, o.text, o.n_tokens
-       |  FROM ok o JOIN keepers k ON o.doc_id = k.doc_id),
+       |  FROM okl o JOIN keepers k ON o.doc_id = k.doc_id),
        |${Dedup.dupClusterCtesFrom("kept", "nd_")},
        |near AS MATERIALIZED (
        |  SELECT k.doc_id, k.text, k.n_tokens
@@ -566,16 +596,19 @@ object Pipeline {
        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens_out
        |  FROM st
        |  UNION ALL
-       |  SELECT 1, 'quality_gate', COUNT(*),
-       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM ok
+       |  SELECT 1, 'lang_id', COUNT(*),
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM lang_kept
        |  UNION ALL
-       |  SELECT 2, 'exact_dedup', COUNT(*),
+       |  SELECT 2, 'quality_gate', COUNT(*),
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM okl
+       |  UNION ALL
+       |  SELECT 3, 'exact_dedup', COUNT(*),
        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM kept
        |  UNION ALL
-       |  SELECT 3, 'near_dedup', COUNT(*),
+       |  SELECT 4, 'near_dedup', COUNT(*),
        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM near
        |  UNION ALL
-       |  SELECT 4, 'decontaminated', COUNT(*),
+       |  SELECT 5, 'decontaminated', COUNT(*),
        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
        |  FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
        |SELECT stage, gate, docs_out, tokens_out,

@@ -181,7 +181,7 @@ object TextOps {
   /** Adds one `score_<lang>` column per marker language, counting
     * marker stopwords in the token-array column `tokCol` — shared by
     * t05 (whole doc) and t25 (per segment). */
-  private def withLangScores(df: DataFrame, tokCol: String): DataFrame =
+  private[queries] def withLangScores(df: DataFrame, tokCol: String): DataFrame =
     markers.foldLeft(df) { case (d, (l, ws)) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
       d.withColumn(s"score_$l",
@@ -191,7 +191,7 @@ object TextOps {
   /** Chained argmax over the score columns with fixed priority order
     * (en > de > es > fr > zh) — the deterministic tie-break both
     * engines spell identically. */
-  private def langPred: Column = {
+  private[queries] def langPred: Column = {
     val langs = markers.map(_._1)
     langs.init.foldRight(lit(langs.last)) { (l, rest) =>
       val geAll = langs.filter(_ != l)
@@ -215,13 +215,13 @@ object TextOps {
   }
 
   /** SQL twins of [[withLangScores]] / [[langPred]] — one spelling. */
-  private def langScoresSql(tokCol: String): String =
+  private[queries] def langScoresSql(tokCol: String): String =
     markers.map { case (l, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
       s"CAST(len(list_filter($tokCol, t -> t IN ($list))) AS BIGINT) AS score_$l"
     }.mkString(",\n")
 
-  private lazy val langPredSql: String = {
+  private[queries] lazy val langPredSql: String = {
     val langs = markers.map(_._1)
     langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
       val geAll = langs.filter(_ != l)

@@ -120,10 +120,12 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("e06: funnel stages reconcile hand-traced gate/dedup/decontam " +
-    "drops; dropped telescopes; partition-invariant") {
-    // fixture trace: docs 2 (too_short), 4 (low_diversity),
-    // 5 (no_stopwords) fail the gate → {0, 1, 3}; doc 1 is doc 0's
+  test("e06: funnel stages reconcile hand-traced lang/gate/dedup/" +
+    "decontam drops; dropped telescopes; partition-invariant") {
+    // fixture trace: doc 5 ("un deux trois…") has ZERO t05 marker
+    // hits, so the lang-ID stage (r11 — argmax 'en' AND score_en > 0)
+    // drops it first → {0, 1, 2, 3, 4}; docs 2 (too_short) and
+    // 4 (low_diversity) fail the gate → {0, 1, 3}; doc 1 is doc 0's
     // exact copy → {0, 3}; docs 0 and 3 share no 3-gram shingle, so
     // the near-dup stage (d02 candidates → d07 keepers, r10) keeps
     // both; doc 0 IS the eval slice (0 % 50 = 0) so it leaves the
@@ -135,16 +137,17 @@ class PipelineSpec extends SparkSpec {
         r.getLong(4)))
     assert(out.toSeq === Seq(
       (0L, "raw", 6L, tok.values.sum, 0L),
-      (1L, "quality_gate", 3L, tok(0) + tok(1) + tok(3), 3L),
-      (2L, "exact_dedup", 2L, tok(0) + tok(3), 1L),
-      (3L, "near_dedup", 2L, tok(0) + tok(3), 0L),
-      (4L, "decontaminated", 1L, tok(3), 1L)))
+      (1L, "lang_id", 5L, tok.values.sum - tok(5), 1L),
+      (2L, "quality_gate", 3L, tok(0) + tok(1) + tok(3), 2L),
+      (3L, "exact_dedup", 2L, tok(0) + tok(3), 1L),
+      (4L, "near_dedup", 2L, tok(0) + tok(3), 0L),
+      (5L, "decontaminated", 1L, tok(3), 1L)))
     // docs_out monotone non-increasing and dropped telescopes by
     // construction — re-assert on the real table where the trace is
     // not hand-checkable
     val sfOut = Pipeline.qualityFunnel(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
-    assert(sfOut.length === 5)
+    assert(sfOut.length === 6)
     sfOut.sliding(2).foreach { case Array((_, prev, _), (_, cur, dropped)) =>
       assert(cur <= prev && dropped === prev - cur)
     }
