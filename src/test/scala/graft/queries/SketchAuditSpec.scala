@@ -179,6 +179,49 @@ class SketchAuditSpec extends SparkSpec {
       "envelope lost its teeth: a fully-collapsed assignment passes")
   }
 
+  test("s21: the two-level quantizer's sizing is pinned, the leaf " +
+      "assignment stays inside the balance envelope, and the " +
+      "single-level branch is untouched below the clamp decade") {
+    // sizing pins: the gate corpus (500) and bench corpus (2000) get
+    // the 4×2 contract geometry; the sized sub count tracks the
+    // unclamped n/targetCellSize target past the single-level clamp
+    assert(Similarity.subCellsFor(500L) == 2)
+    assert(Similarity.subCellsFor(2000L) == 2)
+    assert(Similarity.subCellsFor(20000L) == 32)
+    assert(Similarity.subCellsFor(1L << 32) == Similarity.maxCells)
+    // production switch: single level (c2 == 1, bit-identical to r10)
+    // through the whole clamp decade; a balanced pow-2 split past it,
+    // both factors under the broadcast/training clamp
+    val boundary = Similarity.maxCells.toLong * Similarity.targetCellSize
+    assert(Similarity.hierParamsFor(500L) == ((8, 1)))
+    assert(Similarity.hierParamsFor(boundary) == ((Similarity.maxCells, 1)))
+    val (c1, c2) = Similarity.hierParamsFor(boundary + 1)
+    assert(c2 > 1, "the two-level switch must engage past the clamp")
+    assert(c1.toLong * c2 == (Similarity.maxCells.toLong * 2),
+      "leaves must track the unclamped target (2^17 just past the clamp)")
+    assert(c1 <= Similarity.maxCells && c2 <= Similarity.maxCells)
+    // at 10^9 vectors: unclamped target 2^22 → 2048×2048 leaves,
+    // occupancy back at ~targetCellSize
+    assert(Similarity.hierParamsFor(1000000000L) == ((2048, 2048)))
+    // the leaf assignment on the gate corpus: in-cell pair volume
+    // within the same 4×-of-ideal envelope s20 enforces, over the
+    // leaf count
+    val leaves = Similarity.hierBalance(spark, sf).collect()
+    val n = leaves.map(_.getAs[Long]("n_vecs")).sum
+    val nSub = leaves.head.getAs[Long]("n_sub").toInt
+    assert(nSub == Similarity.subCellsFor(n),
+      s"emitted n_sub ($nSub) drifted from subCellsFor($n)")
+    val nLeaves = Similarity.numSuperCells * nSub
+    val sumSq = leaves.map(r => {
+      val c = r.getAs[Long]("n_vecs"); c * c
+    }).sum
+    assert(Similarity.withinKnnEnvelope(n, nLeaves, sumSq),
+      s"two-level leaves outside balance envelope: n=$n leaves=$nLeaves " +
+        s"sumSq=$sumSq (ideal ${n * n / nLeaves})")
+    assert(!Similarity.withinKnnEnvelope(n, nLeaves, n * n),
+      "envelope lost its teeth on the leaf count")
+  }
+
   test("s14: multi-index Hamming recall keeps its collapse floor") {
     val r = Similarity.mihRecall(spark, sf).head()
     assert(r.getAs[Long]("recall_ppm") >= 100000L,

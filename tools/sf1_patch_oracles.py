@@ -114,6 +114,10 @@ REWRITES = [
 
 NC_REF = "(SELECT n_cells FROM nc)"
 TS_REF = "(SELECT train_stride FROM ts)"
+# s21's two-level chain (r11): sub-cell count + both training strides
+NSX_REF = "(SELECT n_sub FROM nsx)"
+TS1_REF = "(SELECT ts1 FROM ts1x)"
+TS2_REF = "(SELECT ts2 FROM ts2x)"
 
 def geometry_constants(sql):
     """Parse (numCells, maxCells, targetCellSize, trainTarget) out of the
@@ -171,6 +175,45 @@ def main(out_dir, sf_dir=None):
         print(f"inlined n_cells={nc} train_stride={ts} (n={n}, constants "
               f"parsed from dump: [{num_cells},{max_cells}]/{tgt}/{train_tgt}) "
               f"into:", sorted(set(patched)))
+    if any(NSX_REF in s for s in j.values()):
+        if sf_dir is None:
+            print("hier-sized oracles present: pass <sfDir> so the "
+                  "literal sub-cell count can be computed", file=sys.stderr)
+            sys.exit(1)
+        import duckdb, re
+        n = duckdb.query(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        carrier = next(s for s in j.values() if NSX_REF in s)
+        # parse the hier constants out of the dumped nsx/ts1x text (the
+        # same no-redeclared-literals rule as geometry_constants)
+        m_clamp = re.search(r"GREATEST\((\d+), LEAST\((\d+),", carrier)
+        m_per = re.search(r"AS DOUBLE\) / (\d+)\)", carrier)
+        m_t1 = re.search(r"// \((\d+) \* (\d+)\)", carrier)
+        if not (m_clamp and m_per and m_t1):
+            print("could not parse hier geometry constants from the "
+                  "dumped nsx/ts1x CTEs — hierSizedSql's shape drifted",
+                  file=sys.stderr)
+            sys.exit(1)
+        min_sub, max_sub = int(m_clamp.group(1)), int(m_clamp.group(2))
+        per = int(m_per.group(1))
+        train_tgt, n_super = int(m_t1.group(1)), int(m_t1.group(2))
+        ns = max(min_sub, min(max_sub,
+                              1 << (max(1, math.ceil(n / per)) - 1).bit_length()))
+        ts1 = max(1, n // (train_tgt * n_super))
+        ts2 = max(1, n // (train_tgt * n_super * ns))
+        hier_patched = []
+        for name in list(j):
+            if NSX_REF in j[name]:
+                j[name] = (j[name].replace(NSX_REF, str(ns))
+                                  .replace(TS1_REF, str(ts1))
+                                  .replace(TS2_REF, str(ts2)))
+                hier_patched.append(name)
+                if name not in patched:
+                    patched.append(name)
+        print(f"inlined n_sub={ns} ts1={ts1} ts2={ts2} (n={n}, constants "
+              f"parsed from dump: [{min_sub},{max_sub}]/{per}/"
+              f"{train_tgt}x{n_super}) into:", sorted(hier_patched))
     for name, sql in j.items():
         for targets, old, new in REWRITES:
             if old in sql:
