@@ -43,6 +43,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional session-conf overrides for controlled A/Bs (e.g.
+    // "graft.argmin.rewrite.enabled=false,graft.topk.partial.enabled=false")
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach {
+      _.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
+
     // Warmup: touch every table (footer/schema caches, codegen paths)
     Tables.names.foreach { n =>
       Tables.t(spark, sfDir, n).limit(1).foreach(_ => ())

@@ -21,6 +21,11 @@ import graft.functions.{DotProduct, FixedPointDot, FixedPointSqDist,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // ArgminRewrite claims rank-1 shapes first (partial-agged argmin —
+    // one row per key per map partition enters the exchange);
+    // TopKRewrite takes what it bails on (k > 1, mixed un-flippable
+    // directions) as the bounded heap
+    ext.injectOptimizerRule(_ => graft.plans.ArgminRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.DistinctWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

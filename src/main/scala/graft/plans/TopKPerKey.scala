@@ -20,6 +20,18 @@ import org.apache.spark.sql.execution.SparkStrategy
   * instead of a full partition sort buffer. At 100 TB with hot keys the
   * difference is a spilled sort vs a heap that never grows.
   *
+  * The heap runs in TWO phases since r11 (the generalization of the
+  * r10 assignCells map-side-collapse fix to arbitrary k and arbitrary
+  * SortOrder semantics): [[PartialTopKPerKeyExec]] prunes each MAP
+  * partition to ≤ k rows per key BEFORE the exchange — so the shuffle
+  * carries keys·k rows per task instead of every input row — and
+  * [[TopKPerKeyExec]] finishes per key after it. Partial pruning is
+  * advisory (a superset is always correct), so the partial phase never
+  * fails on its memory budget: crossing it FLUSHES the current heaps
+  * downstream and keeps going — each key's true top-k is contained in
+  * the union of its segment top-k's — while the final phase keeps the
+  * fail-fast contract.
+  *
   * Pieces: [[TopKPerKey]] (logical), [[TopKPerKeyExec]] (physical with
   * ClusteredDistribution so the planner inserts the hash exchange),
   * [[TopKStrategy]] (planner rule), registered via
@@ -91,10 +103,112 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
+/** Map-side top-k pruning (no required distribution — runs before the
+  * exchange the final [[TopKPerKeyExec]] requests). Emits, per input
+  * partition, a SUPERSET of each key's top-k (exactly top-k per heap
+  * segment; the budget flush starts a new segment), which the final
+  * phase reduces exactly. Uses the same generated SortOrder ordering,
+  * so null ordering and mixed directions are preserved bit-for-bit —
+  * the cases [[ArgminRewrite]]'s min/max(struct) form must bail on. */
+case class PartialTopKPerKeyExec(keys: Seq[Expression],
+    order: Seq[SortOrder], k: Int, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundOrder = order.map(BindReferences.bindReference(_, child.output))
+    val keyExprs = keys
+    val childOutput = child.output
+    // the map side takes its own budget (default: the shared one) —
+    // it bounds the PRE-flush working set, while the final phase's
+    // budget is a hard fail-fast contract
+    val maxHeapRows = conf.getConfString(TopK.partialMaxHeapRowsKey,
+      conf.getConfString(TopK.maxHeapRowsKey,
+        TopK.defaultMaxHeapRows.toString)).toLong
+    val kLocal = k
+    child.execute().mapPartitions { iter =>
+      val ordering = GenerateOrdering.generate(boundOrder, childOutput)
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val heapOrd = ordering.asInstanceOf[Ordering[InternalRow]]
+        .asInstanceOf[Ordering[UnsafeRow]]
+      // Streaming segments: consume input until the heap budget would
+      // be crossed, EMIT that segment's top-k's downstream, drop the
+      // map, continue — true flush-to-downstream, so one segment's
+      // heaps is all this phase ever holds. (The first cut chained
+      // lazy `++` over a reassigned var — every segment drained the
+      // FINAL map at consumption time and rows were lost; the TopKSpec
+      // budget test caught it. Segments must be strict boundaries.)
+      var pending: UnsafeRow = null
+      def nextSegment(): Iterator[InternalRow] = {
+        if (pending == null && !iter.hasNext) return null
+        val heaps = new scala.collection.mutable.HashMap[
+          UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+        // returns false when the row needs a NEW segment (budget)
+        def insert(row: InternalRow, preCopied: Boolean): Boolean = {
+          val key = keyProj(row)
+          var heap = heaps.getOrElse(key, null)
+          if (heap == null) {
+            if (heaps.size.toLong * kLocal >= maxHeapRows) return false
+            heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kLocal) {
+            heap.enqueue(if (preCopied) row.asInstanceOf[UnsafeRow]
+              else row.copy().asInstanceOf[UnsafeRow])
+          } else if (ordering.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(if (preCopied) row.asInstanceOf[UnsafeRow]
+              else row.copy().asInstanceOf[UnsafeRow])
+          }
+          true
+        }
+        if (pending != null) {
+          insert(pending, preCopied = true) // fresh map — cannot refuse
+          pending = null
+        }
+        var full = false
+        while (!full && iter.hasNext) {
+          val row = iter.next()
+          if (!insert(row, preCopied = false)) {
+            pending = row.copy().asInstanceOf[UnsafeRow]
+            full = true
+          }
+        }
+        heaps.iterator.flatMap { case (_, h) => h.dequeueAll.reverseIterator }
+      }
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext) {
+            val seg = nextSegment()
+            if (seg == null) return false
+            cur = seg
+          }
+          true
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty partition")
+          cur.next()
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): PartialTopKPerKeyExec =
+    copy(child = c)
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // partial phase togglable for controlled A/Bs (default on)
+      val partial = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(TopK.partialEnabledKey, "true").toBoolean
+      val planned = planLater(child)
+      val below = if (partial)
+        PartialTopKPerKeyExec(keys, order, k, planned) else planned
+      TopKPerKeyExec(keys, order, k, below) :: Nil
     case _ => Nil
   }
 }
@@ -105,6 +219,16 @@ object TopK {
     * executor; crossing it fails fast rather than OOM. */
   val maxHeapRowsKey = "graft.topk.maxHeapRows"
   val defaultMaxHeapRows: Long = 8L * 1024 * 1024
+
+  /** Map-side (partial-phase) working-set budget; crossing it flushes
+    * the current segment downstream instead of failing (a superset per
+    * key is always correct — the final phase re-prunes). Defaults to
+    * [[maxHeapRowsKey]]'s value. */
+  val partialMaxHeapRowsKey = "graft.topk.partialMaxHeapRows"
+
+  /** Plan-time switch for the map-side partial phase (default true) —
+    * exists for controlled same-session A/Bs of the shuffle saving. */
+  val partialEnabledKey = "graft.topk.partial.enabled"
 
   /** Top-k rows per key group, ranked by `orderBy` ((column, descending)
     * pairs — give a total order with a unique tiebreak for deterministic

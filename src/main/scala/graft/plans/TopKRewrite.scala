@@ -83,6 +83,55 @@ object TopKRewrite extends Rule[LogicalPlan] {
         }
         val k = limitFrom(cond, alias.exprId).get
         Project(projectList, TopKPerKey(parts, order, k, child))
+
+      // The decorrelated-LATERAL shape (r11): Catalyst plans
+      // `LATERAL (... ORDER BY o LIMIT k)` as a GLOBAL Sort below an
+      // ORDER-LESS row_number window — rank-in-global-order per key.
+      // InferWindowGroupLimit needs an in-spec order and skips it, so
+      // without this case the plan full-sorts AND full-shuffles the
+      // inner table. Lifting the Sort's keys into TopKPerKey yields
+      // the partial-heaped per-key top-k and drops the global sort
+      // (its output order is already destroyed by the window's own
+      // partition-clustering; no operator above can rely on it).
+      case whole @ Project(projectList,
+          Filter(cond,
+            Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+              WindowSpecDefinition(parts, Seq(), frame)), name)), _, _,
+              wchild, _)))
+          if name != "__graft_rn" && parts.nonEmpty &&
+            isRowNumberFrame(frame) &&
+            cond.references.toSeq.forall(_.exprId == alias.exprId) &&
+            projectList.forall(_.references.subsetOf(wchild.outputSet)) &&
+            limitFrom(cond, alias.exprId).exists(_ > 0) =>
+        val k = limitFrom(cond, alias.exprId).get
+        wchild match {
+          case proj @ Project(innerList, Sort(sortOrder, true, schild, _))
+              if sortOrder.forall(_.references.subsetOf(schild.outputSet)) &&
+                innerList.forall(_.references.subsetOf(schild.outputSet)) &&
+                parts.forall(_.references.subsetOf(schild.outputSet)) =>
+            Project(projectList,
+              Project(innerList, TopKPerKey(parts, sortOrder, k, schild)))
+          case Sort(sortOrder, true, schild, _)
+              if parts.forall(_.references.subsetOf(schild.outputSet)) =>
+            Project(projectList, TopKPerKey(parts, sortOrder, k, schild))
+          case _ => whole
+        }
+
+      // Key-only predicate pushdown through the custom node: a filter
+      // referencing ONLY the partition keys drops or keeps WHOLE
+      // groups, so it commutes with per-key top-k — and Catalyst's
+      // own PushDownPredicates cannot see through an unknown node, so
+      // without this case an inferred join-key filter (the
+      // decorrelated-LATERAL plan above) parks ABOVE the heap and the
+      // scan ranks 100 % of the keys to keep a slice. Fixpoint batch
+      // membership makes this compose: Infer Filters lands the
+      // predicate, the next operator-optimization pass moves it below
+      // here, the one after pushes it into the scan.
+      case Filter(cond, t @ TopKPerKey(keys, _, _, child))
+          if cond.deterministic &&
+            cond.references.subsetOf(AttributeSet(
+              keys.flatMap(_.references))) =>
+        t.withNewChildren(Seq(Filter(cond, child)))
     }
   }
 }

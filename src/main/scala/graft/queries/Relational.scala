@@ -1330,10 +1330,11 @@ object Relational {
     * log to the most recent row per (user, event type) — the "current
     * state table" every change-stream consumer materializes. The
     * unique event_id breaks timestamp ties, so the snapshot is
-    * deterministic; `row_number = 1` is auto-rewritten by TopKRewrite
-    * into the bounded-heap TopKPerKey, so compacting a 100 TB log
-    * never sorts a partition — one shuffle on the key, constant state
-    * per key. Event time stays in exact integer micros (ts is raw
+    * deterministic; `row_number = 1` is auto-rewritten by
+    * ArgminRewrite (r11) into a partial-agged max(struct(ts,
+    * event_id, payload…)), so compacting a 100 TB log collapses to
+    * one row per key on the MAP side — the exchange carries keys, not
+    * events, and nothing ever sorts a partition. Event time stays in exact integer micros (ts is raw
     * nanos under nanosAsLong). */
   def q45LatestState(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -1409,7 +1410,9 @@ object Relational {
     *
     * Scale: the mode ranks the (status, priority)-count relation —
     * |groups|-sized, not data-sized — and row_number=1 is rewritten to
-    * the bounded TopKPerKey heap; the quantile window ranks within
+    * the partial-agged argmin (ArgminRewrite, r11 — the count is a
+    * non-nullable BIGINT, so the DESC key flips under min(struct)); the quantile
+    * window ranks within
     * status partitions with O(1) per-row state, then one conditional
     * agg picks the three ranks. No global sort, no collect. */
   def q47DistScalars(s: SparkSession, dir: String): DataFrame = {
@@ -1821,7 +1824,7 @@ object Relational {
     * balance; a second filter materializes the clean table).
     *
     * Determinism: the winner per key is an integer-ordered row_number
-    * (TopKRewrite turns it into a bounded heap — compacting a 100 TB
+    * (ArgminRewrite turns it into a partial-agged argmax — compacting a 100 TB
     * feed never sorts a partition); the upserted balance is one IEEE
     * division of an exact integer (single-op, bit-identical on both
     * engines); unchanged balances pass the base doubles through

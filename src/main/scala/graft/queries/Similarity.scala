@@ -38,7 +38,7 @@ object Similarity {
     col("vec_id") % queryStride === 0 &&
       col("vec_id") < queryStride * maxQueries
 
-  private[queries] def emb(embs: DataFrame): DataFrame =
+  private[graft] def emb(embs: DataFrame): DataFrame =
     embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
@@ -306,7 +306,7 @@ object Similarity {
     * oracles. (The previous ROUND(cos, 4) argmax was not: a vector on
     * a 4-dp boundary flipped cells between engines — the r2/r3 s05
     * hash mismatch.) */
-  private[queries] def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
+  private[graft] def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
       out: String): DataFrame = {
     val scored = probe.crossJoin(broadcast(seeds))
       .withColumn("d", fpSqDist(col("v"), col("sv")))
@@ -346,7 +346,7 @@ object Similarity {
     * `stride` > 1 trains on the deterministic vec_id-modulus sample
     * ([[trainStrideFor]]); the full corpus is still ASSIGNED to the
     * resulting centroids by the callers. */
-  private[queries] def trainedSeeds(e: DataFrame, n: Int = numCells,
+  private[graft] def trainedSeeds(e: DataFrame, n: Int = numCells,
       stride: Long = 1L): DataFrame =
     lloydCells(e, n, stride)
       .groupBy(col("cell"))
@@ -2044,15 +2044,19 @@ object Similarity {
     * out again at n > maxCells²·targetCellSize ≈ 1.1e15 vectors
     * (~280 EB at dim 64) — three levels is the next rung, out of
     * design scope. */
-  def hierParamsFor(nVecs: Long): (Int, Int) = {
-    if (nVecs <= maxCells.toLong * targetCellSize)
-      (cellsParamsFor(nVecs), 1)
+  def hierParamsFor(nVecs: Long, clamp: Int = maxCells): (Int, Int) = {
+    // `clamp` defaults to the production ceiling; HierProbe passes a
+    // small value so the boundary crossing is MEASURABLE at test
+    // corpus sizes (the decade itself needs 16.8 M+ vectors) — the
+    // split arithmetic is identical at any clamp
+    if (nVecs <= clamp.toLong * targetCellSize)
+      (math.min(clamp, cellsParamsFor(nVecs)), 1)
     else {
       val target = (nVecs + targetCellSize - 1) / targetCellSize
       val bits = 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
       val b1 = (bits + 1) / 2
-      (math.min(1L << b1, maxCells.toLong).toInt,
-        math.min(1L << (bits - b1), maxCells.toLong).toInt)
+      (math.min(1L << b1, clamp.toLong).toInt,
+        math.min(1L << (bits - b1), clamp.toLong).toInt)
     }
   }
 
@@ -2089,7 +2093,7 @@ object Similarity {
     * fixed-point means ([[fpScale]]). Every discrete choice is the
     * integer argmin, so the whole index is engine-portable and s21
     * carries a cell-exact DuckDB twin of BOTH levels. */
-  private[queries] def hierAssigned(e: DataFrame, n: Long,
+  private[graft] def hierAssigned(e: DataFrame, n: Long,
       nSuper: Int, nSub: Int): DataFrame = {
     val seeds1 = trainedSeeds(e, nSuper, trainStrideFor(n, nSuper)).persist()
     val corpus1 = assignCells(seeds1, e, 1, "sc")

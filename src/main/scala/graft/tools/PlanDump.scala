@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimized-logical-plan dump for one or more contract queries —
+  * the quick plan-shape inspection loop the guard specs formalize
+  * (StragglerGuardSpec/PlanSpec assert on shapes; this prints them).
+  *
+  * Usage: sbt "runMain graft.tools.PlanDump <sfDir> <query> [<query>…]"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-plan-dump")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query $n"))
+      println(s"===== $n (optimized logical) =====")
+      println(fn(spark, sfDir).queryExecution.optimizedPlan.treeString)
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,13 @@ object RecallProbe {
 
     val exact = pairs(Similarity.bruteForceTopKDf(embs)).persist()
     val nExact = exact.count()
+    // the corpus-size-keyed cell count (r11, VERDICT-r10 ask #6): the
+    // production IVF search wants the SAME sized geometry the s19/s20
+    // corpus-sized consumers run on — these rows measure the recall
+    // price of the sized candidate volume at 1/2/4 probes, so search
+    // and kNN-graph share one scale posture (contract defaults stay
+    // oracle-locked at 8 cells / 2 probes)
+    val nSized = Similarity.cellsParamsFor(embs.count())
     val methods = Seq(
       "lsh"      -> Similarity.lshTopKDf(embs),
       "ivf"      -> Similarity.ivfTopKDf(embs),
@@ -44,6 +51,9 @@ object RecallProbe {
       "ivf_8_4"  -> Similarity.ivfTopKDf(embs, 8, 4),
       "ivf_16_4" -> Similarity.ivfTopKDf(embs, 16, 4),
       "ivf_32_8" -> Similarity.ivfTopKDf(embs, 32, 8),
+      s"ivf_sized_${nSized}_2" -> Similarity.ivfTopKDf(embs, nSized, 2),
+      s"ivf_sized_${nSized}_4" -> Similarity.ivfTopKDf(embs, nSized, 4),
+      s"ivf_sized_${nSized}_8" -> Similarity.ivfTopKDf(embs, nSized, 8),
       "pq"       -> Similarity.pqTopKDf(embs),
       "ivfpq"    -> Similarity.ivfPqTopKDf(embs))
     val recalls = methods.map { case (name, df) =>

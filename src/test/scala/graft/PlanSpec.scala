@@ -177,9 +177,14 @@ class PlanSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     // exactly one ranking operator total, on the over-cap branch — and
     // TopKRewrite turns it into the bounded-heap TopKPerKey, so the cap
-    // never even full-sorts a mega-source partition
+    // never even full-sorts a mega-source partition (two heap LINES
+    // since r11: the map-side PartialTopKPerKey prunes each input
+    // partition to ≤ k per key before the exchange, the final heap
+    // finishes — still one ranking operator, zero sorts)
     assert(p.linesIterator.count(l =>
-      l.contains("TopKPerKey") || l.contains("row_number")) == 1, p)
+      (l.contains("TopKPerKey") && !l.contains("PartialTopKPerKey")) ||
+        l.contains("row_number")) == 1, p)
+    assert(p.linesIterator.count(_.contains("PartialTopKPerKey")) == 1, p)
     assert(p.contains("Union"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
@@ -447,12 +452,30 @@ class PlanSpec extends SparkSpec {
       "edge list recomputed per round:\n" + p)
   }
 
-  test("q53: change compaction is a bounded heap (TopKPerKey), and the " +
-    "merge is one full-outer join") {
+  test("q53: change compaction is a partial-agged argmin (r11 — " +
+    "ArgminRewrite claims rank-1 before the heap), and the merge is " +
+    "one full-outer join") {
     val p = plan(Relational.q53CdcApply(spark, sf))
-    assert(p.contains("TopKPerKey"),
-      "rank=1 compaction was not rewritten to the bounded heap:\n" + p)
+    // max(struct(ts, event_id, payload…)) collapses to one row per key
+    // map-side BEFORE the exchange — the r10 assignCells posture; the
+    // k=1 heap (which shuffles every event) must be gone
+    assert(p.contains("__graft_argmin") || p.contains("named_struct"),
+      "rank=1 compaction was not rewritten to the partial-agged argmin:\n" + p)
+    assert(!p.contains("TopKPerKey") && !p.contains("row_number"),
+      "a ranking operator survived where the aggregate form fits:\n" + p)
     assert(p.contains("FullOuter"), p)
+  }
+
+  test("q43: the decorrelated LATERAL is a partial-heaped per-key " +
+    "top-1 with the key filter at the scan — no global sort (r11)") {
+    val p = plan(Relational.q43Lateral(spark, sf))
+    assert(p.contains("PartialTopKPerKey"),
+      "LATERAL inner table shuffles unpruned:\n" + p)
+    // the global Sort Catalyst decorrelates into must be rewritten away
+    // (only the final presentation Sort on c_custkey remains)
+    assert(!p.contains("o_totalprice DESC") ||
+      !"Sort \\[o_totalprice".r.findFirstIn(p).isDefined,
+      "the decorrelated global sort survived:\n" + p)
   }
 
   test("s10: greedy rounds rank on the codegen'd fixed-point dot; the " +

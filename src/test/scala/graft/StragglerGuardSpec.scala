@@ -1,7 +1,12 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, AttributeSet}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayAggregate,
+  AttributeReference, AttributeSet, EqualTo, Expression, ExprId,
+  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal,
+  RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Window, WindowGroupLimit}
+import org.apache.spark.sql.types.IntegerType
 
 /** Row-invariant-fold straggler guard (r10, VERDICT-r9 ask #7).
   *
@@ -58,6 +63,115 @@ class StragglerGuardSpec extends SparkSpec {
       s"row-invariant fold(s) under corpus-sized aggregates — hoist " +
         s"onto the one-row relation (the a16/a17 r9 fix):\n" +
         offenders.mkString("\n"))
+  }
+
+  // ------------------------------------------------------------------
+  // rank-1 window argmin guard (r11, VERDICT-r10 ask #7): the r10
+  // assignCells fix (row_number window → partial-agged min(struct)) was
+  // the second hand-instance of "corpus-sized shuffle where a map-side
+  // collapse fits". Three layers now provide the collapse: ArgminRewrite
+  // (min/max(struct) partial agg — the sound k=1 cases), the
+  // partial-heaped TopKPerKey (any k, exact SortOrder semantics — what
+  // TopKRewrite claims, including the decorrelated-LATERAL shape), and
+  // Spark's own InferWindowGroupLimit (sort-side pruning for the window
+  // shapes neither custom rule takes). This guard walks every contract
+  // plan and flags any rank-1 window that ended up with NONE of them —
+  // a Filter-bounded row_number over an unbounded child with no
+  // WindowGroupLimit pruner below it, i.e. a full shuffle-and-sort that
+  // keeps one row per key. Bounded children (maxRows defined —
+  // seed/cell-count relations) may rank freely.
+
+  private def boundsToOne(cond: Expression, rn: ExprId): Boolean = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rn => k == 1
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rn => k == 2
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
+      if a.exprId == rn => k == 1
+    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
+      if a.exprId == rn => k == 2
+    case EqualTo(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rn => k == 1
+    case EqualTo(Literal(k: Int, IntegerType), a: AttributeReference)
+      if a.exprId == rn => k == 1
+    case _ => false
+  }
+
+  private def rankOneOffenders(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case Filter(cond, Window(Seq(al @ Alias(
+          WindowExpression(RowNumber(), _), _)), _, _, wc, _))
+          if boundsToOne(cond, al.exprId) &&
+            !wc.isInstanceOf[WindowGroupLimit] && wc.maxRows.isEmpty =>
+        "unprotected row_number()=1 window over an unbounded child " +
+          "(no agg collapse, no heap, no group-limit pruner)"
+    }
+
+  test("no rank-1 window/heap argmin survives over an unbounded child " +
+      "in any contract plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        rankOneOffenders(fn(spark, sf).queryExecution.optimizedPlan)
+          .map(o => s"$name: $o")
+    }
+    assert(offenders.isEmpty,
+      "rank-1 argmin shape(s) survived optimization — ArgminRewrite " +
+        "bailed; convert to the min/max(struct) agg form by hand (the " +
+        "r10 assignCells fix):\n" + offenders.mkString("\n"))
+  }
+
+  test("the rank-1 guard has teeth: the r9 assignCells shape is " +
+      "flagged when unprotected, and rewritten to an aggregate by " +
+      "ArgminRewrite") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    def r9Shape() = {
+      // the r9 straggler in miniature: corpus (parquet — unbounded
+      // maxRows, like every contract scan) × broadcast seeds scored,
+      // then a rank-1 window argmin — shuffles n·nCells rows
+      val seeds = spark.range(8).select(col("id").as("cell"),
+        (col("id") * 7 % 13).as("sv"))
+      val corpus = graft.Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"), (col("vec_id") % 17).as("v"))
+      val w = W.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
+      corpus.crossJoin(broadcast(seeds))
+        .withColumn("d", (col("v") - col("sv")) * (col("v") - col("sv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"))
+    }
+    val key = "graft.argmin.rewrite.enabled"
+    val topkKey = "graft.topk.rewrite.enabled"
+    val wglKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    // strip ALL three protection layers → the bare r9 form must flag
+    spark.conf.set(key, "false")
+    spark.conf.set(topkKey, "false")
+    spark.conf.set(wglKey, "-1")
+    try {
+      val bad = rankOneOffenders(r9Shape().queryExecution.optimizedPlan)
+      assert(bad.nonEmpty,
+        "detector lost its teeth: the r9 rank-1 window was not flagged")
+    } finally {
+      spark.conf.set(key, "true")
+      spark.conf.set(topkKey, "true")
+      spark.conf.unset(wglKey)
+    }
+    // with the rewrite on: same code, no rank-1 form — and the plan is
+    // a real aggregate (the partial-agged argmin)
+    val fixedPlan = r9Shape().queryExecution.optimizedPlan
+    assert(rankOneOffenders(fixedPlan).isEmpty,
+      "ArgminRewrite did not claim the r9 shape:\n" + fixedPlan)
+    assert(fixedPlan.collectFirst {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }.nonEmpty, "expected the min(struct) aggregate form:\n" + fixedPlan)
+    // and the rewrite is VALUE-correct vs the raw window form
+    spark.conf.set(key, "false")
+    spark.conf.set(topkKey, "false")
+    val want =
+      try r9Shape().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      finally { spark.conf.set(key, "true"); spark.conf.set(topkKey, "true") }
+    val got = r9Shape().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want), "agg-form argmin diverged from the window form")
   }
 
   test("the guard has teeth: the pre-fix a16 plan shape is flagged") {

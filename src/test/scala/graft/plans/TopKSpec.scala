@@ -86,6 +86,30 @@ class TopKSpec extends SparkSpec {
     assert(!keepsRank.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("partial phase prunes map-side and stays exact under forced " +
+      "segment flushes (r11)") {
+    // a 10-row partial budget with k=3 forces a flush every 3 keys on
+    // the map side (~50 segments over 150 keys) — the final result
+    // must still equal the window formulation exactly (each key's
+    // top-k is contained in the union of its segment top-k's)
+    spark.conf.set(TopK.partialMaxHeapRowsKey, "10")
+    try {
+      val expected = viaWindow(3).as[(Long, Long, Double)].collect().toSet
+      val got = viaCustom(3).as[(Long, Long, Double)].collect().toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(TopK.partialMaxHeapRowsKey)
+    // and the physical plan really has the map-side pruner below the
+    // exchange
+    val df = viaCustom(3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val partialLine = p.linesIterator.indexWhere(_.contains("PartialTopKPerKey"))
+    val exchangeLine = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(partialLine >= 0 && exchangeLine >= 0 && partialLine > exchangeLine,
+      "PartialTopKPerKey must sit BELOW the exchange:\n" + p)
+  }
+
   test("heap budget guard fails fast on high key cardinality (no silent OOM)") {
     // every row its own key → keys·k exceeds a tiny budget immediately
     spark.conf.set(TopK.maxHeapRowsKey, "100")
