@@ -23,11 +23,18 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val phys = sys.env.get("SPARK_GRAFT_PLAN_PHYS").contains("1")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query $n"))
-      println(s"===== $n (optimized logical) =====")
-      println(fn(spark, sfDir).queryExecution.optimizedPlan.treeString)
+      val qe = fn(spark, sfDir).queryExecution
+      if (phys) {
+        println(s"===== $n (physical) =====")
+        println(qe.executedPlan.treeString)
+      } else {
+        println(s"===== $n (optimized logical) =====")
+        println(qe.optimizedPlan.treeString)
+      }
     }
     spark.stop()
   }
