@@ -48,14 +48,23 @@ object HierProbe {
     def sumSq(sizes: Seq[Long]): BigInt =
       sizes.map(c => BigInt(c) * c).sum
 
-    // (a) single level at the clamped count — the degraded regime
+    // (a) single level at the clamped count — the degraded regime.
+    // At the PRODUCTION clamp on a past-the-boundary corpus this side
+    // is n·65536 distance evals (~10^14 element ops at 33 M vectors) —
+    // pointless to execute (its Σ|c|² is n²/clamp by arithmetic), so
+    // SPARK_GRAFT_HIER_ONLY=1 skips it and reports the arithmetic
+    // bound instead.
+    val hierOnly = sys.env.get("SPARK_GRAFT_HIER_ONLY").contains("1")
     val cSingle = math.min(clamp, Similarity.cellsParamsFor(n))
-    val seeds = Similarity.trainedSeeds(e, cSingle,
-      Similarity.trainStrideFor(n, cSingle)).persist()
-    val singleSizes = Similarity.assignCells(seeds, e, 1, "cell")
-      .groupBy(col("cell")).count()
-      .collect().map(_.getLong(1)).toSeq
-    val singleSq = sumSq(singleSizes)
+    val singleSq: BigInt =
+      if (hierOnly) BigInt(n) * n / cSingle
+      else {
+        val seeds = Similarity.trainedSeeds(e, cSingle,
+          Similarity.trainStrideFor(n, cSingle)).persist()
+        sumSq(Similarity.assignCells(seeds, e, 1, "cell")
+          .groupBy(col("cell")).count()
+          .collect().map(_.getLong(1)).toSeq)
+      }
 
     // (b) the two-level split at the same clamp
     val (c1, c2) = Similarity.hierParamsFor(n, clamp)
@@ -70,7 +79,7 @@ object HierProbe {
 
     val ideal = BigInt(n) * n
     println(
-      s"""{"sf":"$sfDir","n":$n,"clamp":$clamp,""" +
+      s"""{"sf":"$sfDir","n":$n,"clamp":$clamp,"single_is_bound":$hierOnly,""" +
       s""""single":{"cells":$cSingle,"sum_sq":$singleSq,"x_ideal":${
         if (singleSq == 0) 0.0 else (BigDecimal(singleSq) * cSingle / BigDecimal(ideal)).toDouble}},""" +
       s""""hier":{"c1":$c1,"c2":$c2,"leaves":$hierLeaves,"sum_sq":$hierSq,"x_ideal":${
