@@ -351,10 +351,28 @@ object Similarity {
 
   /** Deterministic raw seed relation `(cell, sv)`: the first
     * [[numCells]] vectors (the IVF seed convention — portable because
-    * it is a plain filter, not a sample). */
-  private def rawSeeds(e: DataFrame, n: Int = numCells): DataFrame =
-    e.filter(col("vec_id") < n)
+    * it is a plain filter, not a sample). `seedStride` > 1 SPREADS the
+    * seeds across the id space instead (ids {0, s, 2s, …}): the
+    * first-n convention draws every seed from one corner of the
+    * corpus, and the 33.6 M-vector capstone measured the consequence —
+    * on a strongly multi-modal corpus one Lloyd step cannot recover
+    * from single-corner seeds and the coarse quantizer COLLAPSES
+    * (Σ|leaf|² 16,606× of ideal; SCALING.md r11). The contract paths
+    * keep the oracle-locked first-n convention (seedStride 1); the
+    * corpus-sized hier consumers pass the spread. */
+  private def rawSeeds(e: DataFrame, n: Int = numCells,
+      seedStride: Long = 1L): DataFrame =
+    (if (seedStride <= 1L) e.filter(col("vec_id") < n)
+     else e.filter(col("vec_id") % seedStride === 0 &&
+       col("vec_id") < seedStride * n))
       .select(col("vec_id").as("cell"), col("v").as("sv"))
+
+  /** Seed spread for corpus-size-keyed quantizers: one seed every
+    * n/nCells ids — exactly nCells seeds covering the whole id space
+    * for any corpus with n ≥ nCells rows and dense-enough ids (the
+    * driver's tables are id-dense from 0). */
+  def seedStrideFor(nVecs: Long, nCells: Int): Long =
+    math.max(1L, nVecs / nCells)
 
   /** Trained seed vectors `(cell, sv)`: the [[lloydCells]] centroids
     * re-assembled into dense arrays (nCells rows — the collect_list
@@ -363,8 +381,8 @@ object Similarity {
     * ([[trainStrideFor]]); the full corpus is still ASSIGNED to the
     * resulting centroids by the callers. */
   private[graft] def trainedSeeds(e: DataFrame, n: Int = numCells,
-      stride: Long = 1L): DataFrame =
-    lloydCells(e, n, stride)
+      stride: Long = 1L, seedStride: Long = 1L): DataFrame =
+    lloydCells(e, n, stride, seedStride)
       .groupBy(col("cell"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, centroid))), p -> p.centroid)")
@@ -487,11 +505,12 @@ object Similarity {
     * quantizer: integer-assign every vector to its nearest raw seed,
     * recompute exact fixed-point centroid means per (cell, pos). */
   private def lloydCells(e: DataFrame, n: Int = numCells,
-      stride: Long = 1L): DataFrame =
+      stride: Long = 1L, seedStride: Long = 1L): DataFrame =
     // raw seeds come from the FULL corpus (the first-nCells seed
-    // convention); `stride` > 1 samples only the TRAINING MEMBERSHIP
-    // (which vectors get assigned and averaged) — trainStrideFor
-    assignCells(rawSeeds(e, n),
+    // convention, or the seedStride spread); `stride` > 1 samples only
+    // the TRAINING MEMBERSHIP (which vectors get assigned and
+    // averaged) — trainStrideFor
+    assignCells(rawSeeds(e, n, seedStride),
         if (stride > 1L) e.filter(col("vec_id") % stride === 0) else e,
         1, "cell")
       .select(col("cell"), posexplode(col("v")))
@@ -514,12 +533,15 @@ object Similarity {
     * integer distances to the raw first-[[numCells]] seeds `sd0`, the
     * Lloyd assignment `seed_assign` (argmin, cell-id tiebreak). */
   private def kmeansChainSqlFor(nCellsSql: String,
-      trainPred: String = ""): String =
+      trainPred: String = "", seedPred: String = ""): String = {
     // x is referenced up to 7× downstream (sd0 twice, ct, cd, n, the
     // dot-product join twice) — MATERIALIZED per the g03/d07 lesson or
     // DuckDB re-runs the unnest per reference at scale. `trainPred`
     // (sized chains only) restricts the TRAINING membership to the
-    // trainStrideFor sample; the contract chain's text is unchanged.
+    // trainStrideFor sample; `seedPred` (hier chains) replaces the
+    // first-n seed filter with the seedStrideFor spread; the contract
+    // chain's text is unchanged.
+    val seeds = if (seedPred.isEmpty) s"s.vec_id < $nCellsSql" else seedPred
     s"""x AS MATERIALIZED (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
@@ -527,12 +549,13 @@ object Similarity {
        |sd0 AS MATERIALIZED (
        |  SELECT c.vec_id, s.vec_id AS cell, ${sqDistSumSql("c.v", "s.v")} AS d
        |  FROM x c JOIN x s ON c.i = s.i
-       |  WHERE s.vec_id < $nCellsSql$trainPred GROUP BY 1, 2),
+       |  WHERE $seeds$trainPred GROUP BY 1, 2),
        |seed_assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY d, cell) AS srk
        |    FROM sd0) WHERE srk = 1)""".stripMargin
+  }
 
   /** Contract-count chain (the oracle-locked [[numCells]] geometry the
     * bounded-query s-series spells). */
@@ -545,8 +568,8 @@ object Similarity {
     * expression — a literal for the contract chain, the [[sizedCellsRef]]
     * scalar for corpus-size-keyed consumers (s19/s20). */
   private[queries] def trainedChainSqlFor(nCellsSql: String,
-      trainPred: String = ""): String =
-    s"""${kmeansChainSqlFor(nCellsSql, trainPred)},
+      trainPred: String = "", seedPred: String = ""): String =
+    s"""${kmeansChainSqlFor(nCellsSql, trainPred, seedPred)},
        |ct AS MATERIALIZED (
        |  SELECT a.cell, x.i - 1 AS pos, ${fpMeanSql("x.v")} AS centroid
        |  FROM x JOIN seed_assign a ON x.vec_id = a.vec_id
@@ -2124,7 +2147,13 @@ object Similarity {
     * carries a cell-exact DuckDB twin of BOTH levels. */
   private[graft] def hierAssigned(e: DataFrame, n: Long,
       nSuper: Int, nSub: Int): DataFrame = {
-    val seeds1 = trainedSeeds(e, nSuper, trainStrideFor(n, nSuper)).persist()
+    // level-1 seeds SPREAD across the id space (seedStrideFor — the
+    // 33.6 M capstone's collapse fix: first-n seeds all come from one
+    // corner of a multi-modal corpus and one Lloyd step cannot
+    // recover); level-2 raw seeds are per-super-cell members, already
+    // spread by construction
+    val seeds1 = trainedSeeds(e, nSuper, trainStrideFor(n, nSuper),
+      seedStrideFor(n, nSuper)).persist()
     val corpus1 = assignCells(seeds1, e, 1, "sc")
     val wSeed = Window.partitionBy(col("sc")).orderBy(col("vec_id"))
     val seeds2raw = corpus1
@@ -2198,11 +2227,14 @@ object Similarity {
        |  // ($trainTarget * $numSuperCells) AS BIGINT)) AS ts1 FROM embeddings),
        |ts2x AS (SELECT GREATEST(1, CAST(COUNT(*)
        |  // ($trainTarget * $numSuperCells * (SELECT n_sub FROM nsx)) AS BIGINT))
-       |  AS ts2 FROM embeddings)""".stripMargin
+       |  AS ts2 FROM embeddings),
+       |ss1x AS (SELECT GREATEST(1, CAST(COUNT(*)
+       |  // $numSuperCells AS BIGINT)) AS ss1 FROM embeddings)""".stripMargin
 
   private[queries] val nSubRef = "(SELECT n_sub FROM nsx)"
   private[queries] val ts1Ref = "(SELECT ts1 FROM ts1x)"
   private[queries] val ts2Ref = "(SELECT ts2 FROM ts2x)"
+  private[queries] val ss1Ref = "(SELECT ss1 FROM ss1x)"
 
   /** DuckDB twin of [[hierBalanceDf]]: the shared level-1 trained
     * chain at [[numSuperCells]] (stride-ts1 training), then level 2
@@ -2214,7 +2246,8 @@ object Similarity {
   private val hierBalanceSql =
     s"""WITH $hierSizedSql,
        |${trainedChainSqlFor(numSuperCells.toString,
-          s" AND c.vec_id % $ts1Ref = 0")},
+          s" AND c.vec_id % $ts1Ref = 0",
+          s"s.vec_id % $ss1Ref = 0 AND s.vec_id < $numSuperCells * $ss1Ref")},
        |sc1 AS MATERIALIZED (SELECT vec_id, cell AS sc FROM rk WHERE rk = 1),
        |s2r AS MATERIALIZED (
        |  SELECT sc, vec_id, rn - 1 AS sub FROM (

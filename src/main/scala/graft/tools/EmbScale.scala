@@ -33,17 +33,27 @@ object EmbScale {
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val shift = maxId + 1
     val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // rotation alone gives only `dim` distinct transforms — past dim
+    // replicas, identical copies form weight atoms no quantizer can
+    // balance below (the first 33.6 M probe measured 5.6× of leaf
+    // ideal against a 2.04× data floor). A per-replica AFFINE map
+    // (deterministic scale in [0.75, 1.75), offset in [-1, 1)) keeps
+    // every replica's internal structure (affine) while making all
+    // replica clouds distinct.
+    val rot = col("r") % dim
+    val scaleR = (lit(0.75) + (col("r") * 2654435761L % 1000L) / 1000.0)
+    val offR = ((col("r") * 40503L % 2001L) - 1000L) / 1000.0
+    val rotated = when(rot === 0, col("embedding")).otherwise(
+      concat(
+        slice(col("embedding"), (rot + 1).cast("int"),
+          (lit(dim) - rot).cast("int")),
+        slice(col("embedding"), lit(1), rot.cast("int"))))
     val out = spark.range(reps).select(col("id").as("r"))
       .crossJoin(e)
       .select(
         (col("r") * shift + col("vec_id")).as("vec_id"),
-        // rotate by r mod dim: slice is 1-based; rot 0 = identity
-        when(col("r") % dim === 0, col("embedding")).otherwise(
-          concat(
-            slice(col("embedding"), (col("r") % dim + 1).cast("int"),
-              (lit(dim) - col("r") % dim).cast("int")),
-            slice(col("embedding"), lit(1), (col("r") % dim).cast("int"))))
-          .as("embedding"))
+        transform(rotated.cast("array<double>"),
+          x => (x * scaleR + offR).cast("float")).as("embedding"))
     out.repartition(cpus.toInt * 2)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     val n = spark.read.parquet(s"$dst/embeddings.parquet").count()

@@ -118,6 +118,7 @@ TS_REF = "(SELECT train_stride FROM ts)"
 NSX_REF = "(SELECT n_sub FROM nsx)"
 TS1_REF = "(SELECT ts1 FROM ts1x)"
 TS2_REF = "(SELECT ts2 FROM ts2x)"
+SS1_REF = "(SELECT ss1 FROM ss1x)"
 
 def geometry_constants(sql):
     """Parse (numCells, maxCells, targetCellSize, trainTarget) out of the
@@ -202,16 +203,18 @@ def main(out_dir, sf_dir=None):
                               1 << (max(1, math.ceil(n / per)) - 1).bit_length()))
         ts1 = max(1, n // (train_tgt * n_super))
         ts2 = max(1, n // (train_tgt * n_super * ns))
+        ss1 = max(1, n // n_super)
         hier_patched = []
         for name in list(j):
             if NSX_REF in j[name]:
                 j[name] = (j[name].replace(NSX_REF, str(ns))
                                   .replace(TS1_REF, str(ts1))
-                                  .replace(TS2_REF, str(ts2)))
+                                  .replace(TS2_REF, str(ts2))
+                                  .replace(SS1_REF, str(ss1)))
                 hier_patched.append(name)
                 if name not in patched:
                     patched.append(name)
-        print(f"inlined n_sub={ns} ts1={ts1} ts2={ts2} (n={n}, constants "
+        print(f"inlined n_sub={ns} ts1={ts1} ts2={ts2} ss1={ss1} (n={n}, constants "
               f"parsed from dump: [{min_sub},{max_sub}]/{per}/"
               f"{train_tgt}x{n_super}) into:", sorted(hier_patched))
     for name, sql in j.items():
