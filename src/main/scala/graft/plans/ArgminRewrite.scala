@@ -46,9 +46,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    carries the Spark default matching the chosen aggregate
   *    (Ascending/NullsFirst under min, Descending/NullsLast under
   *    max), or is a NON-NULLABLE int/bigint in the opposite default
-  *    direction, which [[UnaryMinus]] flips exactly (non-nullable
-  *    because a null would jump from last to first; integral because
-  *    float negation at ±0.0/NaN and min-value wrap need care — the
+  *    direction, which [[BitwiseNot]] flips exactly (~x = -1 - x, a
+  *    bijective order-REVERSING map on the full two's-complement
+  *    range — where unary minus wraps at Int/Long.MinValue and would
+  *    order the minimum as the extreme opposite, ADVICE-r11;
+  *    non-nullable because a null would jump from last to first;
+  *    integral because float negation at ±0.0/NaN needs care — the
   *    engine's rank keys are fixed-point BIGINTs by design).
   *
   * `graft.argmin.rewrite.enabled` (default true) disables the rule
@@ -94,7 +97,7 @@ object ArgminRewrite extends Rule[LogicalPlan] {
     val flippable = !so.child.nullable &&
       (so.child.dataType == IntegerType || so.child.dataType == LongType)
     if (matches) Some(so.child)
-    else if (opposite && flippable) Some(UnaryMinus(so.child, failOnError = false))
+    else if (opposite && flippable) Some(BitwiseNot(so.child))
     else None
   }
 

@@ -122,11 +122,18 @@ case class PartialTopKPerKeyExec(keys: Seq[Expression],
     val childOutput = child.output
     // the map side takes its own budget (default: the shared one) —
     // it bounds the PRE-flush working set, while the final phase's
-    // budget is a hard fail-fast contract
-    val maxHeapRows = conf.getConfString(TopK.partialMaxHeapRowsKey,
-      conf.getConfString(TopK.maxHeapRowsKey,
-        TopK.defaultMaxHeapRows.toString)).toLong
+    // budget is a hard fail-fast contract. FLOORED at k: below k the
+    // fresh-map insert of the carried-over `pending` row could refuse
+    // (heaps.size * k >= budget holds already at size 0) and its
+    // ignored return value would silently DROP the row (ADVICE-r11 /
+    // VERDICT-r11 #4). At the floor every segment holds exactly one
+    // key's heap — degenerate but exact; TopKSpec pins
+    // partialMaxHeapRows=1, k=2 to exact results.
     val kLocal = k
+    val maxHeapRows = math.max(kLocal.toLong,
+      conf.getConfString(TopK.partialMaxHeapRowsKey,
+        conf.getConfString(TopK.maxHeapRowsKey,
+          TopK.defaultMaxHeapRows.toString)).toLong)
     child.execute().mapPartitions { iter =>
       val ordering = GenerateOrdering.generate(boundOrder, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)

@@ -202,6 +202,13 @@ object Similarity {
     * PortableBloom.maxBits]]). */
   val maxCells = 65536
 
+  /** Session-conf override for the single-level cell ceiling on the
+    * s19 production path (default [[maxCells]]) — exists so the
+    * two-level SWITCH itself is exercisable below the real 16.8 M
+    * boundary (VERDICT-r11 ask #5; [[graft.tools.HierProbe]] measures
+    * through the same argument). Production never sets it. */
+  val cellClampKey = "graft.ann.cellClamp"
+
   /** Design cell occupancy for corpus-sized outputs (the s19 kNN
     * graph): cells sized so Σ|c|² ≈ n·[[targetCellSize]] stays LINEAR
     * in the corpus instead of the n²/nCells a fixed count degrades to
@@ -272,6 +279,27 @@ object Similarity {
   def trainStrideFor(nVecs: Long, nCells: Int): Long =
     math.max(1L, nVecs / (trainTarget.toLong * nCells))
 
+  /** Probes-for-recall sizing — the knob the r11 RecallProbe curve
+    * measured but nothing computed (VERDICT-r11 ask #2): recall@k
+    * tracks the PROBED FRACTION nProbes/nCells, not the probe count
+    * (measured on the r11 generation: 0.476 at 2/8, 0.150 at 2/128,
+    * 0.325 at 8/128 — SCALING.md r11), so a sized index that keeps
+    * the contract probe count silently sheds recall 16× as cells
+    * grow 8 → 128. This keys nProbes to hold the CONTRACT operating
+    * point ([[numProbes]]/[[numCells]] = 1/4 probed) at any
+    * [[cellsParamsFor]]/[[hierParamsFor]] cell count: gate corpora
+    * (sized = contract count) reproduce the oracle-locked
+    * [[numProbes]] exactly, and s22 carries the formula in its
+    * oracle so a drift hash-fails. The trade stays explicit:
+    * candidate volume per query is probedFraction·n — holding
+    * recall costs linear candidates, which is the honest IVF
+    * contract (recall ∝ probed volume); cutting the fraction
+    * instead is a per-corpus choice made against the measured
+    * curve (s15). */
+  def probesFor(nCells: Int): Int =
+    math.max(numProbes,
+      ((nCells.toLong * numProbes + numCells - 1) / numCells).toInt)
+
   /** DuckDB spelling of [[cellsParamsFor]] over a corpus COUNT(*) —
     * composed into the s19/s20 twins so the size is recomputed from
     * the same count on the oracle side (a drifted formula
@@ -324,6 +352,11 @@ object Similarity {
       // identical flops with zero expansion, zero sort, and zero
       // exchange; the r10 agg form had already removed the exchange
       // (1.29–1.72× measured), this removes the rest.
+      // the global agg always emits one row — empty-array for an empty
+      // seed relation, where NearestCell returns null and every probe
+      // row would survive with a NULL cell. Filter it out so the
+      // empty-seed degenerate keeps the pre-r11 crossJoin contract
+      // (zero output rows), not a silently changed one (ADVICE-r11).
       val packed = seeds
         .groupBy()
         .agg(expr(
@@ -332,6 +365,7 @@ object Similarity {
           expr(
           "transform(array_sort(collect_list(struct(cell, sv))), p -> p.cell)")
           .as("__cids"))
+        .filter(size(col("__svs")) > 0)
       probe.crossJoin(broadcast(packed))
         .select(col("vec_id"), col("v"), col("nrm"),
           element_at(col("__cids"),
@@ -1948,7 +1982,17 @@ object Similarity {
     // The two-level functions themselves are oracle-locked by s21's
     // twin at every scale.
     val n = embs.count()
-    val (c1, c2) = hierParamsFor(n)
+    // conf-keyed clamp (r12, VERDICT-r11 ask #5): the production
+    // boundary (maxCells·targetCellSize ≈ 16.8 M vectors) is
+    // unreachable in any contract run, so without this knob the
+    // s19-side SWITCH — not the hier functions, which s21 oracles —
+    // would never execute under test. SketchAuditSpec drops the clamp
+    // on a clustered corpus and pins the two-level result to the
+    // single-level answer (the switch is output-transparent where
+    // geometry shouldn't change answers).
+    val clamp = embs.sparkSession.conf
+      .get(cellClampKey, maxCells.toString).toInt
+    val (c1, c2) = hierParamsFor(n, clamp)
     val corpus = if (c2 == 1) {
       val seeds = trainedSeeds(e, c1, trainStrideFor(n, c1)).persist()
       assignCells(seeds, e, 1, "cell")
@@ -2176,7 +2220,24 @@ object Similarity {
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, centroid))), p -> p.centroid)")
         .as("sv"))
-    assignSubCells(seeds2, corpus1, "sub")
+    // Coverage fallback (r12, ADVICE-r11): the stride-ts2 training
+    // membership can MISS every member of a small or skewed super-cell
+    // (exactly the collapsed-assignment regime this index exists for),
+    // leaving cents2 with no centroid for that sc — and assignSubCells'
+    // inner join on sc would then silently DROP the whole super-cell
+    // from the output. The raw seeds cover every non-empty sc by
+    // construction (its first members), so absent super-cells fall
+    // back to their raw seed vectors passed through the same
+    // one-member fixed-point mean cents2 applies (identical rounding —
+    // both engines spell it the same), keeping hierAssigned
+    // row-preserving at any skew. SketchAuditSpec constructs the
+    // miss-every-member corpus and pins the row count.
+    val fallback = seeds2raw
+      .join(seeds2.select(col("sc")).distinct(), Seq("sc"), "left_anti")
+      .select(col("sc"), col("sub"), expr(
+        s"transform(sv, x -> round(floor(x * $fpScale) / $fpScale.0, 4) + 0.0)")
+        .as("sv"))
+    assignSubCells(seeds2.unionByName(fallback), corpus1, "sub")
   }
 
   /** s21: the s20 balance audit ON THE TWO-LEVEL INDEX — leaf sizes,
@@ -2270,11 +2331,19 @@ object Similarity {
        |  FROM x JOIN a2 a ON x.vec_id = a.vec_id
        |         JOIN tm t ON t.vec_id = a.vec_id
        |  GROUP BY 1, 2, 3),
+       |ct2f AS MATERIALIZED (
+       |  SELECT sc, sub, pos, centroid FROM ct2
+       |  UNION ALL
+       |  SELECT s.sc, s.sub, x.i - 1 AS pos,
+       |    ROUND(CAST(FLOOR(x.v * 1048576) AS BIGINT) / 1048576.0, 4) + 0.0
+       |      AS centroid
+       |  FROM s2r s JOIN x ON x.vec_id = s.vec_id
+       |  WHERE s.sc NOT IN (SELECT sc FROM ct2)),
        |cd2 AS (
-       |  SELECT c.vec_id, c.sc, ct2.sub,
-       |    ${sqDistSumSql("x.v", "ct2.centroid")} AS d
-       |  FROM sc1 c JOIN ct2 ON ct2.sc = c.sc
-       |  JOIN x ON x.vec_id = c.vec_id AND x.i - 1 = ct2.pos
+       |  SELECT c.vec_id, c.sc, ct2f.sub,
+       |    ${sqDistSumSql("x.v", "ct2f.centroid")} AS d
+       |  FROM sc1 c JOIN ct2f ON ct2f.sc = c.sc
+       |  JOIN x ON x.vec_id = c.vec_id AND x.i - 1 = ct2f.pos
        |  GROUP BY 1, 2, 3),
        |leaf AS (
        |  SELECT vec_id, sc, sub FROM (
@@ -2297,7 +2366,137 @@ object Similarity {
        |    END AS BIGINT) AS dev_ppm
        |FROM sizes, tot ORDER BY sc, sub""".stripMargin
 
+  // ---------------------------------------- s22 sized-probe recall
+  /** s22: the sized IVF SEARCH geometry at its computed probe count —
+    * [[probesFor]] turned from SCALING.md prose into an
+    * oracle-checked relation (VERDICT-r11 ask #2). One row:
+    * `(n_cells, n_probes, probed_ppm, n_truth, n_hit, recall)` where
+    * `n_cells` = [[cellsParamsFor]] (corpus-keyed), `n_probes` =
+    * [[probesFor]] (n_cells), and recall is measured against the s01
+    * brute-force truth for the standard bounded query set — so BOTH
+    * sizing formulas are recomputed from COUNT(*) on the oracle side
+    * and hash-checked (the s20/bloomParamsFor acceptance pattern),
+    * and the emitted recall is the operating point the sizing claims
+    * to hold. Gate corpora reproduce the oracle-locked contract
+    * geometry (8 cells, 2 probes) exactly; SketchAuditSpec pins the
+    * formula values and a recall floor so a probe-sizing regression
+    * fails `sbt test` before it ships.
+    *
+    * Scale shape: s15's cost argument — the quantizer trains once
+    * (stride-bounded), each query keeps its full cell ranking from
+    * ONE scored pass over the broadcast centroids, and the candidate
+    * join is cell-equi (probed fraction × corpus rows per query,
+    * shuffled co-partitioned on cell). The truth side is the s01
+    * bounded-query brute pass, present because the audit needs it —
+    * a production sizing run samples queries exactly this way. */
+  def sizedProbeRecall(s: SparkSession, dir: String): DataFrame =
+    sizedProbeRecallDf(t(s, dir, "embeddings"))
+
+  def sizedProbeRecallDf(embs: DataFrame): DataFrame = {
+    val e = emb(embs)
+    val n = embs.count()
+    val nCells = cellsParamsFor(n)
+    val nProbes = probesFor(nCells)
+    val seeds = trainedSeeds(e, nCells, trainStrideFor(n, nCells)).persist()
+    val corpus = assignCells(seeds, e, 1, "cell")
+    val queries = assignCells(seeds, e.filter(isQuery), nProbes, "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val top = queries.as("q")
+      .join(corpus.as("c"), col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), cosCol.as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = bruteForceTopKDf(embs)
+      .select(col("query_id"), col("neighbor_id"))
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    truthN.crossJoin(broadcast(hits))
+      .select(lit(nCells.toLong).as("n_cells"),
+        lit(nProbes.toLong).as("n_probes"),
+        lit(nProbes.toLong * 1000000L / nCells).as("probed_ppm"),
+        col("n_truth"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+  }
+
+  /** DuckDB twin: sized cell count AND probe count recomputed from the
+    * same COUNT(*) ([[sizedCellsSql]] + the [[probesFor]] arithmetic —
+    * exact integer ceil-div), the shared sized trained chain, per-query
+    * candidate membership by rank ≤ n_probes, the s01 truth respelled
+    * on the shared CTEs (the s15 binder-workaround pattern). */
+  private val sizedProbeRecallSql =
+    s"""WITH $sizedCellsSql,
+       |npx AS (SELECT GREATEST($numProbes,
+       |  ((SELECT n_cells FROM nc) * $numProbes + ${numCells - 1})
+       |    // $numCells) AS n_probes),
+       |${trainedChainSqlFor(sizedCellsRef,
+          s" AND c.vec_id % $trainStrideRef = 0")},
+       |n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+       |qa AS (
+       |  SELECT vec_id, cell FROM rk
+       |  WHERE rk <= (SELECT n_probes FROM npx)
+       |    AND vec_id % $queryStride = 0
+       |    AND vec_id < ${queryStride.toLong * maxQueries}),
+       |pairs0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qa q JOIN corpus c
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |d AS (
+       |  SELECT query_id, neighbor_id, SUM(qx.v * cx.v) AS dot
+       |  FROM pairs0 JOIN x qx ON qx.vec_id = pairs0.query_id
+       |              JOIN x cx ON cx.vec_id = pairs0.neighbor_id
+       |                AND qx.i = cx.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM d JOIN n nq ON d.query_id = nq.vec_id
+       |         JOIN n nb ON d.neighbor_id = nb.vec_id),
+       |top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |    FROM scored) WHERE rnk <= $topK),
+       |bfd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM(q.v * c.v) AS dot
+       |  FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $queryStride = 0
+       |    AND q.vec_id < ${queryStride.toLong * maxQueries}
+       |  GROUP BY 1, 2),
+       |bfs AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(dot / (nq.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM bfd JOIN n nq ON bfd.query_id = nq.vec_id
+       |           JOIN n nb ON bfd.neighbor_id = nb.vec_id),
+       |bf AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rnk2
+       |    FROM bfs) WHERE rnk2 <= $topK),
+       |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),
+       |hits AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM top JOIN bf USING (query_id, neighbor_id))
+       |SELECT CAST($sizedCellsRef AS BIGINT) AS n_cells,
+       |  CAST((SELECT n_probes FROM npx) AS BIGINT) AS n_probes,
+       |  CAST((SELECT n_probes FROM npx) * 1000000
+       |    // $sizedCellsRef AS BIGINT) AS probed_ppm,
+       |  tr.n_truth, hits.n_hit,
+       |  ROUND(hits.n_hit / tr.n_truth, 4) AS recall
+       |FROM tr CROSS JOIN hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_sized_probe_recall" -> sizedProbeRecall _,
     "s21_hier_balance"    -> hierBalance _,
     "s20_sized_balance"   -> sizedBalance _,
     "s19_knn_graph"       -> knnGraph _,
@@ -2321,6 +2520,7 @@ object Similarity {
     "s07_topk_ivfpq"      -> ivfPqTopK _)
 
   val oracle: Map[String, String] = Map(
+    "s22_sized_probe_recall" -> sizedProbeRecallSql,
     "s21_hier_balance"    -> hierBalanceSql,
     "s20_sized_balance"   -> sizedBalanceSql,
     "s19_knn_graph"       -> knnGraphSql,

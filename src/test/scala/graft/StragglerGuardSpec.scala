@@ -120,6 +120,93 @@ class StragglerGuardSpec extends SparkSpec {
         "r10 assignCells fix):\n" + offenders.mkString("\n"))
   }
 
+  // ------------------------------------------------------------------
+  // k>1 top-k guard (r12, VERDICT-r11 ask #6): the q43 class before its
+  // r11 fix — Filter(rk <= k, k small) over a row_number window whose
+  // child is unbounded, with NEITHER TopKPerKey (the custom heap — its
+  // plans never contain this Window shape) NOR a WindowGroupLimit
+  // pruner (Spark's InferWindowGroupLimit) protecting it. Such a shape
+  // shuffles AND fully sorts every input row to keep k per key.
+
+  /** The filter (or one of its conjuncts) bounds the rank attribute to
+    * a small k ≥ 2 — the 2..1000 band: k=1 belongs to the rank-1 guard
+    * above, and a four-digit k is a deliberate wide cut, not the
+    * straggler class. */
+  private def boundsToSmallK(cond: Expression, rn: ExprId): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def k(e: Expression): Option[Int] = e match {
+      case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
+        if a.exprId == rn => Some(v)
+      case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
+        if a.exprId == rn => Some(v - 1)
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference)
+        if a.exprId == rn => Some(v)
+      case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference)
+        if a.exprId == rn => Some(v - 1)
+      case _ => None
+    }
+    conjuncts(cond).flatMap(k(_)).exists(v => v >= 2 && v <= 1000)
+  }
+
+  private def topKOffenders(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case Filter(cond, Window(Seq(al @ Alias(
+          WindowExpression(fn, _), _)), _, _, wc, _))
+          if (fn.isInstanceOf[RowNumber] ||
+            fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank]) &&
+            boundsToSmallK(cond, al.exprId) &&
+            !wc.isInstanceOf[WindowGroupLimit] && wc.maxRows.isEmpty =>
+        "unprotected row_number()<=k window over an unbounded child " +
+          "(no heap operator, no group-limit pruner)"
+    }
+
+  test("no small-k top-k window survives over an unbounded child " +
+      "without a pruner in any contract plan (r12)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        topKOffenders(fn(spark, sf).queryExecution.optimizedPlan)
+          .map(o => s"$name: $o")
+    }
+    assert(offenders.isEmpty,
+      "small-k top-k shape(s) survived without TopKPerKey or " +
+        "WindowGroupLimit — the pre-r11 q43 class:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the k>1 guard has teeth: the pre-fix q43 shape is flagged when " +
+      "both pruners are stripped, and clean under either protection") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    def q43Shape() = {
+      val w = W.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+      graft.Tables.t(spark, sf, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).drop("rk")
+    }
+    val topkKey = "graft.topk.rewrite.enabled"
+    val wglKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    spark.conf.set(topkKey, "false")
+    spark.conf.set(wglKey, "-1")
+    try {
+      val bad = topKOffenders(q43Shape().queryExecution.optimizedPlan)
+      assert(bad.nonEmpty,
+        "detector lost its teeth: the unprotected k=3 window was not flagged")
+    } finally {
+      spark.conf.set(topkKey, "true")
+      spark.conf.unset(wglKey)
+    }
+    // protected (TopKRewrite takes it as a heap by default): clean
+    val protectedPlan = q43Shape().queryExecution.optimizedPlan
+    assert(topKOffenders(protectedPlan).isEmpty,
+      "the protected k=3 shape must not be flagged:\n" + protectedPlan)
+  }
+
   test("the rank-1 guard has teeth: the r9 assignCells shape is " +
       "flagged when unprotected, and rewritten to an aggregate by " +
       "ArgminRewrite") {

@@ -110,6 +110,22 @@ class TopKSpec extends SparkSpec {
       "PartialTopKPerKey must sit BELOW the exchange:\n" + p)
   }
 
+  test("a pathological partial budget below k cannot drop rows: the " +
+      "effective budget floors at k (r12, ADVICE-r11)") {
+    // budget 1 < k=2: pre-fix, the carried-over `pending` row's
+    // fresh-map insert refused (heaps.size * k >= 1 already at size 0)
+    // and the ignored return value silently lost the row. With the
+    // floor, every segment holds exactly one key's heap — degenerate
+    // pruning, exact results.
+    spark.conf.set(TopK.partialMaxHeapRowsKey, "1")
+    try {
+      val expected = viaWindow(2).as[(Long, Long, Double)].collect().toSet
+      val got = viaCustom(2).as[(Long, Long, Double)].collect().toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(TopK.partialMaxHeapRowsKey)
+  }
+
   test("heap budget guard fails fast on high key cardinality (no silent OOM)") {
     // every row its own key → keys·k exceeds a tiny budget immediately
     spark.conf.set(TopK.maxHeapRowsKey, "100")

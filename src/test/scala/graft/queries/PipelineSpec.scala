@@ -156,4 +156,57 @@ class PipelineSpec extends SparkSpec {
         r.getLong(4)))
     assert(out.sameElements(again))
   }
+
+  test("e06: the lang-ID and quality gates commute on a random doc set " +
+      "— both row-local, so the funnel from stage 2 on is " +
+      "order-independent (r12, VERDICT-r11 ask #7)") {
+    // The e06 scaladoc (and its DuckDB twin's `ok ∩ lk` spelling)
+    // ARGUE lang∘gate ≡ gate∘lang from row-locality; this makes the
+    // claim mechanical: a seeded random corpus mixing every marker
+    // language, junk tokens, repeats (low_diversity), and
+    // empty/short docs, run through BOTH stage orders. Stages 3–5
+    // consume only the stage-2 survivor relation, so survivor-set +
+    // stage-2-aggregate equality implies funnel identity from
+    // stage 2 on.
+    val rnd = new scala.util.Random(42)
+    val pool = Seq("the", "a", "of", "and", "to", "der", "die", "das",
+      "und", "ist", "el", "la", "los", "y", "es", "le", "les", "et",
+      "est", "du", "de", "shi", "zai", "he", "alpha", "beta", "gamma",
+      "delta", "qq", "zz")
+    val docs = (0L until 120L).map { id =>
+      val n = rnd.nextInt(41)
+      val toks = Seq.fill(n) {
+        if (rnd.nextInt(10) < 3) "dup" // repeats → low_diversity
+        else pool(rnd.nextInt(pool.size))
+      }
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def langFilter(df: org.apache.spark.sql.DataFrame) =
+      TextOps.withLangScores(df, "toks")
+        .filter(TextOps.langPred === "en" && col("score_en") > 0)
+    val scored = TextOps.gateScored(docs)
+    val langThenGate = langFilter(scored).filter(col("reason") === "ok")
+    val gateThenLang = langFilter(scored.filter(col("reason") === "ok"))
+    val a = langThenGate.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = gateThenLang.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, s"gate orders diverged: ${a diff b} vs ${b diff a}")
+    // non-vacuity: survivors exist AND each gate drops someone in each
+    // order (otherwise the property test proves nothing)
+    assert(a.nonEmpty, "vacuous: no survivors — regenerate the fixture")
+    val nRaw = docs.count()
+    val nLangOnly = langFilter(scored).count()
+    val nGateOnly = scored.filter(col("reason") === "ok").count()
+    assert(nLangOnly < nRaw, "vacuous: the lang gate dropped nothing")
+    assert(nGateOnly < nRaw, "vacuous: the quality gate dropped nothing")
+    assert(a.size < math.min(nLangOnly, nGateOnly),
+      "vacuous: one gate subsumed the other on this fixture")
+    // stage-2 aggregates (the funnel's docs_out/tokens_out) agree
+    val aggA = langThenGate
+      .agg(count(lit(1)).as("d"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t")).head()
+    val aggB = gateThenLang
+      .agg(count(lit(1)).as("d"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t")).head()
+    assert(aggA == aggB)
+  }
 }

@@ -222,6 +222,113 @@ class SketchAuditSpec extends SparkSpec {
       "envelope lost its teeth on the leaf count")
   }
 
+  test("hierAssigned preserves every input row even when a super-cell's " +
+      "members all miss the level-2 training stride (r12, ADVICE-r11)") {
+    // Constructed corpus, n=768, nSuper=3, nSub=2 → level-1 seeds at
+    // ids {0,256,512} (seedStride 256), level-1 training ids ≡0 mod 4
+    // (stride 4), level-2 training ids ≡0 mod 2 (stride 2). The
+    // geometry below makes every level-1 trainer of the middle seed
+    // FLIP away after the Lloyd step (id256 to the A-centroid, the
+    // (100,69) trainers to the C-centroid — the sum-of-squares
+    // identity forbids all flipping to the SAME centroid, not to
+    // different ones), so the middle super-cell's final members are
+    // exactly the 384 ODD ids at (100,45) — none in the even-id
+    // level-2 training sample. Pre-fix, cents2 then had no centroid
+    // for that sc and the inner join dropped all 384 rows silently.
+    val bTrain = Set(4L, 8L, 12L, 16L, 20L)
+    val cTrain = (24L to 100L by 4L).toSet
+    val rows = (0L until 768L).map { id =>
+      val v: Seq[Float] =
+        if (id == 0L) Seq(0f, 0f)
+        else if (id == 256L) Seq(100f, 0f)
+        else if (id == 512L) Seq(100f, 140f)
+        else if (id % 2 == 1) Seq(100f, 45f)
+        else if (id % 4 == 0 && bTrain(id)) Seq(100f, 69f)
+        else if (id % 4 == 0 && cTrain(id)) Seq(100f, 72f)
+        else Seq(49f, 0f)
+      (id, v)
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    val leaf = Similarity.hierAssigned(Similarity.emb(embs), 768L, 3, 2)
+      .select(col("vec_id"), col("sc")).collect()
+    // the degenerate precondition actually holds: the odd-id cluster's
+    // super-cell contains NO level-2 training member (even id)
+    val oddScs = leaf.filter(_.getLong(0) % 2 == 1).map(_.getLong(1)).toSet
+    assert(oddScs.size == 1,
+      s"construction rotted: odd ids span super-cells $oddScs")
+    val evenInOddSc =
+      leaf.count(r => r.getLong(1) == oddScs.head && r.getLong(0) % 2 == 0)
+    assert(evenInOddSc == 0,
+      "construction rotted: the target super-cell gained a train2 member")
+    // the fallback keeps the assignment row-preserving
+    assert(leaf.length == 768, s"hierAssigned lost rows: ${leaf.length}/768")
+    assert(leaf.map(_.getLong(0)).distinct.length == 768)
+  }
+
+  test("s22: the probe count is sized for recall, the formula is " +
+      "pinned, and the measured recall keeps its floor") {
+    // probesFor holds the contract probed fraction (2/8) at any sized
+    // cell count — gate corpora reproduce the oracle-locked contract
+    // probe count exactly
+    assert(Similarity.probesFor(8) == 2)
+    assert(Similarity.probesFor(16) == 4)
+    assert(Similarity.probesFor(128) == 32)
+    assert(Similarity.probesFor(Similarity.maxCells) == 16384)
+    val r = Similarity.sizedProbeRecall(spark, sf).head()
+    val n = graft.Tables.t(spark, sf, "embeddings").count()
+    assert(r.getAs[Long]("n_cells") == Similarity.cellsParamsFor(n),
+      "emitted n_cells drifted from cellsParamsFor")
+    assert(r.getAs[Long]("n_probes") ==
+      Similarity.probesFor(r.getAs[Long]("n_cells").toInt),
+      "emitted n_probes drifted from probesFor")
+    // probed fraction held at the contract operating point
+    assert(r.getAs[Long]("probed_ppm") == 250000L,
+      s"probed fraction drifted: ${r.getAs[Long]("probed_ppm")} ppm")
+    // recall floor at the held fraction (measured 0.45-0.48 at the
+    // contract point across generations; 0.30 is the collapse guard,
+    // not a tight bound — the r11 RecallProbe curve shows unsized
+    // probes at 128 cells reading 0.15)
+    assert(r.getAs[Double]("recall") >= 0.30,
+      s"sized-probe recall collapsed: ${r.getAs[Double]("recall")}")
+  }
+
+  test("s19: the two-level switch is output-transparent — a clamped " +
+      "run through the hier path equals the single-level answer on a " +
+      "clustered corpus (r12, VERDICT-r11 ask #5)") {
+    // 192 clusters × 4 IDENTICAL vectors (cluster = id % 192),
+    // directions ≥ 0.9375° apart so inter-cluster rounded cosine is
+    // ≤ 0.9999 < 1.0: identical vectors can never split across cells
+    // (deterministic argmin), so every vector's top-3 is its 3 siblings at
+    // cos 1.0 (ranked by neighbor_id) in ANY index geometry — the kNN
+    // graph is geometry-invariant by construction, and any difference
+    // between the branches is a defect in the switch itself.
+    val rows = (0L until 768L).map { id =>
+      val theta = (id % 192).toDouble * math.Pi / 192.0
+      (id, Seq(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    def run(): Set[(Long, Long, Double, Long)] =
+      Similarity.knnGraphDf(embs)
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val single = run()
+    // the clamp actually engages the two-level branch at this n
+    assert(Similarity.hierParamsFor(768L, 2)._2 > 1)
+    spark.conf.set(Similarity.cellClampKey, "2")
+    val hier = try run()
+      finally spark.conf.unset(Similarity.cellClampKey)
+    assert(single.nonEmpty && single.size == 768 * Similarity.kGraphK)
+    assert(hier == single,
+      s"two-level switch changed the kNN graph: ${
+        (hier diff single).take(5)} vs ${(single diff hier).take(5)}")
+    // sanity: every neighbor is a sibling at rounded cos 1.0
+    assert(single.forall { case (v, nb, cs, _) =>
+      v % 192 == nb % 192 && cs == 1.0 })
+  }
+
   test("s14: multi-index Hamming recall keeps its collapse floor") {
     val r = Similarity.mihRecall(spark, sf).head()
     assert(r.getAs[Long]("recall_ppm") >= 100000L,
