@@ -200,6 +200,60 @@ object Bench {
       // reps — identical hygiene ran for them, only the timing drops
       name -> times.drop(warmups)
     }
+    // ---- generation-independent anchors (r12, VERDICT-r11 ask #3):
+    // five queries timed against a checked-in deterministic corpus
+    // (graft.tools.AnchorCorpus — every value a pure hash of the row
+    // id, identical bytes every round). Round-over-round anchor drift
+    // measures run conditions + code with the DATA HELD CONSTANT,
+    // which the regenerated-sfDir sweep above cannot do — per-query
+    // attribution across generations goes through these, not the main
+    // map (SCALING.md r12). Same discipline as the sweep: page-cache
+    // prime, 1 untimed warm rep, min-of-reps, block-manager sweep
+    // between reps. Skipped under SPARK_GRAFT_BENCH_ONLY spot-runs or
+    // SPARK_GRAFT_ANCHORS=0; failures degrade to an empty map, never
+    // the bench line.
+    val anchorNames = Seq("q01_pricing_summary", "d02_minhash_lsh",
+      "a10_sketch_rollup", "g14_landmark_radius", "s19_knn_graph")
+    val anchorsOn = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "1") != "0"
+    val anchorMs: Seq[(String, Long)] = if (!anchorsOn) Nil else try {
+      val adir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR",
+        sys.props("java.io.tmpdir") + "/graft_anchor_" +
+          graft.tools.AnchorCorpus.version)
+      graft.tools.AnchorCorpus.ensure(spark, adir)
+      locally { // prime the page cache over the anchor bytes
+        val buf = new Array[Byte](1 << 20)
+        java.nio.file.Files.walk(Paths.get(adir)).forEach { p =>
+          if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) {
+            val in = Files.newInputStream(p)
+            try { while (in.read(buf) >= 0) () } finally in.close()
+          }
+        }
+      }
+      anchorNames.map { name =>
+        val fn = SparkEntry.queries(name)
+        val times = (0 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, adir).foreach(_ => ())
+          val dt = System.nanoTime() - t0
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
+          dt
+        }.drop(1) // first rep is the untimed warm-up
+        name -> Math.round(times.min / 1e6)
+      }
+    } catch { case e: Throwable =>
+      System.err.println("[bench] anchors failed: " +
+        Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+          .getOrElse(e.toString))
+      Nil
+    }
+    val anchorJson = anchorMs
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + v }
+      .mkString("{", ",", "}")
+    val anchorGen = graft.tools.AnchorCorpus.version
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"${v.map(_._1).min}%.3f" }
       .mkString("{", ",", "}")
@@ -226,7 +280,7 @@ object Bench {
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu":$cpuQs,"spread":$spread,"sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu":$cpuQs,"spread":$spread,"sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes","anchor_gen":"$anchorGen","anchor_ms":$anchorJson}"""
     // The driver keeps only a ~2.3 KB stdout TAIL: the full line
     // (~14 KB with spread) truncates mid-stream and parses as null
     // (BENCH_r03/r04). Print it first for humans, then emit a compact
@@ -287,7 +341,7 @@ object Bench {
     // density from run noise from code (VERDICT-r10 ask #3; the r10
     // 41 % swell needed SCALING.md prose to attribute).
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes","n_queries":${results.size},"ref_ms":$refGuard,"ref_guard":"${if (refSlow) "FAIL" else "ok"}","fam_ms":$famMs,"top_ms":$topMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes","anchor_gen":"$anchorGen","anchor_ms":$anchorJson,"n_queries":${results.size},"ref_ms":$refGuard,"ref_guard":"${if (refSlow) "FAIL" else "ok"}","fam_ms":$famMs,"top_ms":$topMs}"""
     // The compact line must be the LAST BARE stdout line the driver
     // sees (BENCH_r03-r05 all parsed null because sbt wrapped it in
     // "[info] " and appended its "[success] Total time" epilogue).

@@ -2200,11 +2200,17 @@ object Similarity {
       seedStrideFor(n, nSuper)).persist()
     val corpus1 = assignCells(seeds1, e, 1, "sc")
     val wSeed = Window.partitionBy(col("sc")).orderBy(col("vec_id"))
+    // persisted: bounded at ≤ c1·nSub rows (leaf count, never corpus)
+    // and referenced twice since r12 — by the cents2 training chain
+    // and by the coverage fallback below; without the cache each
+    // reference re-derives corpus1's full assignment pass (measured:
+    // s21 2.0 → 4.9 s at sf0.1 before this persist)
     val seeds2raw = corpus1
       .withColumn("r", row_number().over(wSeed))
       .filter(col("r") <= nSub)
       .select(col("sc"), (col("r") - 1).cast("long").as("sub"),
         col("v").as("sv"))
+      .persist()
     val stride2 = trainStrideFor(n, nSuper * nSub)
     val train2 = if (stride2 > 1L)
       corpus1.filter(col("vec_id") % stride2 === 0) else corpus1
@@ -2216,10 +2222,15 @@ object Similarity {
         count(lit(1)).as("n_members"))
       .select(col("sc"), col("sub"), col("pos"),
         fpMean(col("sx"), col("n_members")).as("centroid"))
+    // persisted: ≤ c1·c2 rows, referenced twice (the covered-sc
+    // anti-join key set and the final union) — uncached, the second
+    // reference re-runs the whole level-2 training chain including a
+    // corpus1 derivation
     val seeds2 = cents2.groupBy(col("sc"), col("sub"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, centroid))), p -> p.centroid)")
         .as("sv"))
+      .persist()
     // Coverage fallback (r12, ADVICE-r11): the stride-ts2 training
     // membership can MISS every member of a small or skewed super-cell
     // (exactly the collapsed-assignment regime this index exists for),

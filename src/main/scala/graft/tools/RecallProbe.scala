@@ -54,6 +54,12 @@ object RecallProbe {
       s"ivf_sized_${nSized}_2" -> Similarity.ivfTopKDf(embs, nSized, 2),
       s"ivf_sized_${nSized}_4" -> Similarity.ivfTopKDf(embs, nSized, 4),
       s"ivf_sized_${nSized}_8" -> Similarity.ivfTopKDf(embs, nSized, 8),
+      // the r12 probesFor operating point: probes sized to hold the
+      // contract probed fraction (2/8) at the sized cell count — the
+      // row that shows the s22 formula buys contract-level recall
+      // back at scale, not just at gate geometry
+      s"ivf_sized_${nSized}_p${Similarity.probesFor(nSized)}" ->
+        Similarity.ivfTopKDf(embs, nSized, Similarity.probesFor(nSized)),
       "pq"       -> Similarity.pqTopKDf(embs),
       "ivfpq"    -> Similarity.ivfPqTopKDf(embs))
     val recalls = methods.map { case (name, df) =>

@@ -261,6 +261,34 @@ class StragglerGuardSpec extends SparkSpec {
     assert(got.sameElements(want), "agg-form argmin diverged from the window form")
   }
 
+  test("ArgminRewrite's direction flip is exact at Long.MinValue " +
+      "(r12, ADVICE-r11: BitwiseNot, not UnaryMinus)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    // mixed directions (v desc + tag asc) force the flip path under
+    // the min-form; v carries Long.MinValue/MaxValue. UnaryMinus wraps
+    // -MinValue back to MinValue, ordering the maximum-seeking key's
+    // extreme value FIRST under min — the wrong row wins keys 1 and 2.
+    // BitwiseNot (~x = -1 - x) reverses the full range bijectively.
+    def shape() = {
+      val df = Seq(
+        (1L, Long.MinValue, "min"), (1L, -5L, "neg"), (1L, 7L, "pos"),
+        (2L, Long.MinValue, "min2"), (2L, Long.MaxValue, "max2"),
+        (3L, 0L, "zero")).toDF("k", "v", "tag")
+      val w = W.partitionBy(col("k")).orderBy(col("v").desc, col("tag"))
+      df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("k"), col("tag"))
+    }
+    val plan = shape().queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_argmin"),
+      "the flip case no longer reaches ArgminRewrite:\n" + plan)
+    val got = shape().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "pos"), (2L, "max2"), (3L, "zero")),
+      s"flip ordering wrong at the integer extremes: $got")
+  }
+
   test("the guard has teeth: the pre-fix a16 plan shape is flagged") {
     import org.apache.spark.sql.functions._
     // the r9 straggler in miniature: a one-row sketch relation whose

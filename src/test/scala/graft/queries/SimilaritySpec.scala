@@ -432,4 +432,15 @@ class SimilaritySpec extends SparkSpec {
     assert(full._3 === full._2)
     assert(full._4 === 1.0)
   }
+
+  test("assignCells on an empty seed relation yields zero rows — the " +
+      "packed map form keeps the crossJoin contract (r12, ADVICE-r11)") {
+    import spark.implicits._
+    val e = Similarity.emb(Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding"))
+    val seeds = Seq.empty[(Long, Seq[Double])].toDF("cell", "sv")
+    // pre-r12 the one-row empty-array aggregate let every probe row
+    // survive with a NULL cell; the size() filter restores zero rows
+    assert(Similarity.assignCells(seeds, e, 1, "cell").count() === 0L)
+  }
 }
