@@ -328,6 +328,48 @@ case class NearestCell(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast-Bloom membership probe as a codegen'd predicate (r12):
+  * `bloom.value.mightContainLong(child)` over a driver-built
+  * `util.sketch.BloomFilter` broadcast — the wedge-prune filter of the
+  * g02/g10/g17/g18 triangle core. Replaces the boxed Scala-closure UDF
+  * form (`udf((k: Long) => bc.value.mightContainLong(k))`): a ScalaUDF
+  * boxes the packed key to `java.lang.Long`, routes through the
+  * encoder/converter bridge, and blocks expression-level codegen
+  * fusion on the hottest row stream in the suite (Σdeg⁺² wedge rows —
+  * 834 M at sf1, every one probed). This form is the identical probe
+  * as a primitive-long call inside whole-stage codegen — same filter
+  * object, same hash math, bit-identical keep/drop decisions — so the
+  * exact closing join downstream sees exactly the same rows.
+  *
+  * The broadcast handle rides the expression (serializable; executors
+  * read the torrent-cached value once per task, not per row). */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one filter-object field per operator instance: resolve the
+      // broadcast once at codegen-object init, not once per row
+      val bfClass = "org.apache.spark.util.sketch.BloomFilter"
+      val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+        "org.apache.spark.broadcast.Broadcast")
+      val bf = ctx.addMutableState(bfClass, "bloomFilter",
+        v => s"$v = ($bfClass) $bcRef.value();", forceInline = true)
+      s"${ev.value} = $bf.mightContainLong($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContain = copy(child = newChild)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
@@ -352,4 +394,9 @@ object VectorFunctions {
   def nearestCell(v: Column, cells: Column): Column =
     ColumnBridge.column(
       NearestCell(ColumnBridge.expression(v), ColumnBridge.expression(cells)))
+
+  def bloomMightContain(key: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloom))
 }

@@ -284,9 +284,11 @@ object Graph {
     val pruned = sketch match {
       case None => wedges
       case Some(bc) =>
-        val mightClose = udf((vw: Long) => bc.value.mightContainLong(vw))
-        wedges.filter(mightClose(
-          shiftleft(col("v").cast("long"), 32) + col("w").cast("long")))
+        // codegen'd primitive probe (r12): the boxed ScalaUDF form put
+        // an encoder round-trip on every wedge row — see
+        // functions.BloomMightContain for the A/B rationale
+        wedges.filter(graft.functions.VectorFunctions.bloomMightContain(
+          shiftleft(col("v").cast("long"), 32) + col("w").cast("long"), bc))
     }
     // SHUFFLE_HASH: the closing probe must never SORT the wedge stream.
     // Unhinted, the planner picks sort-merge and the sort buffers the

@@ -235,8 +235,13 @@ class PlanSpec extends SparkSpec {
     // wedge side streamed); a SortMergeJoin here buffers the full
     // wedge relation — 2.18 GB spilled at sf1, disk death at sf5+
     assert(p.contains("ShuffledHashJoin"), p)
-    // and the wedge bloom prune (UDF probe) is in the plan
-    assert(p.contains("UDF"), "wedge bloom prune missing:\n" + p)
+    // and the wedge bloom prune is in the plan as the CODEGEN probe
+    // (r12: the boxed ScalaUDF form cost an encoder round-trip on
+    // every wedge row — 8-25 % of the triangle family's CPU)
+    assert(p.contains("graft_bloom_might_contain"),
+      "wedge bloom prune missing:\n" + p)
+    assert(!p.contains("UDF("),
+      "wedge bloom prune regressed to the boxed ScalaUDF form:\n" + p)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }
@@ -285,11 +290,13 @@ class PlanSpec extends SparkSpec {
 
   test("g02: the wedge stream is bloom-filtered before the closing join") {
     val p = plan(graft.queries.Graph.triangles(spark, sf))
-    // the prune is the only scala UDF in this plan (the conf-capped
-    // catalyst might_contain alternative measured 3.4x slower — see
-    // trianglesDf); losing the filter silently re-grows the closing
-    // join's exchange to wedge-mass rows
-    assert(p.contains("UDF"), "wedge bloom prune missing from plan:\n" + p)
+    // the prune probes via the codegen expression (the conf-capped
+    // catalyst might_contain alternative measured 3.4x slower, and the
+    // r12 A/B retired the boxed ScalaUDF form — see trianglesDf);
+    // losing the filter silently re-grows the closing join's exchange
+    // to wedge-mass rows
+    assert(p.contains("graft_bloom_might_contain"),
+      "wedge bloom prune missing from plan:\n" + p)
   }
 
   test("t33: the w-invariant totals aggregate is computed once, not " +

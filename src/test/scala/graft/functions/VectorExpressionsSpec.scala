@@ -72,4 +72,26 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[Int].collect()
     assert(viaEval.toSeq === Seq(1, 0))
   }
+
+  test("bloomMightContain matches direct filter probes (codegen and " +
+      "interpreted) — no false negatives, same keep/drop set") {
+    import graft.functions.{BloomMightContain, VectorFunctions}
+    val keys = (0L until 2000L).map(_ * 2654435761L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(2000, 0.02)
+    keys.foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probes = (0L until 4000L).map(i => i * 2654435761L + (i % 2))
+    val df = probes.toDF("k")
+    // codegen path (whole-stage filter)
+    val got = df.filter(VectorFunctions.bloomMightContain(col("k"), bc))
+      .as[Long].collect().toSet
+    val expect = probes.filter(bf.mightContainLong).toSet
+    assert(got === expect)
+    // every inserted key survives (no false negatives by construction)
+    assert(keys.toSet.intersect(probes.toSet).subsetOf(got))
+    // interpreted eval agrees with the codegen path
+    val e = BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(42L), bc)
+    assert(e.eval(null) === bf.mightContainLong(42L))
+  }
 }
