@@ -25,10 +25,17 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val phys = sys.env.get("SPARK_GRAFT_PLAN_PHYS").contains("1")
     val fmt = sys.env.get("SPARK_GRAFT_PLAN_FMT").contains("1")
+    // exec mode: run the query first, then print — AdaptiveSparkPlan
+    // sections render their FINAL re-optimized form (isFinalPlan=true,
+    // AQEShuffleRead/join rewrites visible), which the static dump
+    // cannot show (guide §7.2)
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query $n"))
-      val qe = fn(spark, sfDir).queryExecution
+      val df = fn(spark, sfDir)
+      if (exec) df.foreach(_ => ())
+      val qe = df.queryExecution
       if (fmt) {
         // the `.explain("formatted")` rendering — the judge-facing
         // plans/rN artifact format (operator list + per-node details:
