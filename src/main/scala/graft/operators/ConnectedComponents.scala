@@ -79,28 +79,29 @@ object ConnectedComponents {
   private[graft] def free(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
-  /** Eagerly materialize a persisted relation so its cache blocks
-    * REGISTER before any [[truncateTracked]] diff window opens.
-    * persist() is lazy: without this, the edge list's first
-    * materialization happens inside round 1's eager checkpoint, its
-    * cache id lands in that round's `fresh` set, and `free` at round 2
-    * silently unpersists it — every later round then re-scans and
-    * re-shuffles the edge list, defeating the persist (the ADVICE-r7
-    * finding). One count over the ids-only relation — work round 1
-    * would do anyway, now attributed correctly. */
-  private def materialize(df: DataFrame): Unit = { df.count(): Unit }
-
   /** @param nodes single-column `id` relation seeding the labels
     * @param edges two-column `src`/`dst` relation (either orientation;
     *              both directions are materialized internally)
     * @return (id, label) — label = min id within `rounds` hops */
   def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
-      .persist()
-    materialize(und) // register cache BEFORE the tracked diff windows
+    // eager checkpoint instead of a columnar persist (r12): the edge
+    // list is re-scanned every round, and GraphRoundProbe measured the
+    // default columnar cache at ~4-6 s executor-CPU PER SCAN of a
+    // 1.17 M-row ids-only relation at sf0.1 vs ~1 s for a checkpoint's
+    // serialized UnsafeRows (build also ~2x cheaper). UNTRACKED on
+    // purpose: a caller's lazily-persisted upstream (e06's `kept`)
+    // materializes INSIDE this eager build — under truncateTracked its
+    // cache id would land in the diff and be freed behind the caller's
+    // back (the ADVICE-r7 trap, caller-side). The build happening
+    // FIRST also keeps those caller caches out of the round windows
+    // below, exactly as the old materialize(und) ordering did; the
+    // edge-list blocks themselves are swept by the harness between
+    // contract runs (the repo's caller-owned-cache contract).
+    val und = truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst")))
     // eager lineage truncation per round (see minLabelJumping): labels
     // is referenced twice per round, so an un-truncated analyzed plan
     // doubles per round — 2^rounds copies of the seed subtree for the
@@ -116,9 +117,6 @@ object ConnectedComponents {
       free(sc, blocks) // round r-1's snapshot, fully consumed by `next`
       labels = next; blocks = nb
     }
-    // the returned labels ARE the final eager checkpoint — nothing
-    // downstream re-reads the edge list, so its blocks go too
-    und.unpersist(false)
     labels
   }
 
@@ -147,11 +145,13 @@ object ConnectedComponents {
     * keeps the plan constant-depth (measured 60 s → ~1 s). */
   def minLabelJumping(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
-      .persist()
-    materialize(und) // register cache BEFORE the tracked diff windows
+    // eager UNTRACKED checkpoint, not a columnar persist — see
+    // minLabel (r12) for both the scan-cost measurement and the
+    // caller-cache ordering rationale
+    val und = truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst")))
     var (labels0, blocks) =
       truncateTracked(nodes.select(col("id"), col("id").as("label")))
     var labels = labels0
@@ -169,9 +169,7 @@ object ConnectedComponents {
         .select(prop("id"), col("llabel").as("label"))
     }
     // the final labels is the lazy shortcut join over the LAST round's
-    // prop (still persisted for the caller's action); only the edge
-    // list is no longer referenced by it
-    und.unpersist(false)
+    // prop (still persisted for the caller's action)
     labels
   }
 }

@@ -35,6 +35,8 @@ import graft.Tables.t
   */
 object Graph {
 
+  import graft.operators.ConnectedComponents.truncate
+
   val prRounds = 3
   val custOffset = 1000000L
   val initRank = 1000000000000L           // 1.0 in pico-rank units
@@ -76,8 +78,12 @@ object Graph {
     // ids-only adjacency with degree attached, partitioned once on the
     // per-round join key and persisted (each round probes it against a
     // different ranks relation — ReusedExchange can't help across rounds)
-    val edges = und.join(deg, "src").repartition(col("src")).persist()
-    var ranks = und.select(col("src").as("node")).distinct()
+    val edges = truncate(und.join(deg, "src").repartition(col("src")))
+    // seed from the CHECKPOINTED edges, not the raw und chain: every
+    // und src survives the degree join (each src has a degree row), so
+    // the node set is identical — and the seed no longer re-derives
+    // the lineitem/orders join from parquet (r12)
+    var ranks = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(initRank).as("pr"))
     for (_ <- 1 to prRounds) {
       // every node of this undirected graph has in- and out-edges, so
@@ -185,6 +191,11 @@ object Graph {
   }
 
   def trianglesDf(lineitem: DataFrame): DataFrame = {
+    // persist, NOT checkpoint, for the single-action wedge pipeline:
+    // the r12 paired A/B read the eager checkpoint at 1.5x the wall
+    // (lost stage overlap) despite halved CPU — the wedge join overlaps
+    // the columnar cache build inside one job here, unlike the
+    // round-based operators where the checkpoint wins both metrics
     val oriented = orientedEdgesDf(lineitem).persist()
     nodeTriangleCountsDf(oriented)
       .orderBy(col("n_tri").desc, col("node"))
@@ -364,7 +375,7 @@ object Graph {
     clusteringCoeffDf(t(s, dir, "lineitem"))
 
   def clusteringCoeffDf(lineitem: DataFrame): DataFrame = {
-    val edges = coPairsDf(lineitem).persist()
+    val edges = coPairsDf(lineitem).persist() // see g02's r12 A/B note
     val deg = undirectedDegreesDf(edges)
     val oriented = orientedFromEdgesDf(edges, deg).persist()
     val tcnt = nodeTriangleCountsDf(oriented)
@@ -453,8 +464,8 @@ object Graph {
     val pairCounts = supportPairsDf(lineitem)
     // the expansion is the expensive subtree and feeds four consumers
     // (nodes twice via union, und twice) — persist it once
-    val edges = pairCounts.select(col("a").as("src"), col("b").as("dst"))
-      .persist()
+    val edges = truncate(
+      pairCounts.select(col("a").as("src"), col("b").as("dst")))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val labels = graft.operators.ConnectedComponents
@@ -538,7 +549,7 @@ object Graph {
 
   def kcoreDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var und = undirectedEdges(lineitem, orders).persist()
+    var und = truncate(undirectedEdges(lineitem, orders))
     val deg0 = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // one-row threshold relation, persisted: each round's keep filter
     // re-broadcasts it, and without the persist every broadcast job
@@ -649,12 +660,23 @@ object Graph {
     bfsHopsDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
 
   def bfsHopsDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val und = undirectedEdges(lineitem, orders).persist()
+    import graft.operators.ConnectedComponents.truncate
+    // truncate (localCheckpoint) instead of persist for the multiply-
+    // read relations (r12): GraphRoundProbe measured the default
+    // columnar cache at ~4-6 s executor-CPU PER SCAN of the 1.17 M-row
+    // edge list at sf0.1 (compressed-batch decode + row materialize)
+    // vs ~0.9-1.3 s for a checkpoint's serialized UnsafeRows — and the
+    // columnar build itself 2× the checkpoint's. The rounds re-read
+    // these relations 3-4×, so the cache format dominated the query
+    // (35.5 s CPU, vs ~1.4 s for the persist-free g06 over the same
+    // edge list). Same rows, same plan shape above the scan; the
+    // local/reliable trade is [[ConnectedComponents.checkpointModeKey]].
+    val und = truncate(undirectedEdges(lineitem, orders))
     val seeds = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node"))
       .limit(bfsSeeds)
-    var dist = seeds.select(col("node"), lit(0L).as("hop")).persist()
+    var dist = truncate(seeds.select(col("node"), lit(0L).as("hop")))
     for (r <- 1 to bfsRounds) {
       // expand ONLY the hop-(r-1) frontier: nodes settled earlier already
       // contributed their neighbors in earlier rounds, so re-joining the
@@ -664,9 +686,8 @@ object Graph {
       val next = dist.filter(col("hop") === (r - 1)).as("f")
         .join(und.as("u"), col("f.node") === col("u.src"))
         .select(col("u.dst").as("node"), lit(r.toLong).as("hop"))
-      dist = dist.union(next)
-        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-        .persist()
+      dist = truncate(dist.union(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop")))
     }
     dist.select(col("node"), col("hop"),
       when(col("node") >= custOffset, "customer")
@@ -777,10 +798,10 @@ object Graph {
 
   def labelPropDf(lineitem: DataFrame): DataFrame = {
     val pairCounts = supportPairsDf(lineitem)
-    val edges = pairCounts
+    val edges = truncate(pairCounts
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairCounts.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).persist()
+      .repartition(col("src")))
     // per-round lineage truncation (the ConnectedComponents discipline):
     // labels is referenced TWICE per round (message join + self-vote
     // union), so an un-truncated analyzed plan doubles per round —
@@ -867,7 +888,7 @@ object Graph {
     // and the center-filtered edge list BOTH read `und`, so without
     // this the per-order pair join executes twice (measured ~2× the
     // pair-generation cost at sf0.1)
-    val pairs = coPairsDf(lineitem).persist()
+    val pairs = coPairsDf(lineitem).persist() // see g02's r12 A/B note
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = und.groupBy(col("dst")).agg(count(lit(1)).as("d"))
@@ -952,14 +973,13 @@ object Graph {
     ssspDf(t(s, dir, "lineitem"), t(s, dir, "orders"))
 
   def ssspDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val und = undirectedEdges(lineitem, orders)
-      .withColumn("w", (col("src") + col("dst")) % 97 + lit(1L))
-      .persist()
+    val und = truncate(undirectedEdges(lineitem, orders)
+      .withColumn("w", (col("src") + col("dst")) % 97 + lit(1L)))
     val seeds = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node"))
       .limit(bfsSeeds)
-    var dist = seeds.select(col("node"), lit(0L).as("dist")).persist()
+    var dist = truncate(seeds.select(col("node"), lit(0L).as("dist")))
     var frontier = dist
     for (_ <- 1 to ssspRounds) {
       // relax ONLY last round's improved set; min-combine candidates
@@ -974,10 +994,15 @@ object Graph {
           col("node") === col("dn"), "left")
         .filter(col("dd").isNull || col("c.dist") < col("dd"))
         .select(col("c.node").as("node"), col("c.dist").as("dist"))
+        // columnar persist, not a checkpoint, for the SMALL improved
+        // delta (≤ node-sized): a union of two checkpointed relations
+        // trips Spark's Union constraint rewrite on empty input
+        // (key-not-found on a non-output attr), and at this size the
+        // cache-scan cost is nil — the edge list above is where the
+        // checkpoint pays
         .persist()
-      dist = dist.union(improved)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .persist()
+      dist = truncate(dist.union(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
       frontier = improved
     }
     dist.select(col("node"), col("dist"),
@@ -1049,10 +1074,10 @@ object Graph {
   def hitsDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
     val ord = orders.select(col("o_orderkey"), col("o_custkey"))
-    val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val e = truncate(li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("src"),
         (col("o_custkey") + custOffset).as("dst"))
-      .distinct().persist()
+      .distinct())
     // floor(raw·10¹²/Σraw) in DECIMAL(38,0): `div` is integral, the
     // multiply never rounds (scale 0), Σ over a one-row broadcast
     def l1Normalize(raw: DataFrame): DataFrame = {
@@ -1074,10 +1099,10 @@ object Graph {
     // round-1 authority under the uniform h0 = 10⁶ is just
     // in_deg·10⁶ — fold the would-be constant join into the agg
     // (Σ of a constant = count·constant, exact)
-    val a1 = l1Normalize(
+    val a1 = truncate(l1Normalize(
       e.groupBy(col("dst")).agg((count(lit(1)) * 1000000L).as("raw"))
-        .select(col("dst").as("node"), col("raw"))).persist()
-    val h1 = hubFrom(a1).persist()
+        .select(col("dst").as("node"), col("raw"))))
+    val h1 = truncate(hubFrom(a1))
     val a2 = authFrom(h1)
     val top = (side: DataFrame, role: String) =>
       side.orderBy(col("score").desc, col("node")).limit(hitsTopN)
@@ -1309,16 +1334,15 @@ object Graph {
 
   def landmarkRadiusDf(lineitem: DataFrame, orders: DataFrame)
       : DataFrame = {
-    val und = undirectedEdges(lineitem, orders).persist()
+    val und = truncate(undirectedEdges(lineitem, orders))
     val seeds = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node"))
       .limit(bfsSeeds)
       .select(col("node").as("landmark"))
-    var dist = seeds
+    var dist = truncate(seeds
       .select(col("landmark"), col("landmark").as("node"),
-        lit(0L).as("hop"))
-      .persist()
+        lit(0L).as("hop")))
     for (r <- 1 to bfsRounds) {
       // frontier-only expansion, per landmark (the g05 rule: settled
       // nodes already contributed their neighbors in earlier rounds)
@@ -1326,10 +1350,9 @@ object Graph {
         .join(und.as("u"), col("f.node") === col("u.src"))
         .select(col("f.landmark"), col("u.dst").as("node"),
           lit(r.toLong).as("hop"))
-      dist = dist.union(next)
+      dist = truncate(dist.union(next)
         .groupBy(col("landmark"), col("node"))
-        .agg(min(col("hop")).as("hop"))
-        .persist()
+        .agg(min(col("hop")).as("hop")))
     }
     val hist = dist.groupBy(col("landmark"), col("hop"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -1415,25 +1438,23 @@ object Graph {
 
   def harmonicCentralityDf(lineitem: DataFrame, orders: DataFrame)
       : DataFrame = {
-    val und = undirectedEdges(lineitem, orders).persist()
+    val und = truncate(undirectedEdges(lineitem, orders))
     val seeds = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node"))
       .limit(bfsSeeds)
       .select(col("node").as("landmark"))
-    var dist = seeds
+    var dist = truncate(seeds
       .select(col("landmark"), col("landmark").as("node"),
-        lit(0L).as("hop"))
-      .persist()
+        lit(0L).as("hop")))
     for (r <- 1 to bfsRounds) {
       val next = dist.filter(col("hop") === (r - 1)).as("f")
         .join(und.as("u"), col("f.node") === col("u.src"))
         .select(col("f.landmark"), col("u.dst").as("node"),
           lit(r.toLong).as("hop"))
-      dist = dist.union(next)
+      dist = truncate(dist.union(next)
         .groupBy(col("landmark"), col("node"))
-        .agg(min(col("hop")).as("hop"))
-        .persist()
+        .agg(min(col("hop")).as("hop")))
     }
     dist.filter(col("hop") >= 1)
       .groupBy(col("node"))
@@ -1499,12 +1520,16 @@ object Graph {
   def pprLandmarkDf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val und = undirectedEdges(lineitem, orders)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val edges = und.join(deg, "src").repartition(col("src")).persist()
+    val edges = truncate(und.join(deg, "src").repartition(col("src")))
     // 1-row landmark relation — persisted so the per-round cross join
-    // does not re-derive it from the edge scan each round
-    val lm = deg.orderBy(col("out_deg").desc, col("src")).limit(1)
+    // does not re-derive it from the edge scan each round; derived
+    // from the checkpointed edges ((src, out_deg) distinct over edges
+    // IS deg — edges = und ⋈ deg on src), so neither the landmark nor
+    // the seed re-reads the corpus (r12)
+    val lm = edges.select(col("src"), col("out_deg")).distinct()
+      .orderBy(col("out_deg").desc, col("src")).limit(1)
       .select(col("src").as("lm")).persist()
-    var ppr = und.select(col("src").as("node")).distinct()
+    var ppr = edges.select(col("src").as("node")).distinct()
       .crossJoin(broadcast(lm))
       .select(col("node"),
         when(col("node") === col("lm"), lit(initRank)).otherwise(lit(0L))
@@ -1566,6 +1591,11 @@ object Graph {
     edgeSupportDf(t(s, dir, "lineitem"))
 
   def edgeSupportDf(lineitem: DataFrame): DataFrame = {
+    // persist, NOT checkpoint, for the single-action wedge pipeline:
+    // the r12 paired A/B read the eager checkpoint at 1.5x the wall
+    // (lost stage overlap) despite halved CPU — the wedge join overlaps
+    // the columnar cache build inside one job here, unlike the
+    // round-based operators where the checkpoint wins both metrics
     val oriented = orientedEdgesDf(lineitem).persist()
     edgeSupportsOf(oriented)
       .orderBy(col("support").desc, col("a"), col("b"))
@@ -1649,9 +1679,13 @@ object Graph {
   def ktrussDf(lineitem: DataFrame): DataFrame = {
     import graft.operators.ConnectedComponents.{free, truncateTracked}
     val sc = lineitem.sparkSession.sparkContext
-    var o = orientedEdgesDf(lineitem).persist()
-    // the count registers the cache BEFORE the tracked diff windows;
-    // its value feeds the zero-peel fixed-point break below
+    // eager tracked checkpoint instead of a columnar persist (r12):
+    // each round scans o ~5x (both wedge sides, the closing probe, the
+    // sketch build, the survivor semi-join) and GraphRoundProbe
+    // measured the columnar cache at ~4-6 s CPU per 1 M-row scan vs
+    // ~1 s for checkpointed UnsafeRows; the tracked ids let the peel
+    // free superseded edge sets exactly as before
+    var (o, oBlocks) = truncateTracked(orientedEdgesDf(lineitem))
     var nEdges = o.count()
     // Each round builds a FRESH edge sketch — reusing round 1's bloom
     // across rounds (a superset filter, so still exact) was measured
@@ -1676,10 +1710,9 @@ object Graph {
       val surv = supp.crossJoin(broadcast(tVal))
         .filter(col("support") >= col("t"))
         .select(col("a"), col("b"))
-      val oNext = o.join(surv,
+      val (oNext, oNextBlocks) = truncateTracked(o.join(surv,
           least(col("u"), col("v")) === col("a") &&
-          greatest(col("u"), col("v")) === col("b"), "left_semi")
-        .persist()
+          greatest(col("u"), col("v")) === col("b"), "left_semi"))
       // register BEFORE the tracked window (ADVICE-r7); the count also
       // detects the EXACT fixed point: a semi-join only removes rows,
       // so an unchanged count means an unchanged edge set, the
@@ -1692,13 +1725,14 @@ object Graph {
       // SCALING.md round-10.)
       val nNext = oNext.count()
       if (nNext == nEdges) {
-        oNext.unpersist(false)
+        free(sc, oNextBlocks)
         fixed = true
       } else {
         val (suppNext, nb) = truncateTracked(edgeSupportsOf(oNext))
-        free(sc, blocks)   // previous round's snapshot, fully consumed
-        o.unpersist(false) // previous edge set, fully consumed
-        supp = suppNext; blocks = nb; o = oNext; nEdges = nNext
+        free(sc, blocks)  // previous round's snapshot, fully consumed
+        free(sc, oBlocks) // previous edge set, fully consumed
+        supp = suppNext; blocks = nb
+        o = oNext; oBlocks = oNextBlocks; nEdges = nNext
       }
     }
     val out = supp.crossJoin(broadcast(tVal))
@@ -1708,7 +1742,7 @@ object Graph {
       .limit(triTopN)
     // the final support snapshot IS checkpointed — nothing downstream
     // re-reads the last round's edge list
-    o.unpersist(false)
+    free(sc, oBlocks)
     // tVal and the final round's checkpoint `blocks` MUST outlive this
     // call (out reads both lazily), so they cannot be freed here —
     // callers that loop queries must sweep sc.getPersistentRDDs after
@@ -1784,8 +1818,8 @@ object Graph {
     import graft.operators.ConnectedComponents.truncate
     // one-direction unique pairs (a<b): m = |pairs|; persisted — feeds
     // the CC seed, the LPA seed, the degree agg and the intra scorer
-    val pairs = supportPairsDf(lineitem)
-      .select(col("a"), col("b")).persist()
+    val pairs = truncate(supportPairsDf(lineitem)
+      .select(col("a"), col("b")))
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -1793,9 +1827,9 @@ object Graph {
       .minLabelJumping(nodes, edges, compRounds)
       .select(col("id").as("node"), col("label").as("lbl"))
     // g07's LPA recurrence verbatim (self-vote, struct-max argmax)
-    val und = edges
+    val und = truncate(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).persist()
+      .repartition(col("src")))
     var lpa = truncate(und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")))
     for (_ <- 1 to lpRounds) {
