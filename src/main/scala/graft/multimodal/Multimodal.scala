@@ -192,17 +192,24 @@ object MultimodalQueries {
   /** Unordered pHash candidate pairs — the edge relation shared by m04
     * (scored pairs) and m06 (cluster resolution). */
   private def phashCandDf(docs: DataFrame): DataFrame = {
-    import graft.queries.Dedup.bitExprSpark
     import graft.functions.VectorFunctions.hamming
+    // hex-digit values factored into one projection below the agg —
+    // the same r12 rewrite as Dedup.simHashDf (4 substring+instr per
+    // char collapse to 1; identical integers, identical fingerprints)
     val feats = docs
       .select(col("doc_id"),
         explode(expr(
           "sequence(0, greatest(cast(floor((octet_length(text) - 1) / 64) as int), 0))"))
           .as("i"), col("text"))
       .select(col("doc_id"), md5(expr("substring(text, i * 64 + 1, 16)")).as("h"))
+      .select(col("doc_id") +: (0 until (phashBits + 3) / 4).map(c => expr(
+        s"instr('0123456789abcdef', substring(h, ${c + 1}, 1)) - 1")
+        .as(s"v$c")): _*)
+    def bitFromVal(j: Int) = expr(
+      s"CASE WHEN (v${j / 4} div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")
     val sums = feats.groupBy(col("doc_id"))
-      .agg(sum(bitExprSpark(0)).as("w0"),
-        (1 until phashBits).map(j => sum(bitExprSpark(j)).as(s"w$j")): _*)
+      .agg(sum(bitFromVal(0)).as("w0"),
+        (1 until phashBits).map(j => sum(bitFromVal(j)).as(s"w$j")): _*)
     val fp = sums.select(col("doc_id"),
       concat((0 until phashBits)
         .map(j => when(col(s"w$j") >= 0, lit("1")).otherwise(lit("0"))): _*)

@@ -288,12 +288,6 @@ object Dedup {
     (bandW * simhashBands, simhashBands)
   }
 
-  private[graft] def bitExprSpark(j: Int): Column = {
-    val c = s"substring(h, ${j / 4 + 1}, 1)"
-    val v = s"(instr('0123456789abcdef', $c) - 1)"
-    expr(s"CASE WHEN ($v div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")
-  }
-
   def simHash(s: SparkSession, dir: String): DataFrame =
     simHashDf(t(s, dir, "documents"))
 
@@ -303,15 +297,29 @@ object Dedup {
     * reshuffle, so a stored 32-bit prefix remains comparable). */
   def simHashDf(docs: DataFrame, bits: Int = simhashBits): DataFrame = {
     require(bits >= 1 && bits <= 128, s"one md5 supplies 128 bits: $bits")
+    val nChars = (bits + 3) / 4
+    // hex-digit values factored into ONE projection below the
+    // aggregate (r12): the per-bit form evaluated
+    // instr('0123456789abcdef', substring(h, j/4+1, 1)) inside all
+    // `bits` sum-update expressions — 4 substring+instr evaluations
+    // per hex char per (doc, shingle) row; this computes each char's
+    // value once and the per-bit updates reduce to two integer ops.
+    // Identical integers, identical fingerprints (same instr/substring
+    // semantics, just not repeated) — the oracle twin is unchanged.
     val toksH = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
            i -> concat_ws(' ', slice(toks, i, 3)))""")).as("tok"))
       .withColumn("h", md5(col("tok")))
+      .select(col("doc_id") +: (0 until nChars).map(c => expr(
+        s"instr('0123456789abcdef', substring(h, ${c + 1}, 1)) - 1")
+        .as(s"v$c")): _*)
+    def bitFromVal(j: Int) = expr(
+      s"CASE WHEN (v${j / 4} div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")
     val sums = toksH.groupBy(col("doc_id"))
-      .agg(sum(bitExprSpark(0)).as("w0"),
-        (1 until bits).map(j => sum(bitExprSpark(j)).as(s"w$j")): _*)
+      .agg(sum(bitFromVal(0)).as("w0"),
+        (1 until bits).map(j => sum(bitFromVal(j)).as(s"w$j")): _*)
     val fp = concat((0 until bits)
       .map(j => when(col(s"w$j") >= 0, lit("1")).otherwise(lit("0"))): _*)
     sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
