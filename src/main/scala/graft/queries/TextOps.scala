@@ -1308,7 +1308,7 @@ object TextOps {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", " $1 ").as("enc"), col("cnt"))
-      .persist()
+    enc = graft.operators.ConnectedComponents.truncate(enc)
     var merges: DataFrame = null
     for (r <- 1 to bpeLearnRounds) {
       val pairs = enc
@@ -1335,7 +1335,7 @@ object TextOps {
                                ' ' || replace(__p, ' ', '') || ' ')
              END""").as("enc"),
           col("cnt"))
-        .persist()
+      enc = graft.operators.ConnectedComponents.truncate(enc)
     }
     (merges, enc)
   }
