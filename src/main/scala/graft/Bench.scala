@@ -297,21 +297,31 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // At 187 queries a full per-query ms map (~2.1 KB) no longer fits
-    // the driver's 2000-char tail next to sbt's [success] line, so the
-    // final line carries (a) per-FAMILY subtotal ms — every query
-    // accounted for — and (b) per-query ms for the 48 slowest (~85 %
-    // of total wall). Full per-query detail stays in the big line
-    // above and in SPARK_GRAFT_BENCH_OUT.
-    val famMs = results.toSeq
+    // EVERY per-query time must reach the driver's stdout tail
+    // (measured: exactly the last 2000 bytes — PERF r11/r12 both came
+    // back with per_query:{} and a null geomean because only the
+    // compact line's 48-query top_ms survived truncation; VERDICT-r12
+    // ask #2). A flat short-key ms map is 2.3 KB at 221 queries and
+    // cannot fit, so the compact line carries (a) per-FAMILY subtotal
+    // ms and (b) "q_ms": per-family INTEGER-MS ARRAYS, one element per
+    // query in ascending full-name order within the family (the same
+    // sortBy(_._1) order as `results`; names are stable across rounds,
+    // so q_ms["g"][i] aligns round-over-round and with the sorted
+    // contract names). ~1.0 KB for 221 queries — all of them, not a
+    // top-N. Full per-query detail keyed by full name stays in the big
+    // line above and in SPARK_GRAFT_BENCH_OUT.
+    val famGroups = results.toSeq
       .groupBy { case (k, _) => k.takeWhile(_.isLetter) }
       .toSeq.sortBy(_._1)
+    val famMs = famGroups
       .map { case (f, vs) =>
         "\"" + f + "\":" + Math.round(vs.map(_._2.map(_._1).min).sum * 1000) }
       .mkString("{", ",", "}")
-    val topMs = results.toSeq.sortBy(-_._2.map(_._1).min).take(48)
-      .map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + Math.round(v.map(_._1).min * 1000) }
+    val qMs = famGroups
+      .map { case (f, vs) =>
+        "\"" + f + "\":" + vs.sortBy(_._1)
+          .map(v => Math.round(v._2.map(_._1).min * 1000))
+          .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // Regression guard on the reference's OWN workloads (wordcount,
     // grep, reverse-graph = t00-t03): these are the queries the
@@ -341,7 +351,14 @@ object Bench {
     // density from run noise from code (VERDICT-r10 ask #3; the r10
     // 41 % swell needed SCALING.md prose to attribute).
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes","anchor_gen":"$anchorGen","anchor_ms":$anchorJson,"n_queries":${results.size},"ref_ms":$refGuard,"ref_guard":"${if (refSlow) "FAIL" else "ok"}","fam_ms":$famMs,"top_ms":$topMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"warmups":$warmups,"load1":$load1%.2f,"gen":"$genMtime-$genBytes","anchor_gen":"$anchorGen","anchor_ms":$anchorJson,"n_queries":${results.size},"ref_ms":$refGuard,"ref_guard":"${if (refSlow) "FAIL" else "ok"}","fam_ms":$famMs,"q_ms":$qMs}"""
+    // In-band size guard: the driver keeps only the last 2000 stdout
+    // bytes, and a compact line that outgrows that window truncates
+    // silently (the failure mode that blinded PERF r11/r12). Warn so
+    // the overflow is visible in the round it happens.
+    if (compact.length > 1900) System.err.println(
+      s"[bench] GUARD: compact line ${compact.length} B nears the " +
+        "driver's 2000 B stdout tail — trim fields before it truncates")
     // The compact line must be the LAST BARE stdout line the driver
     // sees (BENCH_r03-r05 all parsed null because sbt wrapped it in
     // "[info] " and appended its "[success] Total time" epilogue).

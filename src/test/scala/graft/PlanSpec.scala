@@ -501,12 +501,17 @@ class PlanSpec extends SparkSpec {
       "candidate pool recomputed per round:\n" + p)
   }
 
-  test("t23: rounds replay from the persisted word-frequency table, " +
+  test("t23: rounds replay from the checkpointed word-frequency table, " +
     "never the corpus") {
     val p = plan(graft.queries.TextOps.bpeLearn(spark, sf))
-    // every round's pair count and rewrite reads the cached vocab
-    assert(p.contains("InMemoryTableScan"),
+    // every round's pair count and rewrite reads the materialized vocab
+    // (r12: eager truncate — UnsafeRow snapshot, not the columnar cache)
+    assert(p.contains("Scan ExistingRDD"),
       "a BPE round recomputes from the raw documents:\n" + p)
+    // the final plan never re-reads the corpus: the last round's
+    // snapshot is the only source
+    assert(!p.contains("Scan parquet"),
+      "a BPE round re-reads the corpus files:\n" + p)
     // the global argmax is a top-1, not a full sort of the pair space
     assert(p.contains("TakeOrderedAndProject"),
       "merge selection global-sorts the pair table:\n" + p)
