@@ -82,8 +82,22 @@ object ConnectedComponents {
   /** @param nodes single-column `id` relation seeding the labels
     * @param edges two-column `src`/`dst` relation (either orientation;
     *              both directions are materialized internally)
+    * @param persistEdges edge-list materialization strategy: `false`
+    *              (default) takes the r12 eager checkpoint — the win
+    *              for the ROUND-BASED callers (d07/d08/d19/m06), whose
+    *              many scans amortize the serialization; `true` takes
+    *              a count-materialized columnar persist — the r13 A/B
+    *              win for SINGLE-ACTION pipeline callers (e06), where
+    *              the checkpoint's serialize-everything build cost
+    *              exceeds what 4 round scans save. The count is NOT
+    *              optional under `true`: a lazy persist would first
+    *              materialize inside round 1's tracked window and be
+    *              freed behind our back after round 2 (the ADVICE-r7
+    *              trap), recomputing the edge derivation every later
+    *              round.
     * @return (id, label) — label = min id within `rounds` hops */
-  def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int,
+      persistEdges: Boolean = false): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     // eager checkpoint instead of a columnar persist (r12): the edge
     // list is re-scanned every round, and GraphRoundProbe measured the
@@ -98,10 +112,13 @@ object ConnectedComponents {
     // below, exactly as the old materialize(und) ordering did; the
     // edge-list blocks themselves are swept by the harness between
     // contract runs (the repo's caller-owned-cache contract).
-    val und = truncate(
+    val undRel =
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("dst")))
+        .repartition(col("dst"))
+    val und =
+      if (persistEdges) { val p = undRel.persist(); p.count(); p }
+      else truncate(undRel)
     // eager lineage truncation per round (see minLabelJumping): labels
     // is referenced twice per round, so an un-truncated analyzed plan
     // doubles per round — 2^rounds copies of the seed subtree for the

@@ -1619,7 +1619,16 @@ object Graph {
   private[graft] def edgeSupportsOf(oriented: DataFrame,
       sketch: Option[org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]]): DataFrame =
-    triangleTriplesDf(oriented, sketch)
+    supportsOfTriples(triangleTriplesDf(oriented, sketch))
+
+  /** (a, b, support) from an already-enumerated (u, v, w) triangle
+    * relation — each triangle contributes its three edges in canonical
+    * (a < b) form via one map-side explode, then one partial-agged
+    * groupBy. Split out of [[edgeSupportsOf]] so g18's peel can recount
+    * support over a FILTERED triple relation without re-running the
+    * wedge enumeration (r13). */
+  private[graft] def supportsOfTriples(triples: DataFrame): DataFrame =
+    triples
       .select(explode(array(
         struct(least(col("u"), col("v")).as("ea"),
           greatest(col("u"), col("v")).as("eb")),
@@ -1676,26 +1685,42 @@ object Graph {
   def ktruss(s: SparkSession, dir: String): DataFrame =
     ktrussDf(t(s, dir, "lineitem"))
 
+  /** Survivor sets below this row count attach to the peel's triple
+    * filter as a BROADCAST (3 stacked map-side semi-joins, one codegen
+    * pass over the triples); above it the filter falls back to
+    * shuffled-hash semi-joins (the survivor set is ids-only, so the
+    * per-partition build stays small). 8 M (a, b) long pairs ≈ 128 MB
+    * raw — the same executor-memory class as the edge Bloom sketch;
+    * overridable for clusters via the conf key. */
+  val trussBroadcastRowsKey = "graft.truss.broadcast.maxrows"
+  val trussBroadcastRowsDefault = 8000000L
+
   def ktrussDf(lineitem: DataFrame): DataFrame = {
     import graft.operators.ConnectedComponents.{free, truncateTracked}
-    val sc = lineitem.sparkSession.sparkContext
+    val spark = lineitem.sparkSession
+    val sc = spark.sparkContext
     // eager tracked checkpoint instead of a columnar persist (r12):
-    // each round scans o ~5x (both wedge sides, the closing probe, the
-    // sketch build, the survivor semi-join) and GraphRoundProbe
-    // measured the columnar cache at ~4-6 s CPU per 1 M-row scan vs
-    // ~1 s for checkpointed UnsafeRows; the tracked ids let the peel
-    // free superseded edge sets exactly as before
-    var (o, oBlocks) = truncateTracked(orientedEdgesDf(lineitem))
+    // round 1 scans o ~5x (both wedge sides, the closing probe, the
+    // sketch build, the count) and GraphRoundProbe measured the
+    // columnar cache at ~4-6 s CPU per 1 M-row scan vs ~1 s for
+    // checkpointed UnsafeRows
+    val (o, oBlocks) = truncateTracked(orientedEdgesDf(lineitem))
     var nEdges = o.count()
-    // Each round builds a FRESH edge sketch — reusing round 1's bloom
-    // across rounds (a superset filter, so still exact) was measured
-    // and found a wash (r9, VERDICT-r8 #4): 335.0 s reused vs 335.3 s
-    // fresh at sf5, 11.15 vs 11.87 s at sf0.1. The saved count+build
-    // jobs are cheap, and the stale filter passes exactly the wedges
-    // whose closing edge was just peeled — the rows the rebuild
-    // exists to drop. Below the keep bar → keep the simpler fresh
-    // build. SCALING.md round-9 has the full A/B.
-    var (supp, blocks) = truncateTracked(edgeSupportsOf(o))
+    // INCREMENTAL PEEL (r13, guide §2.4 "remove shuffles outright"):
+    // a subgraph's triangles are exactly the triangles of the parent
+    // graph whose three edges all survive (peeling only REMOVES edges),
+    // so the wedge enumeration + Bloom build need to run ONCE — the
+    // (u, v, w) triple relation is checkpointed and every later round
+    // recounts support by FILTERING it against the survivor edge set
+    // (3 stacked semi-joins + the same explode/groupBy recount),
+    // instead of re-running the full wedge join + fresh sketch over
+    // the shrunken edge list (the r9 "fresh sketch per round" A/B is
+    // moot in this shape: no per-round sketch exists at all). Same
+    // survivor sets, same recounted supports, bit-identical output —
+    // GraphSpec's in-memory reference peel and the oracle twin pin it.
+    val (tri, triBlocks) = truncateTracked(triangleTriplesDf(o))
+    free(sc, oBlocks) // triples materialized; o is never scanned again
+    var (supp, blocks) = truncateTracked(supportsOfTriples(tri))
     // threshold relation (one row, persisted): 25th-percentile support
     // among round-1 triangle edges, k = t + 2
     val tVal = supp.groupBy(col("support")).agg(count(lit(1)).as("cnt"))
@@ -1705,34 +1730,37 @@ object Graph {
       .select(col("support").as("t"))
       .persist()
     tVal.count() // materialize before the next tracked window
+    val bcastMax = spark.conf.get(trussBroadcastRowsKey,
+      trussBroadcastRowsDefault.toString).toLong
     var fixed = false
     for (_ <- 2 to trussRounds) if (!fixed) {
       val surv = supp.crossJoin(broadcast(tVal))
         .filter(col("support") >= col("t"))
         .select(col("a"), col("b"))
-      val (oNext, oNextBlocks) = truncateTracked(o.join(surv,
-          least(col("u"), col("v")) === col("a") &&
-          greatest(col("u"), col("v")) === col("b"), "left_semi"))
-      // register BEFORE the tracked window (ADVICE-r7); the count also
-      // detects the EXACT fixed point: a semi-join only removes rows,
-      // so an unchanged count means an unchanged edge set, the
-      // recomputed support relation would be identical, and every
-      // remaining round is a provable no-op — skip them, output
-      // unchanged by construction. (Threshold-based early stops were
-      // measured and REJECTED: on the dense sf5 generation rounds
-      // keep peeling 15 %/8 % and never converge within the contract
-      // rounds, so any x%-cutoff would change the output —
-      // SCALING.md round-10.)
-      val nNext = oNext.count()
+      // The survivor count doubles as (a) the EXACT fixed-point
+      // detector — the old semi-joined edge list was in bijection with
+      // surv (every supp key is a canonical o edge), so comparing
+      // |surv| round-over-round is the identical test: an unchanged
+      // count means an unchanged edge set, an identical recount, and
+      // every remaining round a provable no-op (threshold-based early
+      // stops were measured and REJECTED — SCALING.md round-10) — and
+      // (b) the broadcast-vs-shuffle decision for the triple filter.
+      val nNext = surv.count()
       if (nNext == nEdges) {
-        free(sc, oNextBlocks)
         fixed = true
       } else {
-        val (suppNext, nb) = truncateTracked(edgeSupportsOf(oNext))
-        free(sc, blocks)  // previous round's snapshot, fully consumed
-        free(sc, oBlocks) // previous edge set, fully consumed
-        supp = suppNext; blocks = nb
-        o = oNext; oBlocks = oNextBlocks; nEdges = nNext
+        val s = if (nNext <= bcastMax) broadcast(surv)
+                else surv.hint("SHUFFLE_HASH")
+        val kept = tri
+          .join(s, least(col("u"), col("v")) === col("a") &&
+            greatest(col("u"), col("v")) === col("b"), "left_semi")
+          .join(s, least(col("u"), col("w")) === col("a") &&
+            greatest(col("u"), col("w")) === col("b"), "left_semi")
+          .join(s, least(col("v"), col("w")) === col("a") &&
+            greatest(col("v"), col("w")) === col("b"), "left_semi")
+        val (suppNext, nb) = truncateTracked(supportsOfTriples(kept))
+        free(sc, blocks) // previous round's snapshot, fully consumed
+        supp = suppNext; blocks = nb; nEdges = nNext
       }
     }
     val out = supp.crossJoin(broadcast(tVal))
@@ -1741,8 +1769,8 @@ object Graph {
       .orderBy(col("support").desc, col("a"), col("b"))
       .limit(triTopN)
     // the final support snapshot IS checkpointed — nothing downstream
-    // re-reads the last round's edge list
-    free(sc, oBlocks)
+    // re-reads the triple relation
+    free(sc, triBlocks)
     // tVal and the final round's checkpoint `blocks` MUST outlive this
     // call (out reads both lazily), so they cannot be freed here —
     // callers that loop queries must sweep sc.getPersistentRDDs after
